@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is forced to full execution with a count-collapsing action
+(write to noop would also work; count() executes the whole plan since
+every query here aggregates/limits)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_item_report",
+    "large_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from idhub_spark.queries import REGISTRY
+    from idhub_spark.session import get_spark
+
+    spark = get_spark("idhub_spark_bench")
+    # warm the JVM + parquet footers once, outside timing
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # include everything registered but not in HEADLINE too
+    names += [n for n in sorted(REGISTRY) if n not in names]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

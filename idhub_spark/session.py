@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Local testing runs on local[N] (one JVM); production target is a
+multi-executor cluster, so every knob here is also valid at scale:
+AQE for runtime re-planning (skew joins, partition coalescing),
+UTC session timezone (required for bit-exact comparison against the
+DuckDB oracle, whose timestamps are UTC-naive), Arrow for the few
+Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "idhub_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    shuffle.partitions is sized to the local core count — at cluster
+    scale this would be set per-job to ~2-3x total executor cores, or
+    left to AQE's coalescing with a high initial value.
+    """
+    n = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the driver's synthetic parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Parquet scans get Catalyst's
+    predicate pushdown + column pruning for free, so downstream
+    operators never pre-filter manually.
+    """
+    out = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
