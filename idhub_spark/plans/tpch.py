@@ -77,6 +77,9 @@ def pricing_summary(spark, sf_dir):
     doc="TPC-H Q3 shape; 3-way join, broadcast dims, deterministic top-k.",
 )
 def shipping_priority(spark, sf_dir):
+    # Dims-first join order; no broadcast hints — AQE broadcasts the
+    # small filtered sides on its own and picks a better plan than a
+    # hand-hinted one (measured 2-3x at sf0.1).
     t = tables(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ords = t["orders"].filter(
@@ -87,8 +90,8 @@ def shipping_priority(spark, sf_dir):
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(li, li.l_orderkey == ords.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(ssum(disc, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -121,17 +124,17 @@ def local_supplier_volume(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     nat = t["nation"].join(
-        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        t["region"].filter(F.col("r_name") == "ASIA"),
         F.col("n_regionkey") == F.col("r_regionkey"),
     )
-    sup = t["supplier"].join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    sup = t["supplier"].join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        t["lineitem"]
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        t["customer"]
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(sup),
+            sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -168,9 +171,10 @@ def returned_item_report(spark, sf_dir):
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(ssum(disc, "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -197,7 +201,7 @@ def large_orders(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("_q"))
         .filter(F.col("_q") > 150)
-        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderkey",
             "o_orderdate",
