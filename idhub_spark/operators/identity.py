@@ -1,0 +1,248 @@
+"""Batch identity resolution — the heart of the reference system.
+
+Reference semantics (all cited into /root/reference):
+- J1 lookup join: each candidate identifier is matched against
+  `local_subject_ids` case-insensitively on `local_subject_id` alone
+  (center-agnostic), collecting the set of matched GSIDs per record
+  (gsid-service/services/identity_resolution.py:50-105, SQL at 56-68).
+- J2 cardinality dispatch: 0 matches -> mint a new GSID
+  (`create_new`); exactly 1 -> `link_existing`; >=2 -> `conflict_resolved`
+  picking the OLDEST GSID by (created_at, gsid) and flagging the rest
+  (identity_resolution.py:107-211, tie-break sort at 180-183).
+- J3 link-back: every candidate identifier is upserted to point at the
+  chosen GSID (identity_resolution.py:213-268).
+
+The reference resolves records SEQUENTIALLY over HTTP, so record N+1
+sees IDs minted by record N. A naive parallel port would mint two
+different GSIDs for two new records that share an identifier inside
+the same batch. The set-based fix (SURVEY.md §4.1): treat the batch as
+a bipartite graph record <-> identifier, compute connected components
+(alternating-minimum label propagation), then mint ONE GSID per
+unresolved component. Matching against the existing registry stays a
+single equi-join; components that touch an existing GSID adopt the
+oldest such GSID exactly like the reference's tie-break.
+
+Scale notes (100 TB): everything below is equi-joins + groupBys on
+the normalized identifier key; the registry join partitions on
+lower(local_subject_id) (same hash both sides -> no extra exchange).
+The CC loop converges in O(log d) iterations where d = component
+diameter (identifier-sharing chains are short in practice, 2-3 hops);
+each iteration is one shuffle on the same key. Skewed identifiers
+(one ID shared by millions of rows) are exactly the AQE skew-join
+case — enabled in session.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idhub_spark.functions.expressions import gsid_expr, null_normalize_expr
+
+
+def unpivot_candidates(df: DataFrame, key_col: str, candidates: dict[str, str]) -> DataFrame:
+    """Wide -> long: per row, one output row per non-null candidate ID.
+
+    `candidates` maps column name -> identifier_type. Mirrors the
+    reference's subject-ID extraction (data_processor.py:199-211,
+    subject_id_resolver.py:59-92): trim, drop ''/NA/null sentinels.
+
+    Implemented as array(struct(...)) + explode so a single projection
+    emits the long form — no per-column union, one pass over the fact
+    table, fully codegen'd.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                null_normalize_expr(F.col(c)).alias("local_subject_id"),
+                F.lit(t).alias("identifier_type"),
+            )
+            for c, t in candidates.items()
+        ]
+    )
+    return (
+        df.select(F.col(key_col).alias("record_key"), F.explode(entries).alias("cand"))
+        .select("record_key", "cand.local_subject_id", "cand.identifier_type")
+        .filter(F.col("local_subject_id").isNotNull())
+    )
+
+
+def match_registry(ids_long: DataFrame, registry: DataFrame) -> DataFrame:
+    """J1: left join candidates against the registry, case-insensitive
+    on the identifier value alone (center-agnostic,
+    identity_resolution.py:56-68 — `LOWER(local_subject_id) = LOWER(%s)`).
+
+    registry columns: local_subject_id, global_subject_id, created_at.
+    Output: ids_long + matched global_subject_id/created_at (null when
+    unmatched). Join key is pre-normalized so both sides hash-partition
+    identically; if the registry is dimension-sized Catalyst broadcasts
+    it (AQE decides from runtime stats).
+    """
+    reg = registry.select(
+        F.lower(F.col("local_subject_id")).alias("_norm_id"),
+        F.col("global_subject_id").alias("matched_gsid"),
+        F.col("created_at").alias("matched_created_at"),
+    )
+    return ids_long.withColumn("_norm_id", F.lower(F.col("local_subject_id"))).join(
+        reg, "_norm_id", "left"
+    )
+
+
+def dispatch_matches(matched: DataFrame) -> DataFrame:
+    """J2: per record, collect matched GSIDs and dispatch on cardinality.
+
+    Output per record_key:
+      action            create_new | link_existing | conflict_resolved
+      global_subject_id chosen GSID (oldest by (created_at, gsid) on
+                        conflict — identity_resolution.py:180-183);
+                        NULL for create_new (minting is a separate,
+                        explicitly-batch-aware step)
+      matched_gsids     sorted array of all distinct matches
+      requires_review   true when conflict
+
+    min_by(struct(created_at, gsid)) reproduces the reference's oldest-
+    first sort; sort_array makes the collected set deterministic under
+    partitioning.
+    """
+    return matched.groupBy("record_key").agg(
+        F.sort_array(F.collect_set("matched_gsid")).alias("matched_gsids"),
+        # guard: only matched rows feed the min-struct — an unmatched
+        # candidate's (null, null) struct would sort first and poison
+        # the oldest-GSID pick
+        F.min(
+            F.when(
+                F.col("matched_gsid").isNotNull(),
+                F.struct("matched_created_at", "matched_gsid"),
+            )
+        ).alias("_oldest"),
+    ).select(
+        "record_key",
+        "matched_gsids",
+        F.when(F.size("matched_gsids") == 0, F.lit("create_new"))
+        .when(F.size("matched_gsids") == 1, F.lit("link_existing"))
+        .otherwise(F.lit("conflict_resolved"))
+        .alias("action"),
+        F.when(F.size("matched_gsids") > 0, F.col("_oldest.matched_gsid")).alias(
+            "global_subject_id"
+        ),
+        (F.size("matched_gsids") > 1).alias("requires_review"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "record_key", dst: str = "_norm_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a bipartite record<->identifier graph
+    by alternating minimum-label propagation.
+
+    Returns (record_key, component) where component is the minimum
+    record_key in the component. Converges when no label changes; each
+    iteration is two shuffles (groupBy identifier, groupBy record) on
+    keys that stay stable across iterations, so at cluster scale the
+    exchange reuses the same partitioning. Iterations needed =
+    half-diameter of the largest component (identifier-sharing chains
+    are near-star-shaped in identity workloads: 2-4 iterations).
+
+    This is the standard large-star/small-star contraction specialized
+    to bipartite graphs (cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm).
+    """
+    e = edges.select(F.col(src).alias("r"), F.col(dst).alias("i")).distinct()
+    labels = e.groupBy("r").agg(F.min("r").alias("comp"))  # trivially comp=r
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # identifier adopts min component of incident records
+        id_label = (
+            e.join(labels, "r")
+            .groupBy("i")
+            .agg(F.min("comp").alias("icomp"))
+        )
+        # record adopts min over its identifiers (and its own label)
+        new_labels = (
+            e.join(id_label, "i")
+            .groupBy("r")
+            .agg(F.min("icomp").alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "r")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        # checkpoint truncates the growing lineage each round
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("r").alias("record_key"), F.col("comp").alias("component"))
+
+
+def resolve_identities(
+    ids_long: DataFrame,
+    registry: DataFrame,
+    *,
+    within_batch_cc: bool = True,
+    mint_ts_ms=None,
+) -> DataFrame:
+    """Full batch identity resolution: J1 + within-batch CC + J2 + mint.
+
+    ids_long: (record_key, local_subject_id, identifier_type)
+    registry: (local_subject_id, global_subject_id, created_at)
+
+    Returns one row per record_key:
+      (record_key, action, global_subject_id, matched_gsids,
+       requires_review, component)
+
+    create_new components mint ONE deterministic GSID per component
+    (seeded by the component id), so two records sharing an unseen
+    identifier inside the batch agree on the minted GSID — matching the
+    reference's sequential semantics without its sequential execution.
+    """
+    matched = match_registry(ids_long, registry)
+    dispatched = dispatch_matches(matched)
+
+    if within_batch_cc:
+        comps = connected_components(matched.select("record_key", "_norm_id"))
+        dispatched = dispatched.join(comps, "record_key", "left")
+        # a component's records must agree: adopt the oldest matched
+        # GSID anywhere in the component (reference would have linked
+        # them sequentially through the shared identifier)
+        comp_choice = (
+            dispatched.filter(F.col("global_subject_id").isNotNull())
+            .groupBy("component")
+            .agg(F.min("global_subject_id").alias("_comp_gsid"))
+        )
+        dispatched = dispatched.join(comp_choice, "component", "left").select(
+            "record_key",
+            "matched_gsids",
+            F.when(
+                (F.col("action") == "create_new") & F.col("_comp_gsid").isNotNull(),
+                F.lit("link_existing"),
+            )
+            .otherwise(F.col("action"))
+            .alias("action"),
+            F.coalesce("global_subject_id", "_comp_gsid").alias("global_subject_id"),
+            "requires_review",
+            "component",
+        )
+    else:
+        dispatched = dispatched.withColumn("component", F.col("record_key"))
+
+    # mint one GSID per still-unresolved component
+    minted = F.when(
+        F.col("global_subject_id").isNull(),
+        gsid_expr(F.col("component"), ts_ms=mint_ts_ms),
+    )
+    return dispatched.withColumn(
+        "global_subject_id", F.coalesce("global_subject_id", minted)
+    )
+
+
+def link_back(resolved: DataFrame, ids_long: DataFrame) -> DataFrame:
+    """J3: the (local_subject_id, identifier_type) -> chosen GSID rows
+    to MERGE into the registry (identity_resolution.py:213-268).
+    Case-preserving storage of the original id, case-insensitive merge
+    key is applied by the caller's merge (SURVEY.md §7.3 risk (b))."""
+    return ids_long.join(
+        resolved.select("record_key", "global_subject_id"), "record_key"
+    ).select("local_subject_id", "identifier_type", "global_subject_id").distinct()

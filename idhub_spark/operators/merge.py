@@ -1,0 +1,109 @@
+"""Universal upsert / MERGE with field-level audit capture.
+
+Reference: the Universal Upsert (table-loader/services/
+load_strategies.py:92-194; docs/developers/architecture/
+update-strategy.md:1-157) — fetch by natural key, classify
+new/changed/unchanged, insert new, update changed fields only, audit
+every changed field; modes `upsert` | `insert_only` | `update_only`
+(update-strategy.md:142-196); immutable-field protection
+(update-strategy.md:198-241).
+
+Spark-first: the classification is one full-outer join
+(operators/changes.py); the merge result is expressed as a DataFrame
+(current rows patched with incoming values per mode) so the caller
+writes it wherever (parquet snapshot here; Delta MERGE INTO verbatim
+on a Delta-enabled cluster — the change-set/audit computation is the
+part Delta lacks, SURVEY.md §4.3). Writes use
+snapshot-replace-by-partition: at 100 TB the table is partitioned
+(e.g. by hash bucket of the natural key) and only partitions
+containing touched keys rewrite — the classified change-set tells us
+exactly which.
+
+Dry-run (loader.py:213-234) falls out naturally: `merge_upsert`
+computes everything lazily; a dry run just reads `stats`/`audit`
+without writing `merged`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.changes import audit_rows, classify_changes
+
+MODES = ("upsert", "insert_only", "update_only")
+
+
+@dataclass
+class MergeResult:
+    merged: DataFrame  # the post-merge table contents
+    classified: DataFrame  # per-key change_type + changes map
+    audit: DataFrame  # data_change_audit rows (K6)
+    inserted: DataFrame
+    updated: DataFrame
+    unchanged: DataFrame
+
+    def stats(self) -> DataFrame:
+        """A11: per-change-type tallies for fragment_resolutions."""
+        return self.classified.groupBy("change_type").count()
+
+
+def merge_upsert(
+    incoming: DataFrame,
+    current: DataFrame,
+    natural_key: list[str],
+    *,
+    mode: str = "upsert",
+    immutable: list[str] | None = None,
+    exclude: list[str] | None = None,
+    table_name: str = "?",
+    batch_id: str = "?",
+) -> MergeResult:
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    immutable = list(immutable or [])
+    classified = classify_changes(
+        incoming, current, natural_key, exclude=list(exclude or []) + immutable
+    )
+
+    inserted = classified.filter(F.col("change_type") == "new")
+    updated = classified.filter(F.col("change_type") == "updated")
+    unchanged = classified.filter(F.col("change_type") == "unchanged")
+
+    take_new = {"upsert": ["new"], "insert_only": ["new"], "update_only": []}[mode]
+    take_upd = {"upsert": ["updated"], "insert_only": [], "update_only": ["updated"]}[mode]
+
+    value_cols = [c for c in incoming.columns if c not in natural_key]
+    patch_keys = classified.filter(F.col("change_type").isin(take_upd)).select(*natural_key)
+
+    # rows that keep their current image: untouched keys + (in
+    # insert_only mode) updated-but-ignored keys
+    kept = current.join(patch_keys, natural_key, "left_anti")
+    # patched rows take incoming values for mutable fields but keep
+    # current values for immutable ones (immutable-field protection)
+    patch_src = classified.filter(F.col("change_type").isin(take_upd))
+    if immutable:
+        cur_imm = current.select(*natural_key, *[c for c in immutable if c in current.columns])
+        patch_src = patch_src.drop(*immutable).join(cur_imm, natural_key, "left")
+    patched = patch_src.select(*natural_key, *[F.col(c) for c in value_cols])
+    fresh = classified.filter(F.col("change_type").isin(take_new)).select(
+        *natural_key, *[F.col(c) for c in value_cols]
+    )
+
+    merged = kept.select(*natural_key, *value_cols).unionByName(patched).unionByName(fresh)
+    audit = audit_rows(
+        classified if mode != "insert_only" else classified.limit(0),
+        natural_key,
+        table_name=table_name,
+        batch_id=batch_id,
+    )
+    return MergeResult(
+        merged=merged,
+        classified=classified,
+        audit=audit,
+        inserted=inserted,
+        updated=updated,
+        unchanged=unchanged,
+    )

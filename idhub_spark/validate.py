@@ -1,0 +1,63 @@
+"""Schema & data validation (reference §2.11).
+
+- validate_schema: required-column presence + NOT-NULL null counts,
+  skipping PK/system columns (fragment-validator/services/
+  schema_validator.py:22-103). One aggregate pass computes every
+  null count simultaneously (count(when(isNull,1)) per column) —
+  a single job, map-side combined, instead of the reference's
+  column-at-a-time loop.
+- ID pattern validation lives in functions.expressions
+  (id_validation_expr, P12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+SYSTEM_COLUMNS = {"created_at", "updated_at", "id"}
+
+
+@dataclass
+class ValidationReport:
+    ok: bool
+    missing_columns: list[str] = field(default_factory=list)
+    extra_columns: list[str] = field(default_factory=list)
+    null_violations: dict[str, int] = field(default_factory=dict)
+    row_count: int = 0
+
+
+def validate_schema(
+    df: DataFrame,
+    target: StructType,
+    *,
+    required: list[str] | None = None,
+    not_null: list[str] | None = None,
+) -> ValidationReport:
+    have = set(df.columns)
+    want = {f.name for f in target.fields} - SYSTEM_COLUMNS
+    required = [c for c in (required or sorted(want)) if c not in SYSTEM_COLUMNS]
+    missing = [c for c in required if c not in have]
+    extra = sorted(have - want - SYSTEM_COLUMNS)
+
+    not_null = [c for c in (not_null or []) if c in have]
+    null_counts: dict[str, int] = {}
+    row_count = 0
+    aggs = [F.count(F.lit(1)).alias("_rows")] + [
+        F.count(F.when(F.col(c).isNull() | (F.trim(F.col(c).cast("string")) == ""), 1)).alias(c)
+        for c in not_null
+    ]
+    row = df.agg(*aggs).collect()[0]
+    row_count = row["_rows"]
+    null_counts = {c: row[c] for c in not_null if row[c] > 0}
+
+    return ValidationReport(
+        ok=not missing and not null_counts,
+        missing_columns=missing,
+        extra_columns=extra,
+        null_violations=null_counts,
+        row_count=row_count,
+    )

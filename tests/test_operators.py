@@ -1,0 +1,317 @@
+"""Unit tests for the core dataflow operators, mirroring the
+reference's scenario matrix (SURVEY.md §5): GSID format, identity
+resolution create/link/conflict paths, within-batch agreement,
+change classification, merge modes + idempotence, fuzzy matching,
+conflict detection."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from idhub_spark.functions.expressions import (
+    GSID_REGEX,
+    boolean_expr,
+    extract_year_expr,
+    gsid_expr,
+    id_validation_expr,
+    normalize_name_expr,
+    null_normalize_expr,
+    registration_year_expr,
+)
+from idhub_spark.operators.centers import fuzzy_match_names, levenshtein_ratio
+from idhub_spark.operators.changes import classify_changes
+from idhub_spark.operators.conflicts import apply_resolutions, detect_conflicts, find_duplicates
+from idhub_spark.operators.identity import (
+    link_back,
+    resolve_identities,
+    unpivot_candidates,
+)
+from idhub_spark.operators.merge import merge_upsert
+
+
+# --- expressions -----------------------------------------------------------
+
+
+def test_gsid_format(spark):
+    """Format contract from gsid-service/tests/test_gsid_format.py:
+    21 chars, GSID- prefix, Crockford alphabet w/o I,L,O,U, unique."""
+    df = spark.range(1000).select(gsid_expr(F.col("id")).alias("gsid"))
+    rows = [r.gsid for r in df.collect()]
+    pat = re.compile(GSID_REGEX)
+    assert all(pat.match(g) for g in rows)
+    assert all(len(g) == 21 for g in rows)
+    assert len(set(rows)) == 1000  # collision check @1000
+    # determinism: same seed -> same gsid
+    again = [r.gsid for r in spark.range(1000).select(gsid_expr(F.col("id")).alias("gsid")).collect()]
+    assert rows == again
+
+
+def test_scalar_expressions(spark):
+    df = spark.createDataFrame(
+        [("  NA ", "2021-05-04", "Yes", "Mount_Sinai  ", "03/15/1999", "1987")],
+        ["n", "d", "b", "name", "us_date", "bare_year"],
+    )
+    row = df.select(
+        null_normalize_expr(F.col("n")).alias("n"),
+        extract_year_expr(F.col("d")).alias("y"),
+        boolean_expr(F.col("b")).alias("b"),
+        normalize_name_expr(F.col("name")).alias("nm"),
+        registration_year_expr(F.col("us_date")).alias("usd"),
+        registration_year_expr(F.col("bare_year")).alias("by"),
+    ).collect()[0]
+    assert row.n is None
+    assert row.y == 2021
+    assert row.b is True
+    assert row.nm == "mount sinai"
+    assert str(row.usd) == "1999-01-01"
+    assert str(row.by) == "1987-01-01"
+
+
+def test_registration_year_range_validation(spark):
+    df = spark.createDataFrame([("1850-01-01",), ("2150-01-01",), ("1999-06-07",)], ["d"])
+    vals = [r.v for r in df.select(registration_year_expr(F.col("d")).alias("v")).collect()]
+    assert vals[0] is None and vals[1] is None and str(vals[2]) == "1999-01-01"
+
+
+def test_id_validation(spark):
+    df = spark.createDataFrame(
+        [("TEST123",), ("ok_id-77",), ("ab",), ("12345",), ("has space",)], ["i"]
+    )
+    rows = df.select(id_validation_expr(F.col("i")).alias("v")).collect()
+    assert rows[0].v.valid is False and rows[0].v.severity == "error"
+    assert rows[1].v.valid and rows[1].v.severity == "ok"
+    assert "too_short" in rows[2].v.warnings
+    assert "purely_numeric" in rows[3].v.warnings
+    assert "contains_whitespace" in rows[4].v.warnings
+
+
+# --- identity resolution ---------------------------------------------------
+
+
+def _registry(spark):
+    return spark.createDataFrame(
+        [
+            ("IBDGC-001", "GSID-OLD1", "2020-01-01"),
+            ("ibdgc-002", "GSID-OLD2", "2021-01-01"),
+            ("IBDGC-003", "GSID-OLD2", "2021-01-01"),  # second alias of OLD2
+            ("SHARED-X", "GSID-OLD3", "2022-01-01"),
+        ],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    )
+
+
+def test_unpivot_candidates(spark):
+    df = spark.createDataFrame(
+        [Row(rk=1, a="X1", b=None), Row(rk=2, a=" NA ", b="Y2")]
+    )
+    out = unpivot_candidates(df, "rk", {"a": "typeA", "b": "typeB"}).collect()
+    got = {(r.record_key, r.local_subject_id, r.identifier_type) for r in out}
+    assert got == {(1, "X1", "typeA"), (2, "Y2", "typeB")}
+
+
+def test_resolution_create_link_conflict(spark):
+    """The three dispatch paths of identity_resolution.py:107-211."""
+    ids = spark.createDataFrame(
+        [
+            (1, "IBDGC-001", "consortium"),  # 1 match -> link
+            (2, "UNSEEN-9", "consortium"),  # 0 matches -> create
+            (3, "ibdgc-001", "consortium"),  # case-insensitive link
+            (3, "SHARED-X", "site"),  # ...but also matches OLD3 -> conflict
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    out = {r.record_key: r for r in resolve_identities(ids, _registry(spark)).collect()}
+    assert out[1].action == "link_existing" and out[1].global_subject_id == "GSID-OLD1"
+    assert out[2].action == "create_new"
+    assert re.match(GSID_REGEX, out[2].global_subject_id)
+    assert out[3].action == "conflict_resolved" and out[3].requires_review
+    # oldest by (created_at, gsid): OLD1 (2020) < OLD3 (2022)
+    assert out[3].global_subject_id == "GSID-OLD1"
+    assert out[3].matched_gsids == ["GSID-OLD1", "GSID-OLD3"]
+
+
+def test_within_batch_component_minting(spark):
+    """Two unseen records sharing an identifier must mint ONE GSID
+    (the sequential-semantics parity fix, SURVEY.md §4.1)."""
+    ids = spark.createDataFrame(
+        [
+            (10, "NEW-A", "t"),
+            (10, "BRIDGE", "t"),
+            (11, "BRIDGE", "t"),
+            (11, "NEW-B", "t"),
+            (12, "LONER", "t"),
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    out = {r.record_key: r for r in resolve_identities(ids, _registry(spark)).collect()}
+    assert out[10].global_subject_id == out[11].global_subject_id
+    assert out[12].global_subject_id != out[10].global_subject_id
+    assert all(re.match(GSID_REGEX, out[k].global_subject_id) for k in (10, 11, 12))
+
+
+def test_batch_link_through_shared_id(spark):
+    """A record with no registry match that shares an identifier with
+    a matched record adopts that record's GSID (sequential parity)."""
+    ids = spark.createDataFrame(
+        [
+            (20, "IBDGC-001", "t"),
+            (20, "FRESH-1", "t"),
+            (21, "FRESH-1", "t"),  # links to OLD1 via component
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    out = {r.record_key: r for r in resolve_identities(ids, _registry(spark)).collect()}
+    assert out[20].global_subject_id == "GSID-OLD1"
+    assert out[21].global_subject_id == "GSID-OLD1"
+    assert out[21].action == "link_existing"
+
+
+def test_link_back(spark):
+    ids = spark.createDataFrame(
+        [(1, "IBDGC-001", "consortium"), (1, "ALT-1", "site")],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    resolved = resolve_identities(ids, _registry(spark))
+    lb = link_back(resolved, ids).collect()
+    assert {(r.local_subject_id, r.global_subject_id) for r in lb} == {
+        ("IBDGC-001", "GSID-OLD1"),
+        ("ALT-1", "GSID-OLD1"),
+    }
+
+
+def test_resolution_partition_invariance(spark):
+    """Same input in 1 vs 16 partitions -> identical assignment."""
+    data = [(i, f"ID-{i % 7}", "t") for i in range(40)]
+    cols = ["record_key", "local_subject_id", "identifier_type"]
+    a = resolve_identities(
+        spark.createDataFrame(data, cols).repartition(1), _registry(spark)
+    ).collect()
+    b = resolve_identities(
+        spark.createDataFrame(data, cols).repartition(16), _registry(spark)
+    ).collect()
+    assert {(r.record_key, r.global_subject_id, r.action) for r in a} == {
+        (r.record_key, r.global_subject_id, r.action) for r in b
+    }
+
+
+# --- change classification / merge ----------------------------------------
+
+
+def _cur_inc(spark):
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, None)], ["k", "s", "v"]
+    )
+    incoming = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "", None), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    return current, incoming
+
+
+def test_classify_changes(spark):
+    current, incoming = _cur_inc(spark)
+    out = {r.k: r for r in classify_changes(incoming, current, ["k"]).collect()}
+    assert out[1].change_type == "orphan"
+    assert out[2].change_type == "updated" and out[2].changed_fields == ["v"]
+    assert out[2].changes["v"].old == "20.0" and out[2].changes["v"].new == "25.0"
+    # '' normalizes to NULL -> unchanged (update_detector.py:229-234)
+    assert out[3].change_type == "unchanged"
+    assert out[4].change_type == "new"
+
+
+def test_merge_modes_and_idempotence(spark):
+    current, incoming = _cur_inc(spark)
+    r = merge_upsert(incoming, current, ["k"], table_name="t", batch_id="b1")
+    merged = {x.k: x for x in r.merged.collect()}
+    assert set(merged) == {1, 2, 3, 4}
+    assert merged[2].v == 25.0 and merged[1].v == 10.0
+    audit = r.audit.collect()
+    assert len(audit) == 1 and audit[0].field == "v" and audit[0].record_key == {"k": "2"}
+
+    # idempotence: re-merging the merged state produces zero audit rows
+    r2 = merge_upsert(r.merged, r.merged, ["k"], table_name="t", batch_id="b2")
+    assert r2.audit.count() == 0
+    assert {
+        x.change_type for x in r2.classified.select("change_type").distinct().collect()
+    } == {"unchanged"}
+
+    # insert_only ignores updates; update_only ignores inserts
+    io = merge_upsert(incoming, current, ["k"], mode="insert_only").merged
+    assert {x.k: x.v for x in io.collect()}[2] == 20.0
+    uo = merge_upsert(incoming, current, ["k"], mode="update_only").merged
+    assert set(x.k for x in uo.collect()) == {1, 2, 3}
+
+
+def test_merge_immutable_protection(spark):
+    current = spark.createDataFrame([(1, "keep", 1.0)], ["k", "s", "v"])
+    incoming = spark.createDataFrame([(1, "clobber", 2.0)], ["k", "s", "v"])
+    r = merge_upsert(incoming, current, ["k"], immutable=["s"])
+    row = r.merged.collect()[0]
+    assert row.s == "keep" and row.v == 2.0
+
+
+# --- fuzzy matching --------------------------------------------------------
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame([("kitten", "sitting")], ["a", "b"])
+    r = df.select(levenshtein_ratio(F.col("a"), F.col("b")).alias("r")).collect()[0].r
+    assert abs(r - (1 - 3 / 7)) < 1e-9
+
+
+def test_fuzzy_match_names(spark):
+    dim = spark.createDataFrame(
+        [(1, "Mount Sinai"), (2, "Cedars Sinai"), (3, "Toronto General")],
+        ["center_id", "center_name"],
+    )
+    dirty = spark.createDataFrame(
+        [("mount_sinai",), ("Mount Sinaii",), ("zzzzz",), ("TOR GEN",)], ["raw"]
+    )
+    aliases = spark.createDataFrame([("tor gen", 3)], ["alias", "center_id"])
+    out = {
+        r.name: r
+        for r in fuzzy_match_names(
+            dirty, dim, dirty_col="raw", dim_name_col="center_name",
+            dim_id_col="center_id", aliases=aliases,
+        ).collect()
+    }
+    assert out["mount_sinai"].match_strategy == "exact" and out["mount_sinai"].matched_id == 1
+    assert out["Mount Sinaii"].match_strategy == "fuzzy" and out["Mount Sinaii"].matched_id == 1
+    assert out["TOR GEN"].match_strategy == "alias" and out["TOR GEN"].matched_id == 3
+    assert out["zzzzz"].match_strategy == "none" and out["zzzzz"].matched_id is None
+
+
+# --- conflicts -------------------------------------------------------------
+
+
+def test_detect_conflicts_and_duplicates(spark):
+    existing = spark.createDataFrame(
+        [
+            ("A1", "t", 1, "G1"),
+            ("A1", "t", 1, "G2"),  # duplicate: two GSIDs for same id
+            ("B2", "t", 2, "G3"),
+        ],
+        ["local_subject_id", "identifier_type", "center_id", "global_subject_id"],
+    )
+    incoming = spark.createDataFrame(
+        [("a1", "t", 1, "G9"), ("B2", "t", 5, "G3")],
+        ["local_subject_id", "identifier_type", "center_id", "global_subject_id"],
+    )
+    conf = detect_conflicts(incoming, existing).collect()
+    types = {(r.local_subject_id, r.conflict_type) for r in conf}
+    assert ("a1", "multi_gsid") in types
+    assert ("B2", "center_mismatch") in types
+
+    dups = find_duplicates(existing).collect()
+    assert len(dups) == 1 and dups[0].gsids == ["G1", "G2"]
+
+
+def test_apply_resolutions(spark):
+    incoming = spark.createDataFrame([("A", 1), ("B", 2), ("C", 3)], ["id", "v"])
+    res = spark.createDataFrame(
+        [("A", "keep_existing"), ("B", "use_incoming")], ["id", "resolution_action"]
+    )
+    out = apply_resolutions(incoming, res, ["id"]).collect()
+    assert {r.id for r in out} == {"B", "C"}
