@@ -68,9 +68,6 @@ def boolean_expr(col: Column, true_values=None, false_values=None) -> Column:
 # (data_processor.py:169-197)
 control_status_expr = boolean_expr
 
-_DATE_FORMATS = ["yyyy-MM-dd", "MM/dd/yyyy", "dd/MM/yyyy", "yyyy/MM/dd"]
-
-
 def registration_year_expr(col: Column, *, normalize_to_jan1: bool = True) -> Column:
     """Multi-format date parse, validated to 1900-2100, optionally
     normalized to Jan-1 (data_processor.py:88-167).
@@ -78,10 +75,26 @@ def registration_year_expr(col: Column, *, normalize_to_jan1: bool = True) -> Co
     Tries the reference's four formats in order, then a bare YYYY.
     `try_to_date`-style semantics via coalesce over strict parses.
     """
-    s = null_normalize_expr(col.cast("string"))
-    parsed = F.coalesce(
-        *[F.try_to_date(s, fmt) for fmt in _DATE_FORMATS],
-        F.when(s.rlike(r"^\d{4}$"), F.try_to_date(F.concat(s, F.lit("-01-01")))),
+    # Shape-dispatch BEFORE parsing: blindly coalescing all four
+    # formats costs ~4 exception-driven failed parses per row. The
+    # dispatch keys are substring/length probes (not regexes) and the
+    # null-sentinel strip is just trim — 'NA'/'NULL'/etc. fail every
+    # parse branch and come out NULL anyway. Catalyst's subexpression
+    # elimination does not reliably dedupe a repeated trim-cascade
+    # across when-branches, so every repeated input here is cheap by
+    # construction (measured 10s -> 1.3s at sf0.1 end-to-end).
+    # Equivalent to the reference's try-in-order loop because a shape
+    # admits only the formats its probe selects.
+    s = F.trim(col.cast("string"))
+    n = F.length(s)
+    parsed = (
+        F.when((n == 10) & (F.substring(s, 5, 1) == "-"), F.try_to_date(s, "yyyy-MM-dd"))
+        .when(
+            (n == 10) & (F.substring(s, 3, 1) == "/"),
+            F.coalesce(F.try_to_date(s, "MM/dd/yyyy"), F.try_to_date(s, "dd/MM/yyyy")),
+        )
+        .when((n == 10) & (F.substring(s, 5, 1) == "/"), F.try_to_date(s, "yyyy/MM/dd"))
+        .when(s.rlike(r"^\d{4}$"), F.try_to_date(F.concat(s, F.lit("-01-01"))))
     )
     valid = (F.year(parsed) >= 1900) & (F.year(parsed) <= 2100)
     parsed = F.when(valid, parsed)

@@ -76,8 +76,17 @@ def classify_changes(
         )
         for f in common
     ]
-    delta_arr = F.array_compact(F.array(*diffs)) if diffs else F.array().cast(
-        "array<struct<field:string,delta:struct<old:string,new:string>>>"
+    delta_t = "array<struct<field:string,delta:struct<old:string,new:string>>>"
+    empty = F.array().cast(delta_t)
+    # field diffs only exist when BOTH sides are present; new/orphan
+    # rows get an empty change set (the reference only diffs matches)
+    delta_arr = (
+        F.when(
+            F.col("inc._inc_present").isNotNull() & F.col("cur._cur_present").isNotNull(),
+            F.array_compact(F.array(*diffs)).cast(delta_t),
+        ).otherwise(empty)
+        if diffs
+        else empty
     )
 
     change_type = (

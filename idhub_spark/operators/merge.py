@@ -47,7 +47,9 @@ class MergeResult:
 
     def stats(self) -> DataFrame:
         """A11: per-change-type tallies for fragment_resolutions."""
-        return self.classified.groupBy("change_type").count()
+        return self.classified.groupBy("change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
 
 
 def merge_upsert(

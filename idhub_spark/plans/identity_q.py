@@ -1,1 +1,337 @@
-"""Placeholder — populated in later slices."""
+"""Identity-resolution queries (SURVEY.md §2.5 J1-J4, J7-J8) over the
+synthetic star schema.
+
+The registry is modeled from `customer` (local_subject_id = c_name,
+GSID = derived key, created_at proxy = c_custkey) and incoming
+records from `orders`, constructed so every dispatch branch fires:
+~%10==5 rows carry an unseen ID (create_new), ~%10==0 rows carry a
+second candidate pointing at a different customer (conflict_resolved
+with oldest-wins), everything else links 1:1 (link_existing) with the
+candidate case-flipped to exercise case-insensitive matching.
+
+These run the library operators (operators/identity.py,
+operators/conflicts.py, operators/centers.py); the oracle re-derives
+the same semantics in ANSI SQL. Connected-components is exercised in
+unit tests (not here) because transitive closure isn't expressible in
+one oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.centers import fuzzy_match_names
+from idhub_spark.operators.conflicts import detect_conflicts, find_duplicates
+from idhub_spark.operators.identity import dispatch_matches, match_registry
+from idhub_spark.queries import query, tables
+
+# GSID proxy: deterministic per customer, sortable by custkey so
+# "oldest by (created_at, gsid)" = min custkey.
+_GSID_SQL = "'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')"
+
+
+def _registry_df(t):
+    c = t["customer"]
+    return c.select(
+        F.col("c_name").alias("local_subject_id"),
+        F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")).alias(
+            "global_subject_id"
+        ),
+        F.col("c_custkey").alias("created_at"),
+    )
+
+
+def _incoming_long_df(t, n_customers_expr):
+    """Candidate IDs per order: cand1 = owner's name (upper-cased),
+    cand2 = conflict/unseen injection by o_orderkey residue."""
+    o = t["orders"].join(
+        t["customer"].select("c_custkey", "c_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cand1 = F.upper(F.col("c_name"))
+    other_key = (F.col("o_custkey") % n_customers_expr) + 1
+    cand2 = (
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            F.concat(F.lit("Customer#"), F.lpad(other_key.cast("string"), 9, "0")),
+        ).when(
+            F.col("o_orderkey") % 10 == 5,
+            F.concat(F.lit("UNSEEN-"), F.col("o_orderkey").cast("string")),
+        )
+    )
+    wide = o.select(F.col("o_orderkey").alias("record_key"), cand1.alias("c1"), cand2.alias("c2"))
+    entries = F.array(
+        F.struct(F.col("c1").alias("local_subject_id"), F.lit("name").alias("identifier_type")),
+        F.struct(F.col("c2").alias("local_subject_id"), F.lit("alt").alias("identifier_type")),
+    )
+    return (
+        wide.select("record_key", F.explode(entries).alias("e"))
+        .select("record_key", "e.local_subject_id", "e.identifier_type")
+        .filter(F.col("local_subject_id").isNotNull())
+    )
+
+
+_INCOMING_SQL = """
+  incoming AS (
+    SELECT record_key, local_subject_id, identifier_type FROM (
+      SELECT o_orderkey AS record_key, upper(c_name) AS local_subject_id, 'name' AS identifier_type
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                    THEN 'Customer#' || lpad(CAST((o_custkey % (SELECT COUNT(*) FROM customer)) + 1 AS VARCHAR), 9, '0')
+                  WHEN o_orderkey % 10 = 5
+                    THEN 'UNSEEN-' || CAST(o_orderkey AS VARCHAR) END,
+             'alt'
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE local_subject_id IS NOT NULL
+  )
+"""
+
+
+@query(
+    "identity_resolution",
+    f"""
+    WITH {_INCOMING_SQL},
+    registry AS (
+      SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
+             c_custkey AS created_at
+      FROM customer),
+    matched AS (
+      SELECT i.record_key, r.global_subject_id AS gsid, r.created_at
+      FROM incoming i
+      LEFT JOIN registry r ON lower(i.local_subject_id) = lower(r.local_subject_id))
+    SELECT record_key,
+           COUNT(DISTINCT gsid) AS n_matches,
+           CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
+                WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
+                ELSE 'conflict_resolved' END AS action,
+           min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+           COUNT(DISTINCT gsid) > 1 AS requires_review
+    FROM matched
+    GROUP BY record_key
+    """,
+    doc="J1+J2: case-insensitive registry lookup join + match-"
+    "cardinality dispatch with oldest-(created_at,gsid) tie-break "
+    "(identity_resolution.py:50-211).",
+)
+def identity_resolution(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "orders")
+    n_cust = F.lit(t["customer"].count())
+    ids_long = _incoming_long_df(t, n_cust)
+    matched = match_registry(ids_long, _registry_df(t))
+    out = dispatch_matches(matched)
+    return out.select(
+        "record_key",
+        F.size("matched_gsids").alias("n_matches"),
+        "action",
+        "global_subject_id",
+        "requires_review",
+    )
+
+
+@query(
+    "identity_link_back",
+    f"""
+    WITH {_INCOMING_SQL},
+    registry AS (
+      SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
+             c_custkey AS created_at
+      FROM customer),
+    matched AS (
+      SELECT i.record_key, i.local_subject_id, i.identifier_type,
+             r.global_subject_id AS gsid, r.created_at
+      FROM incoming i
+      LEFT JOIN registry r ON lower(i.local_subject_id) = lower(r.local_subject_id)),
+    chosen AS (
+      SELECT record_key, min(gsid ORDER BY created_at, gsid) AS global_subject_id
+      FROM matched GROUP BY record_key
+      HAVING COUNT(DISTINCT gsid) >= 1)
+    SELECT DISTINCT m.local_subject_id, m.identifier_type, c.global_subject_id
+    FROM matched m JOIN chosen c ON m.record_key = c.record_key
+    """,
+    doc="J3: link every candidate identifier back to the chosen GSID "
+    "(identity_resolution.py:213-268); create_new rows excluded here "
+    "so the minted-GSID nondeterminism stays out of the oracle.",
+)
+def identity_link_back(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "orders")
+    n_cust = F.lit(t["customer"].count())
+    ids_long = _incoming_long_df(t, n_cust)
+    matched = match_registry(ids_long, _registry_df(t))
+    chosen = dispatch_matches(matched).filter(F.col("global_subject_id").isNotNull())
+    return (
+        ids_long.join(chosen.select("record_key", "global_subject_id"), "record_key")
+        .select("local_subject_id", "identifier_type", "global_subject_id")
+        .distinct()
+    )
+
+
+@query(
+    "conflict_detection",
+    """
+    WITH existing AS (
+      SELECT c_name AS local_subject_id, 'name' AS identifier_type,
+             c_nationkey AS center_id,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id
+      FROM customer),
+    incoming AS (
+      SELECT DISTINCT c_name AS local_subject_id, 'name' AS identifier_type,
+             CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS center_id,
+             CASE WHEN c_custkey % 11 = 0 THEN 'G-X' || CAST(c_custkey AS VARCHAR)
+                  ELSE 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS global_subject_id
+      FROM customer)
+    SELECT i.local_subject_id, i.identifier_type,
+           CASE WHEN i.global_subject_id <> e.global_subject_id THEN 'multi_gsid'
+                ELSE 'center_mismatch' END AS conflict_type,
+           i.center_id AS incoming_center_id, e.center_id AS existing_center_id,
+           i.global_subject_id AS incoming_gsid, e.global_subject_id AS existing_gsid,
+           TRUE AS requires_review
+    FROM incoming i
+    JOIN existing e
+      ON lower(i.local_subject_id) = lower(e.local_subject_id)
+     AND i.identifier_type = e.identifier_type
+    WHERE i.center_id <> e.center_id OR i.global_subject_id <> e.global_subject_id
+    """,
+    doc="J7: incoming-vs-existing conflict classification "
+    "(conflict_detector.py:20-104) — center perturbed on %7, GSID on %11.",
+)
+def conflict_detection(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    gsid = F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+    existing = c.select(
+        F.col("c_name").alias("local_subject_id"),
+        F.lit("name").alias("identifier_type"),
+        F.col("c_nationkey").alias("center_id"),
+        gsid.alias("global_subject_id"),
+    )
+    incoming = c.select(
+        F.col("c_name").alias("local_subject_id"),
+        F.lit("name").alias("identifier_type"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_nationkey") + 1)
+        .otherwise(F.col("c_nationkey"))
+        .alias("center_id"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.concat(F.lit("G-X"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(gsid)
+        .alias("global_subject_id"),
+    )
+    return detect_conflicts(incoming, existing)
+
+
+@query(
+    "duplicate_id_detection",
+    """
+    SELECT lower(local_subject_id) AS local_subject_id_norm, identifier_type,
+           COUNT(DISTINCT global_subject_id) AS gsid_count,
+           array_to_string(list_sort(list(DISTINCT global_subject_id)), ',') AS gsids,
+           array_to_string(list_sort(list(DISTINCT center_id)), ',') AS centers
+    FROM (
+      SELECT 'DUP-' || CAST(c_custkey % 50 AS VARCHAR) AS local_subject_id,
+             'name' AS identifier_type, CAST(c_nationkey AS VARCHAR) AS center_id,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id
+      FROM customer WHERE c_custkey % 13 = 0)
+    GROUP BY local_subject_id_norm, identifier_type
+    HAVING COUNT(DISTINCT global_subject_id) > 1
+    """,
+    doc="J8/A3: duplicate (local_id, type) -> multiple GSIDs "
+    "(conflict_detector.py:130-182).",
+)
+def duplicate_id_detection(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    existing = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            F.concat(F.lit("DUP-"), (F.col("c_custkey") % 50).cast("string")).alias(
+                "local_subject_id"
+            ),
+            F.lit("name").alias("identifier_type"),
+            F.col("c_nationkey").cast("string").alias("center_id"),
+            F.concat(
+                F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+            ).alias("global_subject_id"),
+        )
+    )
+    out = find_duplicates(existing)
+    return out.select(
+        "local_subject_id_norm",
+        "identifier_type",
+        "gsid_count",
+        F.concat_ws(",", "gsids").alias("gsids"),
+        F.concat_ws(",", "centers").alias("centers"),
+    )
+
+
+@query(
+    "fuzzy_center_match",
+    """
+    WITH dirty AS (
+      SELECT DISTINCT
+        CASE WHEN n_nationkey % 3 = 0 THEN lower(replace(n_name, ' ', '_'))
+             WHEN n_nationkey % 3 = 1 THEN substr(n_name, 1, length(n_name) - 2) || 'XX'
+             ELSE 'ZZZ-' || CAST(n_nationkey AS VARCHAR) END AS name
+      FROM nation),
+    dim AS (SELECT n_nationkey AS matched_id, n_name AS matched_name,
+                   lower(trim(replace(n_name, '_', ' '))) AS dnorm
+            FROM nation),
+    norm AS (SELECT name, lower(trim(replace(name, '_', ' '))) AS nnorm FROM dirty),
+    exact AS (SELECT n.name, min(d.matched_id) AS exact_id
+              FROM norm n JOIN dim d ON n.nnorm = d.dnorm GROUP BY n.name),
+    fuzzy AS (
+      SELECT name, matched_id AS fuzzy_id, score FROM (
+        SELECT n.name, d.matched_id,
+               CASE WHEN greatest(length(n.nnorm), length(d.dnorm)) = 0 THEN 1.0
+                    ELSE 1.0 - CAST(levenshtein(n.nnorm, d.dnorm) AS DOUBLE)
+                             / CAST(greatest(length(n.nnorm), length(d.dnorm)) AS DOUBLE) END AS score,
+               row_number() OVER (PARTITION BY n.name
+                                  ORDER BY CASE WHEN greatest(length(n.nnorm), length(d.dnorm)) = 0 THEN 1.0
+                                      ELSE 1.0 - CAST(levenshtein(n.nnorm, d.dnorm) AS DOUBLE)
+                                               / CAST(greatest(length(n.nnorm), length(d.dnorm)) AS DOUBLE) END DESC,
+                                  d.matched_id ASC) AS rn
+        FROM norm n CROSS JOIN dim d
+        WHERE n.name NOT IN (SELECT name FROM exact))
+      WHERE rn = 1 AND score >= 0.85)
+    SELECT n.name,
+           COALESCE(e.exact_id, f.fuzzy_id) AS matched_id,
+           d.matched_name,
+           CASE WHEN e.exact_id IS NOT NULL THEN 1.0 ELSE f.score END AS score,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN f.fuzzy_id IS NOT NULL THEN 'fuzzy'
+                ELSE 'none' END AS match_strategy
+    FROM norm n
+    LEFT JOIN exact e ON n.name = e.name
+    LEFT JOIN fuzzy f ON n.name = f.name
+    LEFT JOIN dim d ON COALESCE(e.exact_id, f.fuzzy_id) = d.matched_id
+    """,
+    doc="J4+W4: alias/exact/fuzzy name resolution as a broadcast "
+    "similarity join with levenshtein ratio @0.85 and top-1 window "
+    "(center_resolver.py:44-160; threshold config.py:70-73).",
+)
+def fuzzy_center_match(spark, sf_dir):
+    t = tables(spark, sf_dir, "nation")
+    n = t["nation"]
+    dirty = n.select(
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.lower(F.regexp_replace("n_name", " ", "_")),
+        )
+        .when(
+            F.col("n_nationkey") % 3 == 1,
+            F.concat(
+                F.expr("substr(n_name, 1, length(n_name) - 2)"), F.lit("XX")
+            ),
+        )
+        .otherwise(F.concat(F.lit("ZZZ-"), F.col("n_nationkey").cast("string")))
+        .alias("raw")
+    ).distinct()
+    return fuzzy_match_names(
+        dirty,
+        n,
+        dirty_col="raw",
+        dim_name_col="n_name",
+        dim_id_col="n_nationkey",
+    )

@@ -1,0 +1,67 @@
+"""Multimodal-column queries: binary payloads + Arrow-batched decode
+stubs (north-star extension). The payload is fabricated from document
+text (utf-8 encode) since the corpus ships no real media; the
+plumbing — binary column, mapInPandas decode, typed metadata — is the
+real thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.multimodal import decode_image_meta, sample_frames
+from idhub_spark.queries import query, tables
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CASE octet_length(encode(text)) % 3
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Binary decode via Arrow mapInPandas (stub codec: "
+    "deterministic dims from payload bytes). Oracle re-derives the "
+    "fake from octet_length — proving the Python batch path computes "
+    "exactly what the declarative twin would.",
+)
+def multimodal_decode(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    with_payload = t["documents"].select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_image_meta(with_payload)
+
+
+@query(
+    "frame_sampling",
+    """
+    WITH frames AS (
+      SELECT doc_id, i AS frame_no
+      FROM (SELECT doc_id, CAST(floor(octet_length(encode(text)) / 16.0) AS INTEGER) AS n_frames
+            FROM documents),
+           UNNEST(range(0, n_frames)) AS t(i)
+      WHERE i % 4 = 0)
+    SELECT doc_id, COUNT(*) AS n_sampled, max(frame_no) AS last_frame
+    FROM frames GROUP BY doc_id
+    """,
+    doc="Frame sampling: chunk binary payload into fixed frames, keep "
+    "every 4th (posexplode plumbing; codec stubbed to byte slices).",
+)
+def frame_sampling(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    with_payload = t["documents"].select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return (
+        sample_frames(with_payload, every=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_no").alias("last_frame"),
+        )
+    )

@@ -1,1 +1,347 @@
-"""Placeholder — populated in later slices."""
+"""Projection / mapping / scalar-transform queries (SURVEY.md §2.3).
+
+Each query exercises one reference transform over the synthetic
+tables, with a DuckDB oracle twin. The Spark side goes through the
+library expressions in idhub_spark.functions (pure Catalyst — these
+plans are all single-pass projections with pushdown-friendly scans;
+no shuffle except the final small groupBys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.functions.expressions import (
+    boolean_expr,
+    extract_year_expr,
+    gsid_expr,
+    id_validation_expr,
+    normalize_name_expr,
+    null_normalize_expr,
+    registration_year_expr,
+)
+from idhub_spark.operators.identity import unpivot_candidates
+from idhub_spark.plans._util import savg, sql_savg
+from idhub_spark.queries import query, tables
+
+
+@query(
+    "field_mapping",
+    """
+    SELECT c_custkey AS subject_key,
+           c_name AS subject_name,
+           c_nationkey AS center_id,
+           c_mktsegment AS segment,
+           'fragment_upload' AS source_system
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    doc="P1+P2+P4: config-driven rename/select + static field + exclusion "
+    "(fragment-validator/services/field_mapper.py:13-77).",
+)
+def field_mapping(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    mapping = {  # target <- source, as a bge_mapping.json-style dict
+        "subject_key": "c_custkey",
+        "subject_name": "c_name",
+        "center_id": "c_nationkey",
+        "segment": "c_mktsegment",
+    }
+    static_fields = {"source_system": "fragment_upload"}
+    cols = [F.col(src).alias(tgt) for tgt, src in mapping.items()] + [
+        F.lit(v).alias(k) for k, v in static_fields.items()
+    ]
+    return t["customer"].filter(F.col("c_acctbal") > 0).select(*cols)
+
+
+@query(
+    "type_coercion",
+    r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS prop_k,
+           CASE WHEN trim(event_type) IN ('', 'NULL', 'null', 'NA', 'N/A', 'nan', 'NaN', 'None')
+                THEN NULL ELSE trim(event_type) END AS event_type_clean,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+    doc="P5: schema-aware cast + null-sentinel normalization "
+    "(table-loader/services/data_transformer.py:148-217).",
+)
+def type_coercion(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int").alias("prop_k"),
+            null_normalize_expr(F.col("event_type")).alias("event_type_clean"),
+            # fixed-point cents as BIGINT: engine-exact, no decimal
+            # formatting divergence between Spark and DuckDB
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "extract_year",
+    """
+    SELECT CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY order_year
+    """,
+    doc="P6: 'YYYY-MM-DD'->year (redcap data_processor.py:74-78).",
+)
+def extract_year(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .select(extract_year_expr(F.col("o_orderdate")).alias("order_year"))
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "registration_year_normalize",
+    """
+    WITH formatted AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%Y/%m/%d')
+               ELSE strftime(o_orderdate, '%Y')
+             END AS raw_date
+      FROM orders
+    ), parsed AS (
+      SELECT o_orderkey,
+             COALESCE(
+               CAST(try_strptime(raw_date, '%Y-%m-%d') AS DATE),
+               CAST(try_strptime(raw_date, '%m/%d/%Y') AS DATE),
+               CAST(try_strptime(raw_date, '%d/%m/%Y') AS DATE),
+               CAST(try_strptime(raw_date, '%Y/%m/%d') AS DATE),
+               CASE WHEN regexp_matches(raw_date, '^\\d{4}$')
+                    THEN CAST(try_strptime(raw_date || '-01-01', '%Y-%m-%d') AS DATE) END
+             ) AS d
+      FROM formatted
+    )
+    SELECT CAST(CAST(date_trunc('year', d) AS DATE) AS TIMESTAMP) AS registration_year, COUNT(*) AS n
+    FROM parsed
+    WHERE d IS NOT NULL AND year(d) BETWEEN 1900 AND 2100
+    GROUP BY registration_year
+    """,
+    doc="P8: multi-format date parse -> Jan-1 normalize, 1900-2100 "
+    "validated (data_processor.py:88-167). Round-trips through "
+    "formatted strings to exercise every format branch.",
+)
+def registration_year_normalize(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    # fixture strings built with lpad-concat, not date_format: the
+    # DateTimeFormatter path costs more than the parse under test
+    y = F.year("o_orderdate").cast("string")
+    m2 = F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
+    d2 = F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.concat_ws("-", y, m2, d2))
+        .when(F.col("o_orderkey") % 4 == 1, F.concat_ws("/", m2, d2, y))
+        .when(F.col("o_orderkey") % 4 == 2, F.concat_ws("/", y, m2, d2))
+        .otherwise(y)
+    )
+    # DuckDB %d/%m/%Y can mis-parse an MM/dd date as dd/mm when both
+    # fields are <=12 — but the coalesce order tries %m/%d first in
+    # both engines, so the first successful parse is identical.
+    return (
+        t["orders"]
+        # timestamp output (not date): both engines hand back
+        # datetime64, dodging date-vs-timestamp formatting divergence
+        .select(registration_year_expr(raw).cast("timestamp").alias("registration_year"))
+        .groupBy("registration_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # no isNotNull filter: Catalyst pushes a group-key predicate
+        # back below the aggregate, duplicating the whole parse chain
+        # per row (measured 3x cost). Every fixture string parses and
+        # the expr range-validates internally, so no null group exists
+        # on either engine.
+    )
+
+
+@query(
+    "boolean_parse",
+    """
+    SELECT COALESCE(CAST(parsed AS VARCHAR), '(null)') AS parsed_control, COUNT(*) AS n FROM (
+      SELECT CASE lower(trim(CASE o_orderstatus WHEN 'O' THEN 'Yes' WHEN 'F' THEN '0' ELSE 'maybe' END))
+               WHEN 'yes' THEN TRUE WHEN '1' THEN TRUE WHEN 'true' THEN TRUE WHEN 't' THEN TRUE WHEN 'y' THEN TRUE
+               WHEN 'no' THEN FALSE WHEN '0' THEN FALSE WHEN 'false' THEN FALSE WHEN 'f' THEN FALSE WHEN 'n' THEN FALSE
+               ELSE NULL END AS parsed
+      FROM orders)
+    GROUP BY parsed_control
+    """,
+    doc="P7+P9: truthy/falsy lexicon -> boolean (data_processor.py:79-84,169-197).",
+)
+def boolean_parse(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("Yes"))
+        .when(F.col("o_orderstatus") == "F", F.lit("0"))
+        .otherwise(F.lit("maybe"))
+    )
+    return (
+        t["orders"]
+        # string image of the tri-state bool: nullable-boolean group
+        # keys round-trip differently through pandas in each engine
+        .select(
+            F.coalesce(boolean_expr(raw).cast("string"), F.lit("(null)")).alias(
+                "parsed_control"
+            )
+        )
+        .groupBy("parsed_control")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "id_validation",
+    r"""
+    WITH ids AS (
+      SELECT c_custkey,
+             CASE c_custkey % 5
+               WHEN 0 THEN 'TEST' || CAST(c_custkey AS VARCHAR)
+               WHEN 1 THEN CAST(c_custkey AS VARCHAR)
+               WHEN 2 THEN 'id ' || CAST(c_custkey AS VARCHAR)
+               WHEN 3 THEN 'OK-' || CAST(c_custkey AS VARCHAR)
+               ELSE 'ab'
+             END AS raw_id
+      FROM customer)
+    SELECT c_custkey, raw_id,
+           NOT (regexp_matches(raw_id, '(?i)^test') OR regexp_matches(raw_id, '(?i)^demo')
+                OR regexp_matches(raw_id, '(?i)^sample') OR regexp_matches(raw_id, '^0+$')
+                OR regexp_matches(raw_id, '(?i)^x+$') OR regexp_matches(raw_id, '(?i)^unknown')
+                OR regexp_matches(raw_id, '(?i)^n/?a$')) AS valid,
+           concat_ws(',',
+             CASE WHEN regexp_matches(raw_id, '^.{1,2}$') THEN 'too_short' END,
+             CASE WHEN regexp_matches(raw_id, '\s') THEN 'contains_whitespace' END,
+             CASE WHEN regexp_matches(raw_id, '[^A-Za-z0-9_\-\s]') THEN 'special_characters' END,
+             CASE WHEN regexp_matches(raw_id, '^\d+$') THEN 'purely_numeric' END
+           ) AS warnings
+    FROM ids
+    """,
+    doc="P12: error/warning regex patterns over identifiers "
+    "(gsid-service/services/id_validator.py:13-111).",
+)
+def id_validation(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    raw = (
+        F.when(key % 5 == 0, F.concat(F.lit("TEST"), key.cast("string")))
+        .when(key % 5 == 1, key.cast("string"))
+        .when(key % 5 == 2, F.concat(F.lit("id "), key.cast("string")))
+        .when(key % 5 == 3, F.concat(F.lit("OK-"), key.cast("string")))
+        .otherwise(F.lit("ab"))
+    )
+    v = id_validation_expr(F.col("raw_id"))
+    return (
+        t["customer"]
+        .select("c_custkey", raw.alias("raw_id"))
+        .select(
+            "c_custkey",
+            "raw_id",
+            v["valid"].alias("valid"),
+            F.concat_ws(",", v["warnings"]).alias("warnings"),
+        )
+    )
+
+
+@query(
+    "name_normalization",
+    """
+    SELECT lower(trim(replace('Seg_' || c_mktsegment, '_', ' '))) AS norm_name,
+           COUNT(*) AS n
+    FROM customer GROUP BY norm_name
+    """,
+    doc="P13: lower+trim+underscore->space (center_resolver.py:44-45).",
+)
+def name_normalization(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    return (
+        t["customer"]
+        .select(
+            normalize_name_expr(F.concat(F.lit("Seg_"), F.col("c_mktsegment"))).alias("norm_name")
+        )
+        .groupBy("norm_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "unpivot_candidates",
+    """
+    SELECT * FROM (
+      SELECT c_custkey AS record_key, trim(c_name) AS local_subject_id,
+             'name' AS identifier_type
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, trim(c_mktsegment), 'segment' FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             trim(CASE WHEN c_custkey % 3 = 0 THEN 'ALT-' || CAST(c_custkey AS VARCHAR)
+                  WHEN c_custkey % 3 = 1 THEN 'NA' END),
+             'alt' FROM customer
+    ) WHERE local_subject_id IS NOT NULL
+        AND local_subject_id NOT IN ('', 'NULL', 'null', 'NA', 'N/A', 'nan', 'NaN', 'None')
+    """,
+    doc="P10: wide->long subject-ID candidate extraction with sentinel "
+    "filtering (data_processor.py:199-211) — array+explode, one scan.",
+)
+def unpivot_candidates_q(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    wide = t["customer"].select(
+        "c_custkey",
+        F.col("c_name").alias("name_id"),
+        F.col("c_mktsegment").alias("segment_id"),
+        F.when(key % 3 == 0, F.concat(F.lit("ALT-"), key.cast("string")))
+        .when(key % 3 == 1, F.lit("NA"))
+        .alias("alt_id"),
+    )
+    return unpivot_candidates(
+        wide, "c_custkey", {"name_id": "name", "segment_id": "segment", "alt_id": "alt"}
+    )
+
+
+@query(
+    "gsid_mint",
+    None,  # xxhash64 has no DuckDB twin; format contract is unit-tested
+    doc="P11: deterministic batch GSID minting (gsid_generator.py:15-60); "
+    "rows-only driver check + format/collision tests in test_operators.py.",
+)
+def gsid_mint(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    return t["customer"].select(
+        "c_custkey", gsid_expr(F.col("c_custkey")).alias("global_subject_id")
+    )
+
+
+@query(
+    "acctbal_bucket_stats",
+    f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+           COUNT(*) AS n, {sql_savg("c_acctbal", "avg_bal")}
+    FROM customer GROUP BY bucket
+    """,
+    doc="P5/A5 combo: derived bucketing + exact avg (validator report stats).",
+)
+def acctbal_bucket_stats(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        t["customer"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), savg(F.col("c_acctbal"), "avg_bal"))
+    )

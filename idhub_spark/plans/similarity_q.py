@@ -1,1 +1,179 @@
-"""Placeholder — populated in later slices."""
+"""Similarity search over the embedding column (north-star extension):
+brute-force cosine top-k as the exactness baseline, and a sign-bit
+LSH-bucketed variant as the scale path.
+
+Cosine arithmetic is the exact scaled-integer recipe (see dedup_q):
+per-dimension int64 products summed exactly, one int->double
+conversion, identical sqrt/divide shape in both engines.
+
+Scale notes: brute-force is |Q| x |N| — fine for a bounded query set
+(the broadcast side is Q, the fact side streams). The bucketed
+variant prunes to same-octant candidates; at 100 TB you'd widen to
+multi-probe (flip one bit) for recall, which is just a union of
+bucket keys — the plan shape stays one equi-join + per-query top-k
+window. The top-k window partitions by query id, so the shuffle
+carries only (query, candidate, score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from idhub_spark.plans.dedup_q import _bucket, _dot_int, _dot_pre, _prep_vectors
+from idhub_spark.queries import query, tables
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) * "
+    "CAST(round(CAST(n.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))"
+)
+
+
+def _norm(alias):
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(round(CAST({alias}.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) * "
+        f"CAST(round(CAST({alias}.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))"
+    )
+
+
+_COSINE = f"CAST({_DOT} AS DOUBLE) / (sqrt(CAST({_norm('q')} AS DOUBLE)) * sqrt(CAST({_norm('n')} AS DOUBLE)))"
+
+
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN embeddings n ON q.vec_id <> n.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (exactness "
+    "baseline): broadcast queries x full scan, per-query top-k window "
+    "with deterministic (score, id) tie-break.",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    prepped = _prep_vectors(e)
+    q = prepped.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("q_sv"),
+        F.col("norm").alias("q_norm"),
+    )
+    n = prepped.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("n_sv"),
+        F.col("norm").alias("n_norm"),
+    )
+    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_BUCKET_Q = " || ".join(
+    f"CASE WHEN q.embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 7)
+)
+_BUCKET_N = " || ".join(
+    f"CASE WHEN n.embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 7)
+)
+
+
+@query(
+    "ann_topk_bucketed",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN embeddings n
+        ON q.vec_id <> n.vec_id AND {_BUCKET_Q} = {_BUCKET_N}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="LSH-bucketed approximate top-3: candidates restricted to the "
+    "query's 6-sign-bit hyperoctant (the IVF-style coarse cell), so "
+    "the scan per query is |bucket| not |corpus|.",
+)
+def ann_topk_bucketed(spark, sf_dir):
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    q = prepped.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("q_sv"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    n = prepped.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("n_sv"),
+        F.col("norm").alias("n_norm"),
+        "bucket",
+    )
+    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(n, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    f"""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(list_sum(list_transform(range(1, 65), i ->
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))) AS DOUBLE)
+             / 1000000000000.0 / COUNT(*) AS avg_sq_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Vector-column profiling: exact per-label mean squared norm "
+    "(int64 accumulation -> one double conversion; scale 1e12 = "
+    "(1e6)^2).",
+)
+def embedding_norm_stats(spark, sf_dir):
+    t = tables(spark, sf_dir, "embeddings")
+    sq = _dot_int(F.col("embedding"), F.col("embedding"))
+    return (
+        t["embeddings"]
+        .select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("sq").cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias(
+                "avg_sq_norm"
+            ),
+        )
+    )

@@ -1,1 +1,162 @@
-"""Placeholder — populated in later slices."""
+"""Text-analysis operators for training-data pipelines (north-star
+extension beyond the reference): language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions over the `documents` table — split/
+filter/transform higher-order functions stay JVM-side, so at 100 TB
+these are embarrassingly-parallel single-pass scans with no shuffle
+(except the final fingerprint groupBy, which shuffles one short hash
+per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.queries import query, tables
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "la", "et", "un", "des"],
+}
+
+
+def _words(col):
+    return F.split(F.lower(col), " ")
+
+
+def _hits(words, lang):
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang])))
+
+
+def _sql_hits(lang):
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({lst})))"
+
+
+@query(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace split + BPE-ish regex tokenizer "
+    "(letters/digits/punct classes) — both as built-in expressions.",
+)
+def token_count(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).alias(
+            "re_tokens"
+        ),
+        "n_chars",
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_sql_hits("en")} >= greatest({_sql_hits("de")}, {_sql_hits("es")}, {_sql_hits("fr")})
+                  AND {_sql_hits("en")} > 0 THEN 'en'
+             WHEN {_sql_hits("de")} >= greatest({_sql_hits("es")}, {_sql_hits("fr")})
+                  AND {_sql_hits("de")} > 0 THEN 'de'
+             WHEN {_sql_hits("es")} >= {_sql_hits("fr")} AND {_sql_hits("es")} > 0 THEN 'es'
+             WHEN {_sql_hits("fr")} > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS predicted_lang,
+           lang AS labeled_lang
+    FROM documents
+    """,
+    doc="Language ID: stopword-hit heuristic with fixed priority "
+    "tie-break (n-gram-free variant; a real model would be a Pandas "
+    "UDF over the same plumbing).",
+)
+def lang_id_heuristic(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    en, de, es, fr = (_hits(w, l) for l in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((en >= F.greatest(de, es, fr)) & (en > 0), F.lit("en"))
+        .when((de >= F.greatest(es, fr)) & (de > 0), F.lit("de"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return t["documents"].select(
+        "doc_id", pred.alias("predicted_lang"), F.col("lang").alias("labeled_lang")
+    )
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+           CAST({_sql_hits("en")} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+           0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST({_sql_hits("en")} AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+             + 0.2 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality
+    FROM documents
+    """,
+    doc="Quality scoring: length/stopword-ratio/char-budget blend — "
+    "identical expression shape on both engines so the doubles are "
+    "bit-equal (all deterministic IEEE ops, no reordered sums).",
+)
+def quality_score(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    en_hits = _hits(_words(F.col("text")), "en").cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    quality = (
+        0.5 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - en_hits / n_words)
+        + 0.2 * F.least(n_chars / 500.0, F.lit(1.0))
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (n_chars / n_words).alias("avg_word_len"),
+        (en_hits / n_words).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT fingerprint, COUNT(*) AS n_docs, min(doc_id) AS representative
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents)
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+    doc="Document fingerprinting: sorted-distinct-word-set hash "
+    "(OpenRefine-style key collision) -> same-fingerprint groups are "
+    "permutation near-dups.",
+)
+def doc_fingerprint(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))))
+    )
+    return (
+        t["documents"]
+        .select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -38,6 +39,9 @@ def get_spark(app_name: str = "idhub_spark", cpus: str | int | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects;
+        # read as bigint nanos and rebuild micros in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,6 +58,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanosAsLong read the NANOS column as raw int64; truncate
+            # to micros (same truncation DuckDB applies casting ns->us)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,104 @@
+"""Incremental-batch + Structured Streaming operators.
+
+- incremental_file_merge: the REDCap/fragment pipeline's
+  offset-checkpointed batch loop (redcap-pipeline/services/
+  pipeline.py:33-122) re-expressed as a file-source stream with
+  Trigger.AvailableNow + foreachBatch(merge): each micro-batch
+  upserts on the natural key, so replays and late files are no-ops
+  (the idempotence the reference gets from ON CONFLICT upserts).
+- hourly_rollup_plan / session_agg_plan: one transformation function
+  each, applied identically to a batch DataFrame or a readStream
+  DataFrame — watermarking is attached only on the streaming path.
+
+Scale notes: file-source streaming lists only new files per trigger
+(checkpointed); the merge shuffles on the natural key exactly like
+the batch path. Watermark bounds state: the hourly rollup keeps
+open windows only within the lateness horizon.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.merge import merge_upsert
+
+
+def hourly_rollup_plan(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
+    """Tumbling 1-hour count/sum per event_type. Pass watermark
+    (e.g. '2 hours') on the streaming path to bound state."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("bigint")).alias("value_scaled"),
+    ).select(
+        F.col("win.start").alias("hour"),
+        "event_type",
+        "n",
+        (F.col("value_scaled").cast("double") / 1000000.0).alias("total_value"),
+    )
+
+
+def session_agg_plan(events: DataFrame, *, gap: str = "30 minutes",
+                     watermark: str | None = None) -> DataFrame:
+    """Session-window aggregation (F.session_window): the streaming
+    twin of the batch lag/cumsum sessionizer in plans/windows_q.py."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+    )
+
+
+def incremental_file_merge(
+    spark: SparkSession,
+    *,
+    staging_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    natural_key: list[str],
+    table_name: str = "table",
+) -> None:
+    """Consume new parquet fragments from staging_dir and upsert them
+    into the snapshot at table_dir, exactly once per file, resumable
+    via checkpoint (Trigger.AvailableNow: drain-and-stop semantics —
+    the reference's cron batch, minus the offset bookkeeping code).
+    """
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(table_dir):
+            current = s.read.parquet(table_dir)
+            merged = merge_upsert(
+                batch_df, current, natural_key, table_name=table_name,
+                batch_id=str(batch_id),
+            ).merged
+        else:
+            merged = batch_df.dropDuplicates(natural_key)
+        # snapshot-replace: stage then swap (object stores: write to a
+        # new prefix and flip a pointer; Delta/Iceberg: MERGE INTO)
+        tmp = table_dir + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = s.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(table_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(staging_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()

@@ -5,6 +5,8 @@ oracle-compare helper that mirrors the driver's correctness gate
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import os
 
 import duckdb
@@ -35,17 +37,39 @@ def duck():
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Canonical form for order-insensitive exact comparison."""
+    """Canonical form for order-insensitive exact comparison.
+
+    DuckDB's fetchdf and Spark's toPandas disagree on nullable dtypes
+    (BooleanDtype/Int64 vs object-with-None), so everything that isn't
+    float/int/datetime canonicalizes to str-or-None."""
     out = pdf.copy()
     for c in out.columns:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
-        elif s.dtype == object:
-            # dates / decimals / arrays -> strings for stable sort+compare
-            out[c] = s.map(lambda v: None if v is None else str(v))
+            continue
+        if isinstance(s.dtype, pd.api.extensions.ExtensionDtype):
+            s = s.astype(object).where(s.notna(), None)
+        if s.dtype == bool:
+            s = s.astype(object)
+        if s.dtype == object:
+            first = s.dropna().iloc[0] if s.notna().any() else None
+            if isinstance(first, decimal.Decimal):
+                # DuckDB hands DECIMAL back as float64; match it
+                out[c] = s.astype("float64")
+            elif isinstance(first, (datetime.date, datetime.datetime)):
+                out[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                # bools / arrays / strings -> str-or-None
+                out[c] = s.map(
+                    lambda v: None
+                    if v is None or v is pd.NA or (isinstance(v, float) and v != v)
+                    else str(v)
+                )
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
+        else:
+            out[c] = s
     out = out.reindex(sorted(out.columns), axis=1)
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out

@@ -1,0 +1,116 @@
+"""Streaming/incremental semantics tests: batch-vs-stream plan parity
+for the rollup, session windows, and exactly-once incremental merge
+with checkpoint resume (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from idhub_spark.streaming import (
+    hourly_rollup_plan,
+    incremental_file_merge,
+    session_agg_plan,
+)
+
+SCHEMA = "k bigint, s string, v double"
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "click", 1.5),
+            (2, "2024-01-01 00:50:00", "click", 2.5),
+            (3, "2024-01-01 01:10:00", "view", 4.0),
+            (4, "2024-01-01 03:00:00", "click", 8.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_hourly_rollup_batch(spark):
+    out = {
+        (str(r.hour), r.event_type): (r.n, r.total_value)
+        for r in hourly_rollup_plan(_events(spark)).collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 4.0)
+
+
+def test_hourly_rollup_streaming_parity(spark, tmp_path):
+    """The same plan function over a file stream produces the same
+    closed windows as the batch run."""
+    src = str(tmp_path / "src")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double").parquet(src)
+    q = (
+        hourly_rollup_plan(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.hour), r.event_type): (r.n, r.total_value)
+        for r in spark.table("rollup_sink").collect()
+    }
+    want = {
+        (str(r.hour), r.event_type): (r.n, r.total_value)
+        for r in hourly_rollup_plan(_events(spark)).collect()
+    }
+    assert got == want
+
+
+def test_session_window(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 01:00:00"),  # >30min gap -> new session
+            (2, "2024-01-01 00:00:00"),
+        ],
+        ["user_id", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = session_agg_plan(df).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_incremental_file_merge_exactly_once(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+
+    b1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "s", "v"])
+    b1.coalesce(1).write.mode("append").parquet(staging)
+    incremental_file_merge(
+        spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+        schema=SCHEMA, natural_key=["k"],
+    )
+    assert {r.k: r.v for r in spark.read.parquet(table).collect()} == {1: 1.0, 2: 2.0}
+
+    # second fragment: one update + one insert
+    b2 = spark.createDataFrame([(2, "b", 9.0), (3, "c", 3.0)], ["k", "s", "v"])
+    b2.coalesce(1).write.mode("append").parquet(staging)
+    incremental_file_merge(
+        spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+        schema=SCHEMA, natural_key=["k"],
+    )
+    assert {r.k: r.v for r in spark.read.parquet(table).collect()} == {
+        1: 1.0, 2: 9.0, 3: 3.0,
+    }
+
+    # re-run with nothing new: checkpoint makes it a no-op
+    incremental_file_merge(
+        spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+        schema=SCHEMA, natural_key=["k"],
+    )
+    assert spark.read.parquet(table).count() == 3
