@@ -1,0 +1,138 @@
+"""Mapping-config loader/compiler (reference §1.1 dynamic schemas).
+
+Two JSON dialects exist in the reference and both are supported:
+
+1. Validator dialect (fragment-validator/config/bge_mapping.json:1-16,
+   docs/curators/creating-mapping-files.md:11-120):
+   {
+     "table_name": "...",
+     "field_mapping": {target: source, ...},
+     "static_fields": {column: constant, ...},
+     "subject_id_candidates": {column: identifier_type, ...},
+     "center_id_field": "...", "default_center_id": 0,
+     "exclude_from_load": [...]
+   }
+
+2. REDCap dialect (redcap-pipeline/config/gap_field_mappings.json:
+   2-314): {"mappings": [{"source_field", "target_table",
+   "target_field", "transform"?, "sample_type"?}, ...]}
+
+Both compile to a flat FragmentMapping whose `select_columns()`
+returns pure Column expressions — the config is resolved entirely at
+plan-build time, so the executed plan is a plain projection.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idhub_spark.functions.expressions import (
+    boolean_expr,
+    extract_year_expr,
+    null_normalize_expr,
+    registration_year_expr,
+)
+
+# Transform registry (data_processor.py:68-86 + the documented fuller
+# set, data-flow.md:559-585). Name -> Column -> Column.
+TRANSFORMS = {
+    "extract_year": extract_year_expr,
+    "boolean": boolean_expr,
+    "registration_year": registration_year_expr,
+    "integer": lambda c: null_normalize_expr(c).cast("int"),
+    "float": lambda c: null_normalize_expr(c).cast("double"),
+    "string": lambda c: null_normalize_expr(c),
+    "upper": lambda c: F.upper(F.trim(c)),
+    "lower": lambda c: F.lower(F.trim(c)),
+}
+
+
+@dataclass
+class FragmentMapping:
+    table_name: str
+    field_mapping: dict[str, str] = field(default_factory=dict)  # target <- source
+    static_fields: dict[str, object] = field(default_factory=dict)
+    subject_id_candidates: dict[str, str] = field(default_factory=dict)  # column -> id type
+    center_id_field: str | None = None
+    default_center_id: int = 0
+    exclude_from_load: list[str] = field(default_factory=list)
+    transforms: dict[str, str] = field(default_factory=dict)  # target -> transform name
+
+    def select_columns(self, df: DataFrame) -> list[Column]:
+        """Compile the mapping to a projection list; warns (via the
+        returned missing list) on absent sources like
+        field_mapper.py:13-77."""
+        cols: list[Column] = []
+        for tgt, src in self.field_mapping.items():
+            if src in df.columns:
+                c = F.col(src)
+                if tgt in self.transforms:
+                    c = TRANSFORMS[self.transforms[tgt]](c)
+                cols.append(c.alias(tgt))
+            else:
+                cols.append(F.lit(None).cast("string").alias(tgt))
+        for k, v in self.static_fields.items():
+            cols.append(F.lit(v).alias(k))
+        # auto-include candidate/center columns (field_mapper.py:52-71)
+        mapped_targets = set(self.field_mapping) | set(self.static_fields)
+        for c in list(self.subject_id_candidates) + (
+            [self.center_id_field] if self.center_id_field else []
+        ):
+            if c and c not in mapped_targets and c in df.columns:
+                cols.append(F.col(c))
+        return cols
+
+    def missing_sources(self, df: DataFrame) -> list[str]:
+        return sorted(
+            src for src in self.field_mapping.values() if src not in df.columns
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.select_columns(df))
+
+
+def load_mapping(path_or_dict) -> FragmentMapping:
+    cfg = (
+        path_or_dict
+        if isinstance(path_or_dict, dict)
+        else json.load(open(path_or_dict))
+    )
+    if "mappings" in cfg:
+        return _from_redcap_dialect(cfg)
+    return FragmentMapping(
+        table_name=cfg.get("table_name", "?"),
+        field_mapping=cfg.get("field_mapping", {}),
+        static_fields=cfg.get("static_fields", {}),
+        subject_id_candidates=cfg.get("subject_id_candidates", {}),
+        center_id_field=cfg.get("center_id_field"),
+        default_center_id=cfg.get("default_center_id", 0),
+        exclude_from_load=cfg.get("exclude_from_load", []),
+        transforms=cfg.get("transforms", {}),
+    )
+
+
+def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
+    """Flatten the record-list dialect; entries for different target
+    tables are grouped by the caller (one FragmentMapping per table)."""
+    field_mapping: dict[str, str] = {}
+    transforms: dict[str, str] = {}
+    candidates: dict[str, str] = {}
+    for m in cfg["mappings"]:
+        tgt = m["target_field"]
+        field_mapping[tgt] = m["source_field"]
+        if m.get("transform"):
+            transforms[tgt] = m["transform"]
+        if m.get("identifier_type"):
+            candidates[tgt] = m["identifier_type"]
+    return FragmentMapping(
+        table_name=cfg.get("target_table", cfg.get("table_name", "?")),
+        field_mapping=field_mapping,
+        transforms=transforms,
+        subject_id_candidates=candidates,
+        center_id_field=cfg.get("center_id_field"),
+        default_center_id=cfg.get("default_center_id", 0),
+    )

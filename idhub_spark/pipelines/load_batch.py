@@ -1,0 +1,104 @@
+"""Batch load pipeline (reference §3.3: table-loader/main.py ->
+TableLoader.load_batch, services/loader.py:68-254).
+
+  staged fragment + validation report -> conflict-resolution
+  anti-filter (F3) -> exclusion projection + type coercion (P4/P5) ->
+  strategy-dispatched merge (upsert / insert_only / update_only) with
+  field-level audit -> fragment_resolutions bookkeeping.
+
+Dry-run (the reference's transaction-rollback default,
+loader.py:213-234) = compute everything, skip the write: all outputs
+are lazy DataFrames; `execute=False` returns them unexecuted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.conflicts import apply_resolutions
+from idhub_spark.operators.merge import MergeResult, merge_upsert
+from idhub_spark.schema import (
+    DEFAULT_EXCLUDES,
+    IMMUTABLE_FIELDS,
+    NATURAL_KEYS,
+    UPDATE_STRATEGIES,
+)
+
+
+@dataclass
+class LoadResult:
+    merge: MergeResult
+    bookkeeping: DataFrame  # one fragment_resolutions row
+
+
+def load_batch(
+    fragment: DataFrame,
+    current: DataFrame,
+    *,
+    table_name: str,
+    batch_id: str,
+    report: dict | None = None,
+    resolutions: DataFrame | None = None,
+) -> LoadResult:
+    report = report or {}
+    natural_key = NATURAL_KEYS.get(table_name, [fragment.columns[0]])
+    mode = UPDATE_STRATEGIES.get(table_name, "upsert")
+    immutable = IMMUTABLE_FIELDS.get(table_name, [])
+
+    # report-driven + per-table default exclusions (loader.py:82-86)
+    exclude = set(report.get("exclude_from_load", [])) | set(
+        DEFAULT_EXCLUDES.get(table_name, [])
+    )
+    incoming = fragment.drop(*[c for c in exclude if c in fragment.columns])
+
+    # resolved-conflict exclusion set (F3, loader.py:124-171)
+    if resolutions is not None:
+        key = [k for k in ("local_subject_id", "identifier_type") if k in incoming.columns]
+        if key:
+            incoming = apply_resolutions(incoming, resolutions, key)
+
+    # invalid-GSID row filter (F2, data_transformer.py:120-134)
+    if "global_subject_id" in incoming.columns:
+        g = F.trim(F.col("global_subject_id"))
+        incoming = incoming.filter(
+            F.col("global_subject_id").isNotNull() & (g != "") & (F.lower(g) != "nan")
+        )
+
+    # schema-intersection projection (P4): only columns the target has
+    incoming = incoming.select(*[c for c in incoming.columns if c in current.columns])
+
+    merge = merge_upsert(
+        incoming,
+        current,
+        natural_key,
+        mode=mode,
+        immutable=immutable,
+        table_name=table_name,
+        batch_id=batch_id,
+    )
+
+    counts = merge.classified.groupBy().agg(
+        F.count(F.lit(1)).alias("rows_attempted"),
+        F.sum(F.when(F.col("change_type") == "new", 1).otherwise(0)).alias("rows_inserted"),
+        F.sum(F.when(F.col("change_type") == "updated", 1).otherwise(0)).alias("rows_updated"),
+        F.sum(F.when(F.col("change_type") == "unchanged", 1).otherwise(0)).alias(
+            "rows_unchanged"
+        ),
+    )
+    bookkeeping = counts.select(
+        F.lit(batch_id).alias("batch_id"),
+        F.lit(table_name).alias("table_name"),
+        F.lit("LOADED").alias("status"),
+        "rows_attempted",
+        (F.col("rows_inserted") + F.col("rows_updated") + F.col("rows_unchanged")).alias(
+            "rows_loaded"
+        ),
+        F.lit(0).cast("long").alias("rows_failed"),
+        "rows_inserted",
+        "rows_updated",
+        "rows_unchanged",
+    )
+    return LoadResult(merge=merge, bookkeeping=bookkeeping)

@@ -1,0 +1,109 @@
+"""Paginated REST source adapter (S1/S2/S5/S8) with retry/backoff.
+
+Re-expresses the reference's REDCap/LabKey/NocoDB clients
+(redcap-pipeline/services/redcap_client.py:73-170 — offset/limit
+pagination, 5 retries, exponential backoff with timeout escalation;
+nocodb_client.py:80-107; labkey_client.py:23-81) as one generic
+adapter: a `fetch_page(offset, limit) -> list[dict]` callable is
+paged on the driver and the accumulated records become a DataFrame.
+
+Driver-side by design: these APIs are rate-limited, paginated,
+auth-bound services — the parallelism that matters happens after
+`to_dataframe`, where Spark fans the records out. For sources that
+can shard (e.g. LabKey by sample_id ranges), pass several RestSources
+and union the frames.
+
+No HTTP library is imported here; the caller injects the transport
+(tests inject fakes; production injects e.g. a requests session).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def fetch_with_retry(
+    fn: Callable[[], object],
+    *,
+    retries: int = 5,
+    base_delay: float = 1.0,
+    backoff: float = 2.0,
+    sleep=time.sleep,
+):
+    """Exponential-backoff retry (redcap_client.py:53-170 semantics:
+    5 attempts, delay doubling; timeout escalation is the transport's
+    concern)."""
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - transport errors are opaque here
+            last = e
+            if attempt < retries - 1:
+                sleep(base_delay * (backoff**attempt))
+    raise last  # type: ignore[misc]
+
+
+class RestSource:
+    """Offset/limit-paginated scan -> DataFrame."""
+
+    def __init__(
+        self,
+        fetch_page: Callable[[int, int], list[dict]],
+        *,
+        page_size: int = 100,
+        retries: int = 5,
+        max_consecutive_failures: int = 3,
+        sleep=time.sleep,
+    ):
+        self.fetch_page = fetch_page
+        self.page_size = page_size
+        self.retries = retries
+        self.max_consecutive_failures = max_consecutive_failures
+        self.sleep = sleep
+        self.last_offset = 0  # checkpoint for partial-success resume
+        self.partial = False
+
+    def pages(self, start_offset: int = 0) -> Iterator[list[dict]]:
+        """Tolerates up to max_consecutive_failures failed pages then
+        stops with partial=True and last_offset set — the reference's
+        partial-success resume contract (pipeline.py:44-101)."""
+        offset = start_offset
+        failures = 0
+        while True:
+            try:
+                page = fetch_with_retry(
+                    lambda: self.fetch_page(offset, self.page_size),
+                    retries=self.retries,
+                    sleep=self.sleep,
+                )
+                failures = 0
+            except Exception:
+                failures += 1
+                if failures >= self.max_consecutive_failures:
+                    self.partial = True
+                    self.last_offset = offset
+                    return
+                offset += self.page_size
+                continue
+            if not page:
+                self.last_offset = offset
+                return
+            yield page
+            offset += len(page)
+
+    def to_dataframe(
+        self,
+        spark: SparkSession,
+        schema: StructType | str,
+        *,
+        start_offset: int = 0,
+    ) -> DataFrame:
+        records: list[dict] = []
+        for page in self.pages(start_offset):
+            records.extend(page)
+        return spark.createDataFrame(records, schema=schema)

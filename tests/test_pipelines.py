@@ -1,0 +1,245 @@
+"""End-to-end pipeline tests mirroring the reference's mocked
+integration suites (fragment-validator/tests/test_integration.py,
+table-loader/tests/test_integration.py, conftest fixtures: IBDGC* IDs
+link to existing subjects, unknown IDs mint)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from idhub_spark.config import FragmentMapping, load_mapping
+from idhub_spark.functions.expressions import GSID_REGEX
+from idhub_spark.pipelines.load_batch import load_batch
+from idhub_spark.pipelines.redcap_sync import redcap_sync
+from idhub_spark.pipelines.validate_fragment import validate_fragment
+from idhub_spark.schema import SPECIMEN
+from idhub_spark.sources.rest import RestSource
+
+
+def _registry(spark):
+    return spark.createDataFrame(
+        [
+            ("IBDGC-100", "GSID-EXISTING000100A", "2020-01-01"),
+            ("IBDGC-200", "GSID-EXISTING000200A", "2021-01-01"),
+        ],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    )
+
+
+_MAPPING = FragmentMapping(
+    table_name="specimen",
+    field_mapping={"sample_id": "SampleID", "sample_type": "Material"},
+    static_fields={"sample_available": True},
+    subject_id_candidates={"consortium_id": "consortium"},
+    center_id_field="center",
+    default_center_id=0,
+)
+
+
+def _fragment(spark):
+    return spark.createDataFrame(
+        [
+            ("S1", "blood", "IBDGC-100", 5),
+            ("S2", "dna", "ibdgc-200", 5),  # case-insensitive link
+            ("S3", "blood", "NEWSUBJ-1", 7),  # mint
+            ("S4", "lcl", "NEWSUBJ-1", 7),  # same unseen id -> same mint
+        ],
+        ["SampleID", "Material", "consortium_id", "center"],
+    )
+
+
+def test_validate_fragment_end_to_end(spark):
+    res = validate_fragment(
+        spark,
+        _fragment(spark),
+        _MAPPING,
+        registry=_registry(spark),
+        batch_id="b1",
+    )
+    assert res.status == "VALIDATED"
+    assert res.report["rows"] == 4
+    assert res.report["gsids_linked"] == 2
+    assert res.report["gsids_created"] == 2
+    assert res.report["auto_approve"] is True
+
+    rows = {r.sample_id: r for r in res.mapped.collect()}
+    assert rows["S1"].global_subject_id == "GSID-EXISTING000100A"
+    assert rows["S2"].global_subject_id == "GSID-EXISTING000200A"
+    # the two NEWSUBJ-1 rows minted the SAME gsid
+    assert rows["S3"].global_subject_id == rows["S4"].global_subject_id
+    assert re.match(GSID_REGEX, rows["S3"].global_subject_id)
+    # link-back rows carry the original (case-preserved) ids
+    lids = {r.local_subject_id for r in res.local_id_records.collect()}
+    assert lids == {"IBDGC-100", "ibdgc-200", "NEWSUBJ-1"}
+
+
+def test_validate_fragment_schema_failure(spark):
+    bad = FragmentMapping(
+        table_name="specimen",
+        field_mapping={"sample_id": "NoSuchColumn"},
+        subject_id_candidates={"consortium_id": "consortium"},
+    )
+    res = validate_fragment(
+        spark, _fragment(spark), bad, registry=_registry(spark),
+        target_schema=SPECIMEN,
+    )
+    assert res.status == "FAILED"
+    assert res.report["status"] == "FAILED"
+
+
+def test_validate_then_load_roundtrip(spark):
+    """validator staging output loads into the specimen table with
+    insert/update/unchanged accounting; reload is a no-op."""
+    res = validate_fragment(
+        spark, _fragment(spark), _MAPPING, registry=_registry(spark), batch_id="b1"
+    )
+    staged = res.mapped.select(
+        "sample_id", "global_subject_id", "sample_type", "sample_available"
+    )
+    current = spark.createDataFrame(
+        [("S1", "GSID-EXISTING000100A", "serum", True)],
+        ["sample_id", "global_subject_id", "sample_type", "sample_available"],
+    )
+    out = load_batch(
+        staged, current, table_name="specimen", batch_id="b1", report=res.report
+    )
+    bk = out.bookkeeping.collect()[0]
+    assert (bk.rows_inserted, bk.rows_updated, bk.rows_unchanged) == (3, 1, 0)
+    audit = out.merge.audit.collect()
+    assert {a.field for a in audit} == {"sample_type"}
+
+    # idempotence: loading the merged state again changes nothing
+    again = load_batch(
+        staged, out.merge.merged, table_name="specimen", batch_id="b2", report=res.report
+    )
+    bk2 = again.bookkeeping.collect()[0]
+    assert (bk2.rows_inserted, bk2.rows_updated, bk2.rows_unchanged) == (0, 0, 4)
+
+
+def test_load_batch_conflict_exclusion(spark):
+    incoming = spark.createDataFrame(
+        [("A", "t", "G1"), ("B", "t", "G2")],
+        ["local_subject_id", "identifier_type", "global_subject_id"],
+    )
+    current = incoming.limit(0)
+    resolutions = spark.createDataFrame(
+        [("A", "t", "keep_existing")],
+        ["local_subject_id", "identifier_type", "resolution_action"],
+    )
+    out = load_batch(
+        incoming, current, table_name="local_subject_ids", batch_id="b",
+        resolutions=resolutions,
+    )
+    assert {r.local_subject_id for r in out.merge.merged.collect()} == {"B"}
+
+
+def test_redcap_sync_end_to_end(spark):
+    records = spark.createDataFrame(
+        [
+            ("r1", "IBDGC-100", "mount_sinai", "2001-05-05", "SP-1", "WES-1", "FAM-9"),
+            ("r2", "BRANDNEW-7", "Mount Sinaii", "1999", "SP-2", None, None),
+        ],
+        ["record_id", "consortium_id", "redcap_center", "reg_date", "blood_id", "wes_id", "fam"],
+    )
+    mapping = FragmentMapping(
+        table_name="subjects",
+        field_mapping={
+            "registration_year": "reg_date",
+            "family_id": "fam",
+            "blood_id": "blood_id",
+            "wes_id": "wes_id",
+        },
+        transforms={"registration_year": "registration_year"},
+        subject_id_candidates={"consortium_id": "consortium"},
+        center_id_field="redcap_center",
+    )
+    centers = spark.createDataFrame(
+        [(1, "Mount Sinai"), (2, "Toronto General")], ["center_id", "center_name"]
+    )
+    out = redcap_sync(
+        spark,
+        records,
+        mapping,
+        registry=_registry(spark),
+        centers=centers,
+        sample_columns={"blood_id": "blood", "wes_id": "wes"},
+    )
+    subs = {r.global_subject_id: r for r in out.subjects.collect()}
+    assert "GSID-EXISTING000100A" in subs
+    assert subs["GSID-EXISTING000100A"].center_id == 1  # exact (normalized) match
+    assert str(subs["GSID-EXISTING000100A"].registration_year) == "2001-01-01"
+    minted = [g for g in subs if g != "GSID-EXISTING000100A"]
+    assert len(minted) == 1 and subs[minted[0]].center_id == 1  # fuzzy matched
+
+    spec = {(r.global_subject_id, r.sample_id) for r in out.specimen.collect()}
+    assert ("GSID-EXISTING000100A", "SP-1") in spec
+    seq = {r.sample_id: r.sequence_type for r in out.sequence.collect()}
+    assert seq == {"WES-1": "wes"}
+    fam = [r.family_id for r in out.family.collect()]
+    assert fam == ["FAM-9"]
+
+    frags = {r.global_subject_id: r.samples for r in out.fragments.collect()}
+    assert frags["GSID-EXISTING000100A"] == {"blood": ["SP-1"], "wes": ["WES-1"]}
+
+
+def test_rest_source_pagination_and_retry(spark):
+    pages = {0: [{"id": 1}, {"id": 2}], 2: [{"id": 3}], 3: []}
+    calls = {"n": 0, "fail_once": True}
+
+    def fetch(offset, limit):
+        calls["n"] += 1
+        if calls["fail_once"]:
+            calls["fail_once"] = False
+            raise ConnectionError("transient")
+        return pages.get(offset, [])
+
+    src = RestSource(fetch, page_size=2, sleep=lambda s: None)
+    df = src.to_dataframe(spark, "id bigint")
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    assert not src.partial
+
+
+def test_rest_source_partial_success(spark):
+    def fetch(offset, limit):
+        if offset >= 2:
+            raise ConnectionError("down")
+        return [{"id": offset}]
+
+    src = RestSource(
+        fetch, page_size=1, retries=1, max_consecutive_failures=3, sleep=lambda s: None
+    )
+    list(src.pages())
+    assert src.partial
+    assert src.last_offset >= 2
+
+
+def test_load_mapping_dialects(tmp_path):
+    import json
+
+    v = {
+        "table_name": "lcl",
+        "field_mapping": {"sample_id": "LCL_ID"},
+        "subject_id_candidates": {"cid": "consortium"},
+        "exclude_from_load": ["tmp"],
+    }
+    p = tmp_path / "v.json"
+    p.write_text(json.dumps(v))
+    m = load_mapping(str(p))
+    assert m.table_name == "lcl" and m.exclude_from_load == ["tmp"]
+
+    r = {
+        "target_table": "subjects",
+        "mappings": [
+            {"source_field": "reg", "target_field": "registration_year",
+             "transform": "registration_year"},
+            {"source_field": "cid", "target_field": "consortium_id",
+             "identifier_type": "consortium"},
+        ],
+    }
+    m2 = load_mapping(r)
+    assert m2.field_mapping["registration_year"] == "reg"
+    assert m2.transforms["registration_year"] == "registration_year"
+    assert m2.subject_id_candidates == {"consortium_id": "consortium"}
