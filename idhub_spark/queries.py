@@ -59,6 +59,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     changes_q,
     dedup_q,
     identity_q,
+    lifecycle_q,
     multimodal_q,
     projections,
     similarity_q,

@@ -1,0 +1,89 @@
+"""Tests for the local_subject_ids center-migration merge (§2.10.5)
+and the LabKey specimen sync (J10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.local_ids import merge_local_subject_ids
+from idhub_spark.pipelines.labkey_sync import labkey_sync
+
+COLS = ["center_id", "local_subject_id", "identifier_type", "global_subject_id"]
+
+
+def test_local_ids_merge_paths(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "A", "t", "G1"),  # unchanged
+            (1, "B", "t", "G2"),  # gsid update
+            (1, "C", "t", "G3"),  # center migration
+            (1, "D", "t", "G4"),  # duplicate pair -> cleanup
+            (2, "D", "t", "G5"),
+            (9, "KEEP", "t", "G9"),  # not in incoming -> kept
+        ],
+        COLS,
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "a", "t", "G1"),  # case-insensitive match, unchanged
+            (1, "B", "t", "G2NEW"),
+            (3, "C", "t", "G3"),
+            (1, "D", "t", "G4"),
+            (5, "NEW", "t", "G6"),  # insert
+        ],
+        COLS,
+    )
+    res = merge_local_subject_ids(incoming, current)
+    merged = {(r.local_subject_id.upper(), r.identifier_type): r for r in res.merged.collect()}
+
+    assert len(merged) == 6  # A,B,C,D(one row),KEEP,NEW
+    assert merged[("A", "t")].global_subject_id == "G1"
+    assert merged[("A", "t")].center_id == 1
+    assert merged[("B", "t")].global_subject_id == "G2NEW"
+    assert merged[("C", "t")].center_id == 3  # migrated
+    assert merged[("D", "t")].center_id == 1  # dup collapsed to one row
+    assert merged[("KEEP", "t")].global_subject_id == "G9"
+    assert merged[("NEW", "t")].center_id == 5
+
+    changes = {r.local_subject_id: r.change for r in res.audit.collect()}
+    assert changes == {
+        "B": "gsid_update",
+        "C": "center_migration",
+        "D": "dedup_rewrite",
+    }
+
+
+def test_local_ids_merge_idempotent(spark):
+    current = spark.createDataFrame([(1, "A", "t", "G1")], COLS)
+    res = merge_local_subject_ids(current, current)
+    assert res.audit.count() == 0
+    assert res.merged.count() == 1
+
+
+def test_labkey_sync(spark):
+    specimen = spark.createDataFrame(
+        [
+            ("S1", "GS-1", "blood", True, None),
+            ("S2", "GS-2", "dna", True, None),
+            ("S3", "GS-3", "lcl", True, 1999),
+        ],
+        "sample_id string, global_subject_id string, sample_type string, "
+        "sample_available boolean, year_collected int",
+    )
+    labkey = spark.createDataFrame(
+        [
+            ("S1", "Consumed", "2020-03-04"),
+            ("S2", "available", "2021-07-01"),
+            ("SX", "consumed", "2020-01-01"),  # unknown sample: semi-join drops
+        ],
+        ["sample_id", "status", "collected_date"],
+    ).withColumn("collected_date", F.col("collected_date").cast("timestamp"))
+
+    res = labkey_sync(specimen, labkey)
+    rows = {r.sample_id: r for r in res.merged.collect()}
+    assert rows["S1"].sample_available is False and rows["S1"].year_collected == 2020
+    assert rows["S2"].sample_available is True and rows["S2"].year_collected == 2021
+    assert rows["S3"].year_collected == 1999  # untouched
+    assert "SX" not in rows
+    audit_fields = {(a.record_key["sample_id"], a.field) for a in res.audit.collect()}
+    assert ("S1", "sample_available") in audit_fields
