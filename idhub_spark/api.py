@@ -1,0 +1,87 @@
+"""Subject-registry API facade (reference §3.4: gsid-service FastAPI
+routes re-expressed as batch DataFrame functions).
+
+The reference exposes POST /register/subject, GET /subjects/{gsid},
+POST /subjects/{gsid}/withdraw (gsid-service/api/routes.py:18-185).
+In the Spark rebuild these are library calls over the registry
+tables; a single-record HTTP call is just a 1-row DataFrame through
+the same batch path, preserving one code path for both shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.identity import resolve_identities, unpivot_candidates
+
+
+def register_subjects(
+    spark: SparkSession,
+    requests: DataFrame,
+    registry: DataFrame,
+    *,
+    candidates: dict[str, str],
+    key_col: str = "request_id",
+) -> DataFrame:
+    """POST /register/subject, batched: one row per request with the
+    route's response contract (api/models.py:53-62): gsid, action,
+    identifiers_linked, conflicts flag."""
+    ids_long = unpivot_candidates(requests, key_col, candidates)
+    resolved = resolve_identities(ids_long, registry)
+    linked = ids_long.groupBy("record_key").agg(
+        F.count(F.lit(1)).alias("identifiers_linked")
+    )
+    return (
+        resolved.join(linked, "record_key")
+        .select(
+            F.col("record_key").alias(key_col),
+            "global_subject_id",
+            "action",
+            "identifiers_linked",
+            F.col("requires_review").alias("conflicts"),
+            "matched_gsids",
+        )
+    )
+
+
+def get_subject(
+    subjects: DataFrame,
+    local_ids: DataFrame,
+    centers: DataFrame,
+    gsid: str,
+) -> DataFrame:
+    """GET /subjects/{gsid}: subject row enriched with center and the
+    oldest-first list of local identifiers (routes.py:98-156,
+    ORDER BY created_at ASC at 121-130)."""
+    ids = (
+        local_ids.filter(F.col("global_subject_id") == gsid)
+        .sort("created_at", "local_subject_id")
+        .groupBy("global_subject_id")
+        .agg(
+            F.collect_list(
+                F.struct("local_subject_id", "identifier_type", "center_id")
+            ).alias("identifiers")
+        )
+    )
+    return (
+        subjects.filter(F.col("global_subject_id") == gsid)
+        .join(F.broadcast(centers), "center_id", "left")
+        .join(ids, "global_subject_id", "left")
+    )
+
+
+def withdraw_subject(subjects: DataFrame, gsid: str) -> DataFrame:
+    """POST /subjects/{gsid}/withdraw: the updated subjects image
+    (routes.py:159-185); caller persists via snapshot/MERGE."""
+    return subjects.withColumn(
+        "withdrawn",
+        F.when(F.col("global_subject_id") == gsid, F.lit(True)).otherwise(
+            F.col("withdrawn")
+        ),
+    ).withColumn(
+        "updated_at",
+        F.when(
+            F.col("global_subject_id") == gsid, F.current_timestamp()
+        ).otherwise(F.col("updated_at")),
+    )

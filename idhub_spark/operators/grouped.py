@@ -1,0 +1,83 @@
+"""Grouped-map Pandas operators (applyInPandas) and custom stateful
+streaming (applyInPandasWithState).
+
+These are the escape hatches for semantics the built-in operators
+can't express (per-group model scoring, custom session state). The
+z-score example is deliberately chosen to be oracle-checkable: all
+statistics accumulate in int64 (exact, order-independent — numpy
+int64 sums don't care about Spark's nondeterministic group row
+order), with one final float division of identical shape to the SQL
+twin. That is the general recipe for deterministic Pandas UDFs: never
+let float reduction order reach the output.
+
+Scale notes: applyInPandas shuffles once on the group key and streams
+each group as Arrow batches; per-group state must fit one executor
+(bound group cardinality or pre-aggregate). The stateful variant
+keeps per-key state in the state store across micro-batches —
+watermark-bounded, checkpointed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SCALE = 1000  # squares fit int64: (1e5*1e3)^2 * rows << 2^63 for real values
+
+
+def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group z-score via grouped-map Pandas UDF, bit-deterministic
+    across partitionings (see module docstring)."""
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        sv = (pdf[value_col] * SCALE).round().astype("int64")
+        n = len(sv)
+        s1 = int(sv.sum())  # exact int accumulation
+        s2 = int((sv * sv).sum())
+        mean_s = s1 / n  # one double op, same shape as the SQL twin
+        var_s = s2 / n - (s1 / n) * (s1 / n)
+        std_s = var_s**0.5
+        z = (sv - mean_s) / std_s if std_s > 0 else sv * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "zscore": z,
+            }
+        )
+
+    schema = f"event_id bigint, {group_col} string, {value_col} double, zscore double"
+    return df.groupBy(group_col).applyInPandas(_z, schema)
+
+
+def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user cumulative event
+    count + value cents across micro-batches via
+    applyInPandasWithState (the §2.12 extension the reference's
+    offset-checkpoint loop can't express)."""
+
+    def _update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

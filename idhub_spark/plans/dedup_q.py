@@ -115,8 +115,8 @@ def exact_dedup(spark, sf_dir):
     )
 
 
-# add the exact-copy plant to the oracle too
-REGISTRYFIX_EXACT = """"""
+# the oracle needs the exact-copy plant too, so it is re-declared in
+# full and patched onto the registry entry below
 _EXACT_ORACLE = f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents

@@ -1,0 +1,119 @@
+"""Statistical / OLAP extensions beyond the reference's aggregate
+surface: hierarchical rollups, exact order statistics, and sketch
+aggregates for the 100 TB profile path.
+
+ROLLUP/CUBE are native Catalyst grouping-set expansions (one shuffle,
+grouping-id partial aggregation). percentile_disc is selection-based
+(no float summation) so it oracle-matches exactly. The sketch
+aggregates (HLL distinct, approx quantiles) are the scale path where
+exact distinct/percentile would shuffle every value — their outputs
+are engine-specific by design, so they get rows-only checks plus
+pytest bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.plans._util import sql_ssum, ssum
+from idhub_spark.queries import query, tables
+
+
+@query(
+    "priority_status_rollup",
+    f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           {sql_ssum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy (priority -> status -> grand total): one "
+    "shuffle, grouping-id expansion; NULL group markers compare "
+    "identically across engines.",
+)
+def priority_status_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ssum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@query(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact discrete percentiles (selection, not interpolation — "
+    "no float arithmetic to diverge) per group.",
+)
+def event_value_percentiles(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+
+
+@query(
+    "sketch_profile",
+    None,  # HLL/KLL sketches are engine-specific by construction
+    doc="Scale-path profiling: HyperLogLog distinct counts + approx "
+    "percentiles per event_type — constant memory per group vs the "
+    "exact shuffles above. Rows-only driver check; accuracy bounds "
+    "asserted in tests/test_stats.py.",
+)
+def sketch_profile(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_quantiles"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "grouped_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 1000) AS BIGINT)) AS s1,
+             SUM(CAST(round(value * 1000) AS BIGINT) * CAST(round(value * 1000) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST(round(e.value * 1000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                    - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    doc="Grouped-map Pandas UDF (applyInPandas) computing per-group "
+    "z-scores with int64-exact statistics — proving the Python "
+    "grouped path can stay bit-deterministic and oracle-checkable "
+    "(operators/grouped.py recipe).",
+)
+def grouped_zscore_q(spark, sf_dir):
+    from idhub_spark.operators.grouped import grouped_zscore
+
+    t = tables(spark, sf_dir, "events")
+    return grouped_zscore(
+        t["events"].select("event_id", "event_type", "value"), "event_type", "value"
+    )

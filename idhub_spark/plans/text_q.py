@@ -28,7 +28,6 @@ def _words(col):
 
 
 def _hits(words, lang):
-    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang])))
 
 

@@ -209,3 +209,118 @@ def large_orders(spark, sf_dir):
             F.col("_q").cast("double").alias("total_qty"),
         )
     )
+
+
+@query(
+    "forecast_revenue_change",
+    f"""
+    SELECT {sql_ssum("l_extendedprice * l_discount", "revenue")}, COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-agg, every predicate pushed "
+    "to the parquet scan; zero shuffle beyond the final scalar agg.",
+)
+def forecast_revenue_change(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        ssum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(SUM(CAST(ROUND((CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             * 100.0 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional-sum ratio over a broadcast join "
+    "with the part dimension.",
+)
+def promo_revenue_share(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = lambda e: F.sum(F.round(e * 1000000.0, 0).cast("bigint")).cast("double")  # noqa: E731
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg((scaled(promo) / scaled(disc) * 100.0).alias("promo_pct"))
+    )
+
+
+@query(
+    "min_cost_supplier_rank",
+    """
+    SELECT s_suppkey, s_name, n_name, s_acctbal,
+           rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    QUALIFY bal_rank <= 3
+    """,
+    doc="TPC-H Q2 shape (ranked supplier pick per group): rank window "
+    "over a broadcast dim join, top-3 per nation.",
+)
+def min_cost_supplier_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .withColumn("bal_rank", F.rank().over(w))
+        .filter(F.col("bal_rank") <= 3)
+    )
+
+
+@query(
+    "avg_yearly_small_qty",
+    f"""
+    SELECT p_brand,
+           {sql_ssum("l_extendedprice", "small_qty_revenue")},
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average threshold, "
+    "decorrelated in Spark as an aggregate self-join (Catalyst does "
+    "the same rewrite for the SQL form).",
+)
+def avg_yearly_small_qty(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            ssum(F.col("l_extendedprice"), "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

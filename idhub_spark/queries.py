@@ -63,6 +63,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     multimodal_q,
     projections,
     similarity_q,
+    stats_q,
     text_q,
     tpch,
     windows_q,

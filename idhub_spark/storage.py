@@ -1,0 +1,91 @@
+"""Physical table layout & skew utilities for cluster scale.
+
+The reference leans on Postgres indexes (01-schema.sql:292-343,
+including the center-agnostic partial index on
+lower(local_subject_id)); at 100 TB the equivalents are layout
+decisions made at write time:
+
+- registry tables (subjects, local_subject_ids): hash-bucketed on the
+  join key (lower(local_subject_id) / global_subject_id) so the
+  identity-resolution join and the MERGE classification co-partition
+  without an exchange.
+- fact/staging tables: partitioned by batch_id (the unit of load and
+  of reprocessing) and sorted within partitions by the natural key so
+  min/max row-group stats prune keyed lookups.
+- audit: partitioned by date(changed_at) — append-only, time-pruned.
+
+`write_bucketed` / `write_partitioned` apply these; `salted_join`
+handles the hot-key case AQE's skew-join can't fix (a single key too
+big for one task even after split, e.g. one local_subject_id shared
+by millions of records).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    num_buckets: int = 256,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Save as a bucketed table: joins/aggs on bucket_cols skip the
+    shuffle entirely when both sides share the layout."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
+) -> None:
+    """Partition-pruned layout (batch_id / date partitions) with
+    within-partition sort for row-group min/max pruning."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a random salt in
+    [0, salt); the small side is replicated salt times. One hot key
+    spreads over `salt` tasks instead of pinning one.
+
+    Use when AQE skew-split is insufficient (single-key hotspots);
+    costs a `salt`-fold replication of the small side, so keep it for
+    dimension-sized right sides.
+    """
+    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+    small_s = small.select("*", salts)
+    joined = big_s.join(small_s, [key, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def size_bucketed_repartition(
+    df: DataFrame, size_col, *, target_partitions: int
+) -> DataFrame:
+    """Range-repartition by a payload-size column so heavy rows (large
+    binary media) spread evenly — the multimodal decode partner
+    (operators/multimodal.py scale notes)."""
+    return df.repartitionByRange(target_partitions, F.col(size_col))

@@ -1,0 +1,87 @@
+"""Tests for the API facade (§3.4 route parity) and reporting layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.api import get_subject, register_subjects, withdraw_subject
+from idhub_spark.reports import (
+    change_history,
+    find_duplicate_subjects,
+    resolution_stats,
+)
+
+
+def test_register_subjects_contract(spark):
+    registry = spark.createDataFrame(
+        [("KNOWN-1", "GSID-K1", "2020-01-01")],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    )
+    reqs = spark.createDataFrame(
+        [("r1", "known-1", None), ("r2", "FRESH-9", "FRESH-ALT")],
+        ["request_id", "consortium_id", "site_id"],
+    )
+    out = {
+        r.request_id: r
+        for r in register_subjects(
+            spark, reqs, registry,
+            candidates={"consortium_id": "consortium", "site_id": "site"},
+        ).collect()
+    }
+    assert out["r1"].action == "link_existing"
+    assert out["r1"].global_subject_id == "GSID-K1"
+    assert out["r1"].identifiers_linked == 1
+    assert out["r2"].action == "create_new"
+    assert out["r2"].identifiers_linked == 2
+    assert out["r2"].conflicts is False
+
+
+def test_get_and_withdraw_subject(spark):
+    subjects = spark.createDataFrame(
+        [("G1", 1, False, None), ("G2", 2, False, None)],
+        "global_subject_id string, center_id int, withdrawn boolean, updated_at timestamp",
+    )
+    local_ids = spark.createDataFrame(
+        [(1, "A", "t", "G1", "2020-01-02"), (1, "B", "t", "G1", "2020-01-01")],
+        ["center_id", "local_subject_id", "identifier_type", "global_subject_id", "created_at"],
+    )
+    centers = spark.createDataFrame([(1, "Mount Sinai")], ["center_id", "center_name"])
+    row = get_subject(subjects, local_ids, centers, "G1").collect()[0]
+    assert row.center_name == "Mount Sinai"
+    # oldest-first identifier ordering (routes.py:121-130)
+    assert [i.local_subject_id for i in row.identifiers] == ["B", "A"]
+
+    after = {r.global_subject_id: r for r in withdraw_subject(subjects, "G2").collect()}
+    assert after["G2"].withdrawn is True and after["G1"].withdrawn is False
+    assert after["G2"].updated_at is not None
+
+
+def test_reports(spark):
+    res = spark.createDataFrame(
+        [
+            ("link_existing", "exact", "0.99", True, 1, "2024-01-02"),
+            ("link_existing", "exact", "0.97", False, 1, "2024-01-03"),
+            ("create_new", None, "1.0", False, 2, "2024-01-04"),
+        ],
+        ["action", "match_strategy", "confidence", "requires_review", "center_id", "created_at"],
+    )
+    stats = {
+        (r.action, r.match_strategy): r
+        for r in resolution_stats(res, since="2024-01-01").collect()
+    }
+    assert stats[("link_existing", "exact")].n == 2
+    assert abs(stats[("link_existing", "exact")].avg_confidence - 0.98) < 1e-9
+
+    lids = spark.createDataFrame(
+        [(1, "A", "t", "G1"), (2, "a", "t", "G2"), (1, "B", "t", "G3")],
+        ["center_id", "local_subject_id", "identifier_type", "global_subject_id"],
+    )
+    dups = find_duplicate_subjects(lids).collect()
+    assert len(dups) == 1 and dups[0].gsids == ["G1", "G2"]
+
+    audit = spark.createDataFrame(
+        [("t1", "f1", "2024-01-01"), ("t1", "f2", "2024-01-03"), ("t2", "f3", "2024-01-02")],
+        ["table_name", "field", "changed_at"],
+    ).withColumn("changed_at", F.col("changed_at").cast("timestamp"))
+    top = change_history(audit, limit=2).collect()
+    assert [r.field for r in top] == ["f2", "f3"]

@@ -1,0 +1,63 @@
+"""Accuracy bounds for the sketch aggregates (rows-only driver check)
+and plan-quality regressions for the headline queries: pushdown,
+pruning, and broadcast must survive refactors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sketch_accuracy_bounds(spark):
+    out = REGISTRY["sketch_profile"].fn(spark, SF)
+    exact = (
+        REGISTRY["sketch_profile"]
+        .fn(spark, SF)
+        .sparkSession.read.parquet(f"{SF}/events.parquet")
+    )
+    exact_users = {
+        r.event_type: r.n
+        for r in exact.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        # 2% rsd HLL: allow 10% slack at tiny scale
+        assert abs(r.approx_users - exact_users[r.event_type]) <= max(
+            2, 0.1 * exact_users[r.event_type]
+        )
+        assert len(r.approx_quantiles) == 2
+        assert r.approx_quantiles[0] <= r.approx_quantiles[1]
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns reach the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "keyed_lookup_semi")
+    assert "LeftSemi" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "recent_changes_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,46 @@
+"""Tests for the physical-layout/skew utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.storage import salted_join, size_bucketed_repartition, write_partitioned
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], ["k", "v"]
+    )  # skewed: 3 hot keys
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = salted_join(big, small, "k", salt=8).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join(spark):
+    big = spark.createDataFrame([(0, 1), (9, 2)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a")], ["k", "name"])
+    out = {r.k: r.name for r in salted_join(big, small, "k", salt=4, how="left").collect()}
+    assert out == {0: "a", 9: None}
+
+
+def test_size_bucketed_repartition(spark):
+    df = spark.createDataFrame([(i, "x" * (i % 50)) for i in range(200)], ["id", "payload"])
+    out = size_bucketed_repartition(
+        df.withColumn("n_bytes", F.length("payload")), "n_bytes", target_partitions=4
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 200
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"b{i % 2}", i, f"k{i}") for i in range(20)], ["batch_id", "v", "k"]
+    )
+    path = str(tmp_path / "t")
+    write_partitioned(df, path, partition_cols=["batch_id"], sort_within=["k"])
+    back = spark.read.parquet(path).filter(F.col("batch_id") == "b0")
+    assert back.count() == 10
+    # partition pruning visible in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

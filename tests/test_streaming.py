@@ -114,3 +114,44 @@ def test_incremental_file_merge_exactly_once(spark, tmp_path):
         schema=SCHEMA, natural_key=["k"],
     )
     assert spark.read.parquet(table).count() == 3
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user totals across
+    micro-batches (custom stateful operator, §2.12 extension)."""
+    from idhub_spark.operators.grouped import running_user_totals_stateful
+
+    src = str(tmp_path / "src_state")
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], ["user_id", "value"]
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    collected: list = []
+
+    def _run():
+        collected.clear()
+        q = (
+            running_user_totals_stateful(
+                spark.readStream.schema("user_id bigint, value double").parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.user_id: (r.n_events, r.total_cents) for r in collected}
+
+    assert _run() == {1: (2, 1500), 2: (1, 100)}
+
+    # second batch: state carries over via the checkpoint
+    spark.createDataFrame([(1, 2.5), (3, 7.0)], ["user_id", "value"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    latest = _run()
+    assert latest[1] == (3, 1750)
+    assert latest[3] == (1, 700)
