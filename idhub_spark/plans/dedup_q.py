@@ -297,8 +297,14 @@ _SIMHASH_ORACLE = f"""
     "scale, cap per-shingle doc lists / add the LSH prefilter above).",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     t = tables(spark, sf_dir, "documents")
-    sh = _shingles(_corpus(t))
+    # persist the inverted index: it feeds both self-join sides AND
+    # the per-doc sizes (3 consumers); without the cache each consumer
+    # re-runs the explode+distinct shuffle (measured 6.0s -> 2.5s at
+    # sf0.1). At cluster scale this is persist(DISK) or a staged table.
+    sh = _shingles(_corpus(t)).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1,0 +1,88 @@
+"""Temporal join queries: as-of join and bounded interval join over
+the events stream (custom operators Spark lacks natively; see
+operators/temporal.py for the scale analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.operators.temporal import asof_join, interval_join
+from idhub_spark.queries import query, tables
+
+
+@query(
+    "asof_last_click",
+    """
+    WITH errors AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'),
+    clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts,
+           c.value AS value_asof, c.event_id AS event_id_asof
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join: each error event picks the user's most recent "
+    "click at-or-before it. Spark side is the union+window carry "
+    "(one shuffle, linear scan) — the declarative equivalent of a "
+    "sort-merge as-of; DuckDB oracle uses its native ASOF JOIN.",
+)
+def asof_last_click(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    e = t["events"]
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", right_values=["value", "event_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "value_asof", "event_id_asof")
+
+
+@query(
+    "interval_followup_purchases",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Bounded interval join: purchases within 30 minutes after a "
+    "click by the same user. Time-bucket equi-join prefilter turns "
+    "the range predicate into candidate buckets; the exact BETWEEN "
+    "runs on candidates only.",
+)
+def interval_followup_purchases(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    out = interval_join(
+        clicks.withColumnRenamed("user_id", "user_id"),
+        purchases.withColumnRenamed("p_user", "user_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        max_before_seconds=0,
+        max_after_seconds=1800,
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").alias("purchase_ts"),
+    )

@@ -64,6 +64,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     projections,
     similarity_q,
     stats_q,
+    temporal_q,
     text_q,
     tpch,
     windows_q,
