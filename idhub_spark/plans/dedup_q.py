@@ -67,17 +67,28 @@ def _corpus(t):
 
 
 def _shingles(corpus):
-    """Distinct word-3-gram shingles per doc (explode, JVM-side)."""
-    w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-        ),
+    """Distinct word-3-gram shingles per doc.
+
+    posexplode once, then lead() over (doc, pos) to assemble 3-grams.
+    NOT transform(sequence, i -> element_at(split(text), i)): Spark
+    inlines the split into every element_at, re-splitting the whole
+    document per shingle element (measured 5.2s -> 0.9s at sf0.1).
+    The one split per doc happens before the explode; the window's
+    exchange doubles as the materialization boundary.
+    """
+    words = corpus.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
     )
+    win = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        corpus.filter(F.size(w) >= 3)
-        .select("doc_id", F.explode(grams).alias("sh"))
+        words.select(
+            "doc_id",
+            "w0",
+            F.lead("w0", 1).over(win).alias("w1"),
+            F.lead("w0", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("sh"))
         .distinct()
     )
 
