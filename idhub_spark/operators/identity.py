@@ -246,3 +246,33 @@ def link_back(resolved: DataFrame, ids_long: DataFrame) -> DataFrame:
     return ids_long.join(
         resolved.select("record_key", "global_subject_id"), "record_key"
     ).select("local_subject_id", "identifier_type", "global_subject_id").distinct()
+
+
+def resolution_log(resolved: DataFrame, *, batch_id: str = "?") -> DataFrame:
+    """Decision log rows shaped like `identity_resolutions`
+    (01-schema.sql:58-113): every resolution records its action,
+    match strategy, confidence, chosen GSID, and the full candidate
+    set (JSONB array in the reference; a JSON string here).
+
+    Strategy/confidence mapping mirrors the reference's semantics
+    (identity_resolution.py:107-211): an unambiguous match is
+    exact_match @1.0, a mint is create_new @1.0 (no competing
+    evidence), a multi-match resolution is oldest_wins @0.5 and
+    flagged for review.
+    """
+    return resolved.select(
+        F.col("record_key").cast("string").alias("record_key"),
+        "action",
+        F.when(F.col("action") == "link_existing", F.lit("exact_match"))
+        .when(F.col("action") == "create_new", F.lit("create_new"))
+        .otherwise(F.lit("oldest_wins"))
+        .alias("match_strategy"),
+        F.when(F.col("action") == "conflict_resolved", F.lit(0.5))
+        .otherwise(F.lit(1.0))
+        .alias("confidence"),
+        "global_subject_id",
+        F.to_json(F.col("matched_gsids")).alias("matched_gsids"),
+        "requires_review",
+        F.lit(batch_id).alias("batch_id"),
+        F.current_timestamp().alias("created_at"),
+    )

@@ -335,3 +335,57 @@ def fuzzy_center_match(spark, sf_dir):
         dim_name_col="n_name",
         dim_id_col="n_nationkey",
     )
+
+
+@query(
+    "resolution_log",
+    f"""
+    WITH {_INCOMING_SQL},
+    registry AS (
+      SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
+             c_custkey AS created_at
+      FROM customer),
+    matched AS (
+      SELECT i.record_key, r.global_subject_id AS gsid, r.created_at
+      FROM incoming i
+      LEFT JOIN registry r ON lower(i.local_subject_id) = lower(r.local_subject_id)),
+    resolved AS (
+      SELECT record_key,
+             CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
+                  WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
+                  ELSE 'conflict_resolved' END AS action,
+             min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+             COUNT(DISTINCT gsid) > 1 AS requires_review
+      FROM matched GROUP BY record_key)
+    SELECT CAST(record_key AS VARCHAR) AS record_key, action,
+           CASE action WHEN 'link_existing' THEN 'exact_match'
+                       WHEN 'create_new' THEN 'create_new'
+                       ELSE 'oldest_wins' END AS match_strategy,
+           CASE action WHEN 'conflict_resolved' THEN 0.5 ELSE 1.0 END AS confidence,
+           global_subject_id, requires_review,
+           'b1' AS batch_id
+    FROM resolved
+    """,
+    doc="identity_resolutions decision log (01-schema.sql:58-113): "
+    "action, strategy, confidence, chosen GSID per resolution. The "
+    "minted-GSID and JSON candidate columns are excluded from the "
+    "oracle projection (mint nondeterminism / JSON formatting); both "
+    "are unit-tested in test_operators.py.",
+)
+def resolution_log_q(spark, sf_dir):
+    from idhub_spark.operators.identity import resolution_log
+
+    t = tables(spark, sf_dir, "customer", "orders")
+    n_cust = F.lit(t["customer"].count())
+    ids_long = _incoming_long_df(t, n_cust)
+    matched = match_registry(ids_long, _registry_df(t))
+    resolved = dispatch_matches(matched)
+    return resolution_log(resolved, batch_id="b1").select(
+        "record_key",
+        "action",
+        "match_strategy",
+        "confidence",
+        "global_subject_id",
+        "requires_review",
+        "batch_id",
+    )

@@ -315,3 +315,25 @@ def test_apply_resolutions(spark):
     )
     out = apply_resolutions(incoming, res, ["id"]).collect()
     assert {r.id for r in out} == {"B", "C"}
+
+
+def test_resolution_log(spark):
+    from idhub_spark.operators.identity import resolution_log
+
+    ids = spark.createDataFrame(
+        [
+            (1, "IBDGC-001", "t"),
+            (2, "UNSEEN", "t"),
+            (3, "IBDGC-001", "t"),
+            (3, "SHARED-X", "t"),
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    resolved = resolve_identities(ids, _registry(spark))
+    log = {r.record_key: r for r in resolution_log(resolved, batch_id="b9").collect()}
+    assert log["1"].match_strategy == "exact_match" and log["1"].confidence == 1.0
+    assert log["2"].match_strategy == "create_new"
+    assert log["3"].match_strategy == "oldest_wins" and log["3"].confidence == 0.5
+    assert log["3"].requires_review
+    assert log["3"].matched_gsids == '["GSID-OLD1","GSID-OLD3"]'
+    assert all(r.batch_id == "b9" for r in log.values())
