@@ -1,0 +1,63 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+All selection is hash-based (md5 of a stable key), never RNG-based:
+the same row lands in the same split on every run, any cluster size,
+any partitioning — the property that makes dataset versions
+reproducible. (Spark's randomSplit is partition-order-dependent;
+that's a bug factory for training pipelines.)
+
+hash_bucket maps a key uniformly to [0, buckets) via the first 8 hex
+chars of md5 — available identically in DuckDB, so every operator
+here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, buckets)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets).cast("int")
+
+
+def train_test_split(
+    df: DataFrame, key: str, *, test_pct: int = 20, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic holdout: rows whose hash bucket < test_pct go to
+    test. Same key -> same side, forever (leakage-safe: split on the
+    DOCUMENT/subject key, not the row, so derived rows stay together).
+    """
+    b = hash_bucket(F.col(key), 100, salt)
+    return df.filter(b >= test_pct), df.filter(b < test_pct)
+
+
+def stratified_take(
+    df: DataFrame, *, strata: str, key: str, n_per_stratum: int, salt: str = "strat"
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows within
+    each stratum by their hash (a stable pseudo-random order) and keep
+    the first n. One window shuffle on the stratum key."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(strata).orderBy(h, F.col(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def downsample_majority(
+    df: DataFrame, *, label: str, key: str, keep_pct: dict[str, int], salt: str = "ds"
+) -> DataFrame:
+    """Class rebalancing: per-label deterministic keep percentage
+    (e.g. {'en': 10} keeps ~10% of 'en' rows, everything else full).
+    A pure filter — no shuffle at all."""
+    b = hash_bucket(F.col(key), 100, salt)
+    cond = F.lit(True)
+    for lbl, pct in keep_pct.items():
+        cond = F.when(F.col(label) == lbl, b < pct).otherwise(cond)
+    return df.filter(cond)

@@ -86,3 +86,49 @@ def interval_followup_purchases(spark, sf_dir):
         "user_id",
         F.col("p_ts").alias("purchase_ts"),
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    converted AS (
+      SELECT DISTINCT c.event_id
+      FROM clicks c JOIN events p
+        ON p.event_type = 'purchase' AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT COUNT(*) AS n_clicks,
+           (SELECT COUNT(*) FROM converted) AS n_converted,
+           CAST((SELECT COUNT(*) FROM converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM clicks
+    """,
+    doc="Funnel step conversion: share of clicks followed by a "
+    "purchase within 30 minutes — the interval join feeding a "
+    "two-level aggregate (sessionized product analytics shape).",
+)
+def funnel_conversion(spark, sf_dir):
+    from idhub_spark.operators.temporal import interval_join
+
+    t = tables(spark, sf_dir, "events")
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        interval_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+            max_before_seconds=0, max_after_seconds=1800,
+        )
+        .select("click_id")
+        .distinct()
+    )
+    counts = clicks.agg(F.count(F.lit(1)).alias("n_clicks"))
+    conv = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return counts.crossJoin(conv).select(
+        "n_clicks",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_clicks")).alias("conversion_rate"),
+    )

@@ -159,3 +159,31 @@ def doc_fingerprint(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "vocabulary_topk",
+    """
+    SELECT w AS token, COUNT(*) AS freq
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    doc="Vocabulary building: token frequencies -> deterministic "
+    "top-50 (count desc, token asc). Shuffle carries (token, partial "
+    "count) — map-side combine bounds it by vocabulary size, not "
+    "corpus size.",
+)
+def vocabulary_topk(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )

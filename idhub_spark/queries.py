@@ -62,6 +62,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     lifecycle_q,
     multimodal_q,
     projections,
+    sampling_q,
     similarity_q,
     stats_q,
     temporal_q,
