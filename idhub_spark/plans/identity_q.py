@@ -155,9 +155,13 @@ def identity_resolution(spark, sf_dir):
     "so the minted-GSID nondeterminism stays out of the oracle.",
 )
 def identity_link_back(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     t = tables(spark, sf_dir, "customer", "orders")
     n_cust = F.lit(t["customer"].count())
-    ids_long = _incoming_long_df(t, n_cust)
+    # ids_long feeds both the registry match and the final link-back
+    # join; persist so the orders x customer build runs once
+    ids_long = _incoming_long_df(t, n_cust).persist(StorageLevel.MEMORY_AND_DISK)
     matched = match_registry(ids_long, _registry_df(t))
     chosen = dispatch_matches(matched).filter(F.col("global_subject_id").isNotNull())
     return (
