@@ -1,0 +1,114 @@
+"""Command-line entry points (the reference ships one main.py per
+service; here one CLI fronts the pipelines).
+
+  python -m idhub_spark.cli validate-fragment --input f.csv \
+      --mapping m.json --registry registry.parquet --batch-id batch_20260813_x \
+      --out staging/
+  python -m idhub_spark.cli load-batch --fragment staged.parquet \
+      --current table.parquet --table specimen --batch-id b --out table.parquet
+  python -m idhub_spark.cli bench
+
+Dry-run is the default for load-batch (the reference's
+transaction-rollback default, table-loader/main.py:44-52): pass
+--approve to write.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from idhub_spark.config import load_mapping
+from idhub_spark.session import get_spark
+from idhub_spark.validate import batch_id_valid
+
+
+def _cmd_validate_fragment(args) -> int:
+    from idhub_spark.pipelines.validate_fragment import validate_fragment
+    from idhub_spark.sources.files import csv_scan, parquet_scan
+
+    if not batch_id_valid(args.batch_id):
+        print(f"invalid batch id: {args.batch_id!r}", file=sys.stderr)
+        return 2
+    spark = get_spark("validate_fragment")
+    fragment = (
+        csv_scan(spark, args.input)
+        if args.input.endswith(".csv")
+        else parquet_scan(spark, args.input)
+    )
+    registry = parquet_scan(spark, args.registry)
+    res = validate_fragment(
+        spark,
+        fragment,
+        load_mapping(args.mapping),
+        registry=registry,
+        batch_id=args.batch_id,
+    )
+    print(json.dumps(res.report))
+    if res.status != "VALIDATED":
+        return 1
+    if args.out:
+        res.mapped.write.mode("overwrite").parquet(
+            f"{args.out}/{args.batch_id}/{res.report['table_name']}"
+        )
+        res.local_id_records.write.mode("overwrite").parquet(
+            f"{args.out}/{args.batch_id}/local_subject_ids"
+        )
+    return 0
+
+
+def _cmd_load_batch(args) -> int:
+    from idhub_spark.pipelines.load_batch import load_batch
+    from idhub_spark.sources.files import parquet_scan
+
+    spark = get_spark("load_batch")
+    fragment = parquet_scan(spark, args.fragment)
+    current = parquet_scan(spark, args.current)
+    res = load_batch(
+        fragment, current, table_name=args.table, batch_id=args.batch_id
+    )
+    stats = {r["change_type"]: r["n"] for r in
+             (row.asDict() for row in res.merge.stats().collect())}
+    print(json.dumps({"batch_id": args.batch_id, "table": args.table,
+                      "dry_run": not args.approve, "stats": stats}))
+    if args.approve:
+        tmp = args.out + ".staged"
+        res.merge.merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(args.out)
+        if args.audit_out:
+            res.merge.audit.write.mode("append").parquet(args.audit_out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="idhub_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate-fragment")
+    v.add_argument("--input", required=True)
+    v.add_argument("--mapping", required=True)
+    v.add_argument("--registry", required=True)
+    v.add_argument("--batch-id", required=True)
+    v.add_argument("--out")
+    v.set_defaults(fn=_cmd_validate_fragment)
+
+    l = sub.add_parser("load-batch")
+    l.add_argument("--fragment", required=True)
+    l.add_argument("--current", required=True)
+    l.add_argument("--table", required=True)
+    l.add_argument("--batch-id", required=True)
+    l.add_argument("--out", required=True)
+    l.add_argument("--audit-out")
+    l.add_argument("--approve", action="store_true")
+    l.set_defaults(fn=_cmd_load_batch)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

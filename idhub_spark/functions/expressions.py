@@ -193,3 +193,14 @@ def gsid_expr(seed: Column, ts_ms: Column | None = None) -> Column:
     rand_bits = F.abs(F.xxhash64(seed)).bitwiseAND(F.lit((1 << 55) - 1))
     rand_part = _base32_expr(rand_bits, 11)
     return F.concat(F.lit("GSID-"), ts_part, rand_part)
+
+
+def flexible_timestamp_expr(col: Column) -> Column:
+    """ISO string or epoch-milliseconds -> timestamp (P15,
+    labkey-sync/services/labkey_client.py:83-101). Millis are
+    recognized by shape (>= 12 digits) so 2001-2286 epochs parse;
+    anything else goes through the normal timestamp parser."""
+    s = F.trim(col.cast("string"))
+    return F.when(
+        s.rlike(r"^\d{12,}$"), F.timestamp_millis(s.cast("bigint"))
+    ).otherwise(F.try_to_timestamp(s))

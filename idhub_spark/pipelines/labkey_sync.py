@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from idhub_spark.functions.expressions import flexible_timestamp_expr
 from idhub_spark.operators.merge import MergeResult, merge_upsert
 
 
@@ -37,7 +38,11 @@ def labkey_sync(
         .select(
             "sample_id",
             (F.lower(F.trim("status")) != "consumed").alias("sample_available"),
-            F.year("collected_date").alias("year_collected"),
+            # ISO strings or epoch millis both parse (P15,
+            # labkey_client.py:83-101)
+            F.year(flexible_timestamp_expr(F.col("collected_date"))).alias(
+                "year_collected"
+            ),
         )
     )
     # merge updates into specimen, preserving untouched columns

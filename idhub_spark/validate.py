@@ -61,3 +61,21 @@ def validate_schema(
         null_violations=null_counts,
         row_count=row_count,
     )
+
+
+BATCH_ID_PATTERN = r"^batch_[0-9]{8}_[A-Za-z0-9_\-]+$"
+
+
+def batch_id_valid(batch_id: str) -> bool:
+    """Batch-ID format gate (the reference enforces it in CI,
+    .github/workflows/fragment-ingestion.yml:29-38):
+    batch_YYYYMMDD_<slug>."""
+    import re
+
+    return bool(re.match(BATCH_ID_PATTERN, batch_id or ""))
+
+
+def infer_source_schema(df: DataFrame) -> dict[str, str]:
+    """S2-style metadata helper: column -> Spark type name for a
+    scanned source, used to draft mapping configs."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}

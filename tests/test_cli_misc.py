@@ -1,0 +1,104 @@
+"""Tests for the CLI entry points and the small validation helpers."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from idhub_spark import cli
+from idhub_spark.functions.expressions import flexible_timestamp_expr
+from idhub_spark.validate import batch_id_valid, infer_source_schema
+
+
+def test_batch_id_valid():
+    assert batch_id_valid("batch_20260813_bge_upload")
+    assert not batch_id_valid("batch_x")
+    assert not batch_id_valid("20260813_oops")
+    assert not batch_id_valid("")
+
+
+def test_flexible_timestamp(spark):
+    df = spark.createDataFrame(
+        [("2020-03-04 05:06:07",), ("1583298367000",), ("garbage",)], ["t"]
+    )
+    vals = [r.v for r in df.select(flexible_timestamp_expr(F.col("t")).alias("v")).collect()]
+    assert str(vals[0]) == "2020-03-04 05:06:07"
+    assert vals[1].year == 2020  # epoch millis for 2020-03-04
+    assert vals[2] is None
+
+
+def test_infer_source_schema(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], ["i", "s", "d"])
+    assert infer_source_schema(df) == {"i": "bigint", "s": "string", "d": "double"}
+
+
+def test_cli_validate_and_load_roundtrip(spark, tmp_path, capsys):
+    # stage inputs on disk the way a curator would
+    frag = tmp_path / "frag.csv"
+    frag.write_text(
+        "SampleID,Material,consortium_id\nS1,blood,IBDGC-100\nS2,dna,NEW-1\n"
+    )
+    mapping = tmp_path / "m.json"
+    mapping.write_text(
+        json.dumps(
+            {
+                "table_name": "specimen",
+                "field_mapping": {"sample_id": "SampleID", "sample_type": "Material"},
+                "subject_id_candidates": {"consortium_id": "consortium"},
+            }
+        )
+    )
+    reg = tmp_path / "registry.parquet"
+    spark.createDataFrame(
+        [("IBDGC-100", "GSID-K1", "2020-01-01")],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    ).write.parquet(str(reg))
+
+    out = tmp_path / "staging"
+    rc = cli.main(
+        [
+            "validate-fragment",
+            "--input", str(frag),
+            "--mapping", str(mapping),
+            "--registry", str(reg),
+            "--batch-id", "batch_20260813_t1",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["status"] == "VALIDATED" and report["rows"] == 2
+
+    staged = out / "batch_20260813_t1" / "specimen"
+    current = tmp_path / "current.parquet"
+    spark.read.parquet(str(staged)).limit(0).write.parquet(str(current))
+    table_out = tmp_path / "specimen_table"
+    rc = cli.main(
+        [
+            "load-batch",
+            "--fragment", str(staged),
+            "--current", str(current),
+            "--table", "specimen",
+            "--batch-id", "batch_20260813_t1",
+            "--out", str(table_out),
+            "--approve",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["stats"] == {"new": 2}
+    assert spark.read.parquet(str(table_out)).count() == 2
+
+
+def test_cli_rejects_bad_batch_id(tmp_path, capsys):
+    rc = cli.main(
+        [
+            "validate-fragment",
+            "--input", "x.csv",
+            "--mapping", "m.json",
+            "--registry", "r.parquet",
+            "--batch-id", "nope",
+        ]
+    )
+    assert rc == 2
