@@ -324,3 +324,62 @@ def avg_yearly_small_qty(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery planned as a "
+    "left-semi hash join; both scans keep their pushed filters.",
+)
+def order_priority_check(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "discounted_brand_revenue",
+    f"""
+    SELECT {sql_ssum("l_extendedprice * (1 - l_discount)", "revenue")}, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicates over "
+    "a broadcast join — Catalyst pushes the common-column disjuncts "
+    "(p_brand/p_size to part, l_quantity to lineitem) into both scans.",
+)
+def discounted_brand_revenue(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(ssum(disc, "revenue"), F.count(F.lit(1)).alias("n"))
