@@ -393,3 +393,25 @@ def resolution_log_q(spark, sf_dir):
         "requires_review",
         "batch_id",
     )
+
+
+@query(
+    "identity_components",
+    None,  # iterative algorithm: no single-query SQL twin (SURVEY §2 note)
+    doc="Within-batch connected components over the record<->identifier "
+    "bipartite graph (operators/identity.py, the sequential-parity "
+    "algorithm). Iterative label propagation is not expressible as one "
+    "SQL query, so the driver records the rows-only check; component "
+    "correctness is pinned by unit + randomized invariant tests.",
+)
+def identity_components(spark, sf_dir):
+    from idhub_spark.operators.identity import connected_components
+
+    t = tables(spark, sf_dir, "orders")
+    # identifier graph: orders sharing a customer link into one component
+    edges = t["orders"].select(
+        F.col("o_orderkey").alias("record_key"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("_norm_id"),
+    )
+    comps = connected_components(edges)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_records"))

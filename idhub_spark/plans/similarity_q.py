@@ -177,3 +177,90 @@ def embedding_norm_stats(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ann_recall_at_k",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN embeddings n ON q.vec_id <> n.vec_id),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact_scored) WHERE rn <= 5),
+    approx_scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN embeddings n
+        ON q.vec_id <> n.vec_id AND {_BUCKET_Q} = {_BUCKET_N}),
+    approx_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM approx_scored) WHERE rn <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN approx_top a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc="ANN evaluation: recall@5 of the sign-bucket index against "
+    "exact brute force, per query — the measure-don't-guess loop for "
+    "tuning bucket bits / multi-probe at scale.",
+)
+def ann_recall_at_k(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    q = prepped.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("q_sv"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    n = prepped.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("n_sv"),
+        F.col("norm").alias("n_norm"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    cosine = (
+        dot.cast("double")
+        / (F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", cosine
+        )
+    )
+    approx = topk(
+        F.broadcast(q)
+        .join(n, (F.col("q_bucket") == F.col("n_bucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cosine)
+    )
+    a = approx.withColumnRenamed("neighbor_id", "a_neighbor")
+    return (
+        exact.join(
+            a,
+            (exact["query_id"] == a["query_id"])
+            & (exact["neighbor_id"] == a["a_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg((F.count("a_neighbor").cast("double") / 5.0).alias("recall_at_5"))
+    )
