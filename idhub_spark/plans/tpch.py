@@ -383,3 +383,49 @@ def discounted_brand_revenue(spark, sf_dir):
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(cond).agg(ssum(disc, "revenue"), F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "idle_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS n_idle,
+           {sql_ssum("c_acctbal", "idle_balance")}
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "urgent orders — scalar subquery threshold + NOT EXISTS planned as a "
+    "left-anti hash join (the reference's F3 exclusion pattern at "
+    "analytic scale).",
+)
+def idle_customers(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "orders")
+    c = t["customer"]
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 1000000.0, 0).cast("bigint")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            ssum(F.col("c_acctbal"), "idle_balance"),
+        )
+    )
