@@ -117,3 +117,49 @@ def grouped_zscore_q(spark, sf_dir):
     return grouped_zscore(
         t["events"].select("event_id", "event_type", "value"), "event_type", "value"
     )
+
+
+@query(
+    "table_profile",
+    """
+    SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_custkey) AS n_null,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_val,
+           CAST(max(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+           COUNT(DISTINCT c_name), min(c_name), max(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+           COUNT(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+    FROM customer
+    """,
+    doc="Data-quality profile: per-column null/distinct/min/max in one "
+    "scan per column family (the validator's schema checks generalized "
+    "to a profiling report; at scale swap COUNT(DISTINCT) for HLL).",
+)
+def table_profile(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"]
+
+    def prof(col):
+        return c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        ).select(F.lit(col).alias("column_name"), "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+    out = prof("c_custkey")
+    for col in ("c_name", "c_mktsegment", "c_nationkey"):
+        out = out.unionByName(prof(col))
+    return out
