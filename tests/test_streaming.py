@@ -155,3 +155,27 @@ def test_stateful_running_totals(spark, tmp_path):
     latest = _run()
     assert latest[1] == (3, 1750)
     assert latest[3] == (1, 700)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched with a static
+    dimension (the registry-lookup pattern on the streaming path)."""
+    src = str(tmp_path / "src_enrich")
+    spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 75.0)], ["user_id", "value"]
+    ).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r.tier for r in spark.table("enrich_sink").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
