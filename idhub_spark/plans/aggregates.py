@@ -123,7 +123,7 @@ def change_stats(spark, sf_dir):
     "per_center_summary",
     f"""
     SELECT o_orderpriority, COUNT(*) AS n,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            {sql_savg("o_totalprice", "avg_price")}
     FROM orders GROUP BY o_orderpriority
     """,
@@ -224,8 +224,8 @@ def data_type_counts(spark, sf_dir):
     f"""
     SELECT l_linestatus AS status,
            COUNT(*) AS rows_attempted,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rows_failed,
-           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS rows_loaded,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS rows_loaded,
            {sql_ssum("l_quantity", "total_qty")}
     FROM lineitem GROUP BY l_linestatus
     """,

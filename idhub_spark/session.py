@@ -55,6 +55,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     predicate pushdown + column pruning for free, so downstream
     operators never pre-filter manually.
     """
+    # The driver's harness builds its own bare SparkSession, so the
+    # builder-time conf in get_spark is not enough: events.parquet carries
+    # INT64 TIMESTAMP(NANOS) which Spark rejects unless this (runtime
+    # settable) legacy conf is on. Set it on whatever session we're given.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
