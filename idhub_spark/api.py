@@ -23,12 +23,18 @@ def register_subjects(
     *,
     candidates: dict[str, str],
     key_col: str = "request_id",
+    batch_salt: str = "register",
 ) -> DataFrame:
     """POST /register/subject, batched: one row per request with the
     route's response contract (api/models.py:53-62): gsid, action,
     identifiers_linked, conflicts flag."""
     ids_long = unpivot_candidates(requests, key_col, candidates)
-    resolved = resolve_identities(ids_long, registry)
+    resolved = resolve_identities(
+        ids_long,
+        registry,
+        batch_salt=batch_salt,
+        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+    )
     linked = ids_long.groupBy("record_key").agg(
         F.count(F.lit(1)).alias("identifiers_linked")
     )

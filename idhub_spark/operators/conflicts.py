@@ -60,9 +60,11 @@ def detect_conflicts(incoming: DataFrame, existing: DataFrame) -> DataFrame:
         .select(
             "local_subject_id",
             "identifier_type",
-            F.when(center_mismatch & gsid_mismatch, F.lit("multi_gsid"))
-            .when(gsid_mismatch, F.lit("multi_gsid"))
-            .otherwise(F.lit("center_mismatch"))
+            # precedence matches the reference exactly: center mismatch
+            # is checked FIRST, so a row with both mismatches is
+            # center_mismatch (conflict_detector.py:61-83's if/elif)
+            F.when(center_mismatch, F.lit("center_mismatch"))
+            .otherwise(F.lit("multi_gsid"))
             .alias("conflict_type"),
             "incoming_center_id",
             "existing_center_id",

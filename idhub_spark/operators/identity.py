@@ -67,12 +67,21 @@ def unpivot_candidates(df: DataFrame, key_col: str, candidates: dict[str, str]) 
     )
 
 
-def match_registry(ids_long: DataFrame, registry: DataFrame) -> DataFrame:
+def match_registry(
+    ids_long: DataFrame, registry: DataFrame, aliases: DataFrame | None = None
+) -> DataFrame:
     """J1: left join candidates against the registry, case-insensitive
     on the identifier value alone (center-agnostic,
     identity_resolution.py:56-68 — `LOWER(local_subject_id) = LOWER(%s)`).
 
     registry columns: local_subject_id, global_subject_id, created_at.
+    aliases (optional): the `subject_alias` table
+    (01-schema.sql:35-39 — alias, global_subject_id, created_at), a
+    second identifier path: a candidate matching an alias resolves to
+    the alias's GSID exactly as if it had matched local_subject_ids.
+    Both paths are one unioned lookup side, so the join stays a single
+    equi-join.
+
     Output: ids_long + matched global_subject_id/created_at (null when
     unmatched). Join key is pre-normalized so both sides hash-partition
     identically; if the registry is dimension-sized Catalyst broadcasts
@@ -83,6 +92,14 @@ def match_registry(ids_long: DataFrame, registry: DataFrame) -> DataFrame:
         F.col("global_subject_id").alias("matched_gsid"),
         F.col("created_at").alias("matched_created_at"),
     )
+    if aliases is not None:
+        reg = reg.unionByName(
+            aliases.select(
+                F.lower(F.col("alias")).alias("_norm_id"),
+                F.col("global_subject_id").alias("matched_gsid"),
+                F.col("created_at").alias("matched_created_at"),
+            )
+        )
     return ids_long.withColumn("_norm_id", F.lower(F.col("local_subject_id"))).join(
         reg, "_norm_id", "left"
     )
@@ -126,6 +143,10 @@ def dispatch_matches(matched: DataFrame) -> DataFrame:
             "global_subject_id"
         ),
         (F.size("matched_gsids") > 1).alias("requires_review"),
+        # (created_at, gsid) of this record's oldest match — kept so
+        # component-level adoption can apply the same tie-break
+        # (identity_resolution.py:180-183) instead of lexical GSID order
+        "_oldest",
     )
 
 
@@ -183,6 +204,8 @@ def resolve_identities(
     *,
     within_batch_cc: bool = True,
     mint_ts_ms=None,
+    batch_salt: str = "",
+    aliases: DataFrame | None = None,
 ) -> DataFrame:
     """Full batch identity resolution: J1 + within-batch CC + J2 + mint.
 
@@ -193,12 +216,29 @@ def resolve_identities(
       (record_key, action, global_subject_id, matched_gsids,
        requires_review, component)
 
-    create_new components mint ONE deterministic GSID per component
-    (seeded by the component id), so two records sharing an unseen
-    identifier inside the batch agree on the minted GSID — matching the
-    reference's sequential semantics without its sequential execution.
+    create_new components mint ONE deterministic GSID per component,
+    so two records sharing an unseen identifier inside the batch agree
+    on the minted GSID — matching the reference's sequential semantics
+    without its sequential execution.
+
+    Mint uniqueness (gsid_generator.py:generate_unique_gsids checks the
+    registry and retries; the distributed equivalent here):
+      1. the seed is CONTENT-derived — batch_salt + the component's
+         sorted normalized identifier set — never the record key, which
+         is arbitrary per batch (two batches both starting at key 0
+         must not mint the same GSID for different subjects);
+      2. within-batch hash collisions re-mint with the duplicate rank
+         as extra salt (one window over the minted rows only);
+      3. minted GSIDs are checked against the registry (semi-join on
+         the registry side so only actual hits are deduplicated) and
+         colliding components re-mint with a retry salt; a second
+         check flags the ~2^-55-probability double collision as
+         requires_review instead of looping forever on the cluster.
+    Pass batch_salt=<batch id> at the pipeline layer; pass mint_ts_ms
+    (e.g. unix_millis(current_timestamp())) in production jobs so the
+    GSID timestamp prefix is the true mint time.
     """
-    matched = match_registry(ids_long, registry)
+    matched = match_registry(ids_long, registry, aliases)
     dispatched = dispatch_matches(matched)
 
     if within_batch_cc:
@@ -220,13 +260,16 @@ def resolve_identities(
         dispatched = dispatched.join(comps, "record_key", "left").withColumn(
             "component", F.coalesce("component", F.col("record_key"))
         )
-        # a component's records must agree: adopt the oldest matched
-        # GSID anywhere in the component (reference would have linked
-        # them sequentially through the shared identifier)
+        # a component's records must agree: adopt the OLDEST matched
+        # GSID anywhere in the component, oldest by (created_at, gsid)
+        # exactly like the reference's per-record tie-break
+        # (identity_resolution.py:180-183) — lexical GSID order is NOT
+        # creation order (the GSID timestamp prefix wraps every ~9.3h)
         comp_choice = (
             dispatched.filter(F.col("global_subject_id").isNotNull())
             .groupBy("component")
-            .agg(F.min("global_subject_id").alias("_comp_gsid"))
+            .agg(F.min("_oldest").alias("_comp_oldest"))
+            .select("component", F.col("_comp_oldest.matched_gsid").alias("_comp_gsid"))
         )
         dispatched = dispatched.join(comp_choice, "component", "left").select(
             "record_key",
@@ -242,15 +285,91 @@ def resolve_identities(
             "component",
         )
     else:
-        dispatched = dispatched.withColumn("component", F.col("record_key"))
+        dispatched = dispatched.withColumn("component", F.col("record_key")).drop(
+            "_oldest"
+        )
 
-    # mint one GSID per still-unresolved component
-    minted = F.when(
-        F.col("global_subject_id").isNull(),
-        gsid_expr(F.col("component"), ts_ms=mint_ts_ms),
+    # --- mint one GSID per still-unresolved component ----------------
+    from pyspark.sql.window import Window
+
+    unresolved_comps = (
+        dispatched.filter(F.col("global_subject_id").isNull())
+        .select("component")
+        .distinct()
     )
-    return dispatched.withColumn(
-        "global_subject_id", F.coalesce("global_subject_id", minted)
+    # content-derived seed: the component's sorted identifier set.
+    # Bounded by component size; the groupBy shuffles only the
+    # unresolved slice of the batch.
+    seeds = (
+        matched.select("record_key", "_norm_id")
+        .join(dispatched.select("record_key", "component"), "record_key")
+        .join(unresolved_comps, "component", "semi")
+        .groupBy("component")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("_norm_id"))).alias("_ids")
+        )
+        .select(
+            "component",
+            F.concat_ws("\x1f", F.lit(batch_salt), F.col("_ids")).alias("_mint_seed"),
+        )
+    )
+    cand = seeds.withColumn("_minted", gsid_expr(F.col("_mint_seed"), ts_ms=mint_ts_ms))
+    # within-batch hash-collision guard: duplicate minted values get
+    # their duplicate rank appended to the seed and re-mint
+    w = Window.partitionBy("_minted").orderBy("component")
+    rn = F.row_number().over(w)
+    cand = cand.withColumn(
+        "_minted",
+        F.when(rn == 1, F.col("_minted")).otherwise(
+            gsid_expr(
+                F.concat_ws("#", F.col("_mint_seed"), rn.cast("string")),
+                ts_ms=mint_ts_ms,
+            )
+        ),
+    )
+    # registry guard: find actual collisions (semi-join keeps the
+    # dedup cost proportional to hits, which are ~0), re-mint them
+    # with a retry salt, then flag any double collision for review.
+    reg_g = registry.select(F.col("global_subject_id").alias("_minted"))
+
+    def _hits(c: DataFrame) -> DataFrame:
+        return (
+            reg_g.join(c.select("_minted"), "_minted", "semi")
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+
+    cand = (
+        cand.join(_hits(cand), "_minted", "left")
+        .withColumn(
+            "_minted",
+            F.when(
+                F.col("_hit").isNotNull(),
+                gsid_expr(F.concat(F.lit("!"), F.col("_mint_seed")), ts_ms=mint_ts_ms),
+            ).otherwise(F.col("_minted")),
+        )
+        .drop("_hit")
+    )
+    cand = (
+        cand.join(_hits(cand), "_minted", "left")
+        .select(
+            "component",
+            F.col("_minted"),
+            F.col("_hit").isNotNull().alias("_mint_collision"),
+        )
+    )
+    return (
+        dispatched.join(cand, "component", "left")
+        .select(
+            "record_key",
+            "matched_gsids",
+            "action",
+            F.coalesce("global_subject_id", "_minted").alias("global_subject_id"),
+            (
+                F.col("requires_review") | F.coalesce("_mint_collision", F.lit(False))
+            ).alias("requires_review"),
+            "component",
+        )
     )
 
 

@@ -77,24 +77,51 @@ def merge_upsert(
     take_new = {"upsert": ["new"], "insert_only": ["new"], "update_only": []}[mode]
     take_upd = {"upsert": ["updated"], "insert_only": [], "update_only": ["updated"]}[mode]
 
-    value_cols = [c for c in incoming.columns if c not in natural_key]
+    # The merged image is built on CURRENT's full schema (plus any
+    # incoming-only columns appended): a fragment carrying a subset of
+    # the table's columns (the normal case — the reference's
+    # update-strategy patches only present fields) must never destroy
+    # the columns it doesn't carry.
+    cur_value_cols = [c for c in current.columns if c not in natural_key]
+    cur_only = [c for c in cur_value_cols if c not in incoming.columns]
+    inc_only = [
+        c for c in incoming.columns if c not in current.columns and c not in natural_key
+    ]
+    out_cols = cur_value_cols + inc_only
+    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    inc_types = {f.name: f.dataType for f in incoming.schema.fields}
+
     patch_keys = classified.filter(F.col("change_type").isin(take_upd)).select(*natural_key)
 
     # rows that keep their current image: untouched keys + (in
     # insert_only mode) updated-but-ignored keys
-    kept = current.join(patch_keys, natural_key, "left_anti")
-    # patched rows take incoming values for mutable fields but keep
-    # current values for immutable ones (immutable-field protection)
+    kept = current.join(patch_keys, natural_key, "left_anti").select(
+        *natural_key,
+        *[F.col(c) for c in cur_value_cols],
+        *[F.lit(None).cast(inc_types[c]).alias(c) for c in inc_only],
+    )
+    # patched rows take incoming values for the columns incoming
+    # carries (value->NULL transitions are real audited changes, so
+    # carried NULLs do overwrite) but keep current values for
+    # immutable fields and for columns incoming doesn't carry
     patch_src = classified.filter(F.col("change_type").isin(take_upd))
     if immutable:
         cur_imm = current.select(*natural_key, *[c for c in immutable if c in current.columns])
         patch_src = patch_src.drop(*immutable).join(cur_imm, natural_key, "left")
-    patched = patch_src.select(*natural_key, *[F.col(c) for c in value_cols])
+    if cur_only:
+        patch_src = patch_src.join(
+            current.select(*natural_key, *cur_only), natural_key, "left"
+        )
+    patched = patch_src.select(*natural_key, *[F.col(c) for c in out_cols])
     fresh = classified.filter(F.col("change_type").isin(take_new)).select(
-        *natural_key, *[F.col(c) for c in value_cols]
+        *natural_key,
+        *[
+            F.col(c) if c not in cur_only else F.lit(None).cast(cur_types[c]).alias(c)
+            for c in out_cols
+        ],
     )
 
-    merged = kept.select(*natural_key, *value_cols).unionByName(patched).unionByName(fresh)
+    merged = kept.unionByName(patched).unionByName(fresh)
     audit = audit_rows(
         classified if mode != "insert_only" else classified.limit(0),
         natural_key,

@@ -51,6 +51,7 @@ def redcap_sync(
     centers: DataFrame | None = None,
     record_key: str = "record_id",
     sample_columns: dict[str, str] | None = None,
+    batch_id: str = "redcap-sync",
 ) -> RedcapSyncResult:
     """sample_columns: column -> sample_type for the specimen fan-out
     (the gap_field_mappings.json sample_type tagging)."""
@@ -77,7 +78,12 @@ def redcap_sync(
 
     # identity resolution (the one join that replaces per-record HTTP)
     ids_long = unpivot_candidates(mapped, record_key, mapping.subject_id_candidates)
-    resolved = resolve_identities(ids_long, registry)
+    resolved = resolve_identities(
+        ids_long,
+        registry,
+        batch_salt=batch_id,
+        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+    )
     with_gsid = mapped.join(
         resolved.select(F.col("record_key").alias(record_key), "global_subject_id", "action"),
         record_key,

@@ -94,7 +94,15 @@ def validate_fragment(
     # 4) identity resolution as one batch join (replaces the
     # ThreadPool HTTP fan-out, subject_id_resolver.py:20-188)
     ids_long = unpivot_candidates(mapped, record_key, mapping.subject_id_candidates)
-    resolved = resolve_identities(ids_long, registry)
+    # batch_salt makes mint seeds batch-globally unique; the mint
+    # timestamp prefix is the true load time (query-constant, so task
+    # retries within the job still mint identically)
+    resolved = resolve_identities(
+        ids_long,
+        registry,
+        batch_salt=batch_id,
+        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+    )
     with_gsid = mapped.join(
         resolved.select(
             F.col("record_key").alias(record_key),

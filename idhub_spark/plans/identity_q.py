@@ -186,8 +186,8 @@ def identity_link_back(spark, sf_dir):
                   ELSE 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS global_subject_id
       FROM customer)
     SELECT i.local_subject_id, i.identifier_type,
-           CASE WHEN i.global_subject_id <> e.global_subject_id THEN 'multi_gsid'
-                ELSE 'center_mismatch' END AS conflict_type,
+           CASE WHEN i.center_id <> e.center_id THEN 'center_mismatch'
+                ELSE 'multi_gsid' END AS conflict_type,
            i.center_id AS incoming_center_id, e.center_id AS existing_center_id,
            i.global_subject_id AS incoming_gsid, e.global_subject_id AS existing_gsid,
            TRUE AS requires_review
@@ -392,6 +392,88 @@ def resolution_log_q(spark, sf_dir):
         "global_subject_id",
         "requires_review",
         "batch_id",
+    )
+
+
+@query(
+    "alias_resolution",
+    f"""
+    WITH incoming AS (
+      SELECT o_orderkey AS record_key,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'al-' || CAST(o_custkey % 25 AS VARCHAR)
+                  WHEN o_orderkey % 4 = 1 THEN upper(c_name)
+                  WHEN o_orderkey % 4 = 2 THEN 'AL-' || CAST(o_custkey % 25 AS VARCHAR)
+                  ELSE 'NOPE-' || CAST(o_orderkey AS VARCHAR) END AS local_subject_id
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    registry AS (
+      SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
+             c_custkey AS created_at
+      FROM customer),
+    aliases AS (
+      SELECT 'AL-' || CAST(n_nationkey AS VARCHAR) AS alias,
+             'G-A' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0') AS global_subject_id,
+             n_nationkey - 1000 AS created_at
+      FROM nation),
+    lookup AS (
+      SELECT lower(local_subject_id) AS k, global_subject_id AS gsid, created_at
+      FROM registry
+      UNION ALL
+      SELECT lower(alias), global_subject_id, created_at FROM aliases),
+    matched AS (
+      SELECT i.record_key, l.gsid, l.created_at
+      FROM incoming i LEFT JOIN lookup l ON lower(i.local_subject_id) = l.k)
+    SELECT record_key,
+           COUNT(DISTINCT gsid) AS n_matches,
+           CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
+                WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
+                ELSE 'conflict_resolved' END AS action,
+           min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+           COUNT(DISTINCT gsid) > 1 AS requires_review
+    FROM matched
+    GROUP BY record_key
+    """,
+    doc="subject_alias path (01-schema.sql:35-39): candidates resolve "
+    "through the alias->GSID table exactly like local_subject_ids — "
+    "one unioned lookup side, case-insensitive, with the alias rows' "
+    "created_at participating in the oldest-wins tie-break.",
+)
+def alias_resolution(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "orders", "nation")
+    o = t["orders"].join(
+        t["customer"].select("c_custkey", "c_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cand = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit("al-"), (F.col("o_custkey") % 25).cast("string")),
+        )
+        .when(F.col("o_orderkey") % 4 == 1, F.upper(F.col("c_name")))
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(F.lit("AL-"), (F.col("o_custkey") % 25).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("NOPE-"), F.col("o_orderkey").cast("string")))
+    )
+    ids_long = o.select(
+        F.col("o_orderkey").alias("record_key"),
+        cand.alias("local_subject_id"),
+        F.lit("any").alias("identifier_type"),
+    )
+    aliases = t["nation"].select(
+        F.concat(F.lit("AL-"), F.col("n_nationkey").cast("string")).alias("alias"),
+        F.concat(
+            F.lit("G-A"), F.lpad(F.col("n_nationkey").cast("string"), 8, "0")
+        ).alias("global_subject_id"),
+        (F.col("n_nationkey") - 1000).alias("created_at"),
+    )
+    out = dispatch_matches(match_registry(ids_long, _registry_df(t), aliases))
+    return out.select(
+        "record_key",
+        F.size("matched_gsids").alias("n_matches"),
+        "action",
+        "global_subject_id",
+        "requires_review",
     )
 
 

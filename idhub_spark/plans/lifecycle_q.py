@@ -25,8 +25,8 @@ from idhub_spark.queries import query, tables
                   ELSE 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS global_subject_id
       FROM customer)
     SELECT conflict_type, COUNT(*) AS n FROM (
-      SELECT CASE WHEN i.global_subject_id <> e.global_subject_id THEN 'multi_gsid'
-                  ELSE 'center_mismatch' END AS conflict_type
+      SELECT CASE WHEN i.center_id <> e.center_id THEN 'center_mismatch'
+                  ELSE 'multi_gsid' END AS conflict_type
       FROM incoming i JOIN existing e ON i.local_subject_id = e.local_subject_id
       WHERE i.center_id <> e.center_id OR i.global_subject_id <> e.global_subject_id)
     GROUP BY conflict_type

@@ -19,6 +19,7 @@ open windows only within the lateness horizon.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,7 @@ def incremental_file_merge(
     schema: str,
     natural_key: list[str],
     table_name: str = "table",
+    order_col: str | None = None,
 ) -> None:
     """Consume new parquet fragments from staging_dir and upsert them
     into the snapshot at table_dir, exactly once per file, resumable
@@ -76,8 +78,32 @@ def incremental_file_merge(
     the reference's cron batch, minus the offset bookkeeping code).
     """
 
+    def _dedupe(batch_df: DataFrame) -> DataFrame:
+        # two staged files in one AvailableNow trigger can carry the
+        # same key; collapse to ONE deterministic winner per key before
+        # the upsert so replays stay idempotent (order_col desc when
+        # given — e.g. an ingest timestamp — else all value columns
+        # desc for a stable arbitrary-but-deterministic pick)
+        from pyspark.sql.window import Window
+
+        if order_col and order_col in batch_df.columns:
+            order = [F.col(order_col).desc_nulls_last()]
+        else:
+            order = [
+                F.col(c).desc_nulls_last()
+                for c in batch_df.columns
+                if c not in natural_key
+            ] or [F.lit(1)]
+        w = Window.partitionBy(*natural_key).orderBy(*order)
+        return (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        batch_df = _dedupe(batch_df)
         if os.path.exists(table_dir):
             current = s.read.parquet(table_dir)
             merged = merge_upsert(
@@ -85,13 +111,14 @@ def incremental_file_merge(
                 batch_id=str(batch_id),
             ).merged
         else:
-            merged = batch_df.dropDuplicates(natural_key)
+            merged = batch_df
         # snapshot-replace: stage then swap (object stores: write to a
         # new prefix and flip a pointer; Delta/Iceberg: MERGE INTO)
         tmp = table_dir + f".tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         out = s.read.parquet(tmp)
         out.write.mode("overwrite").parquet(table_dir)
+        shutil.rmtree(tmp, ignore_errors=True)  # local FS; object stores: delete prefix
 
     stream = (
         spark.readStream.schema(schema)

@@ -197,6 +197,101 @@ def test_resolution_partition_invariance(spark):
     }
 
 
+def test_component_adoption_oldest_by_created_at(spark):
+    """Component GSID adoption must pick oldest by (created_at, gsid),
+    not lexical GSID order (identity_resolution.py:180-183): here the
+    lexically-smallest GSID is the NEWEST registry row."""
+    registry = spark.createDataFrame(
+        [
+            ("OLDEST-ID", "GSID-ZZZ9", "2019-01-01"),  # oldest, lexically last
+            ("NEWER-ID", "GSID-AAA1", "2023-01-01"),  # newest, lexically first
+        ],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    )
+    ids = spark.createDataFrame(
+        [
+            (40, "OLDEST-ID", "t"),
+            (40, "BR-X", "t"),
+            (41, "NEWER-ID", "t"),
+            (41, "BR-X", "t"),
+            (42, "BR-X", "t"),  # unmatched; adopts the component's oldest GSID
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    out = {r.record_key: r for r in resolve_identities(ids, registry).collect()}
+    assert out[42].action == "link_existing"
+    assert out[42].global_subject_id == "GSID-ZZZ9"
+
+
+def test_mint_unique_across_batches(spark):
+    """Two batches whose components share record keys (both start at 0)
+    must NOT mint the same GSID for different subjects: seeds are
+    content-derived (identifier set + batch salt), not row keys."""
+    cols = ["record_key", "local_subject_id", "identifier_type"]
+    reg = _registry(spark)
+    b1 = resolve_identities(
+        spark.createDataFrame([(0, "SUBJ-ONE", "t")], cols), reg, batch_salt="b1"
+    ).collect()[0]
+    b2 = resolve_identities(
+        spark.createDataFrame([(0, "SUBJ-TWO", "t")], cols), reg, batch_salt="b2"
+    ).collect()[0]
+    assert b1.global_subject_id != b2.global_subject_id
+    # determinism: same content + same salt -> same GSID
+    again = resolve_identities(
+        spark.createDataFrame([(0, "SUBJ-ONE", "t")], cols), reg, batch_salt="b1"
+    ).collect()[0]
+    assert again.global_subject_id == b1.global_subject_id
+
+
+def test_alias_path_resolution(spark):
+    """subject_alias rows (01-schema.sql:35-39) are a second identifier
+    path: alias matches resolve to the alias's GSID, and the alias's
+    created_at participates in the oldest-wins tie-break."""
+    aliases = spark.createDataFrame(
+        [("OLD-ALIAS", "GSID-VIAALIAS", "2010-01-01")],
+        ["alias", "global_subject_id", "created_at"],
+    )
+    ids = spark.createDataFrame(
+        [
+            (1, "old-alias", "t"),  # alias-only, case-insensitive
+            (2, "IBDGC-001", "t"),  # registry path still works
+            (3, "OLD-ALIAS", "t"),  # alias (2010) beats registry OLD1 (2020)
+            (3, "IBDGC-001", "t"),
+        ],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    out = {
+        r.record_key: r
+        for r in resolve_identities(ids, _registry(spark), aliases=aliases).collect()
+    }
+    assert out[1].action == "link_existing"
+    assert out[1].global_subject_id == "GSID-VIAALIAS"
+    assert out[2].global_subject_id == "GSID-OLD1"
+    assert out[3].action == "conflict_resolved"
+    assert out[3].global_subject_id == "GSID-VIAALIAS"
+
+
+def test_mint_registry_collision_remints(spark):
+    """A minted GSID already present in the registry re-mints with the
+    retry salt (the distributed analog of generate_unique_gsids'
+    check-and-retry loop)."""
+    cols = ["record_key", "local_subject_id", "identifier_type"]
+    batch = spark.createDataFrame([(0, "COLLIDE-ME", "t")], cols)
+    first = resolve_identities(batch, _registry(spark), batch_salt="s").collect()[0]
+    # plant the exact minted GSID in the registry under an unrelated id
+    poisoned = _registry(spark).union(
+        spark.createDataFrame(
+            [("OTHER-SUBJECT", first.global_subject_id, "2020-06-06")],
+            ["local_subject_id", "global_subject_id", "created_at"],
+        )
+    )
+    second = resolve_identities(batch, poisoned, batch_salt="s").collect()[0]
+    assert second.action == "create_new"
+    assert second.global_subject_id != first.global_subject_id
+    assert re.match(GSID_REGEX, second.global_subject_id)
+    assert not second.requires_review
+
+
 # --- change classification / merge ----------------------------------------
 
 
@@ -252,6 +347,29 @@ def test_merge_immutable_protection(spark):
     assert row.s == "keep" and row.v == 2.0
 
 
+def test_merge_narrow_fragment_preserves_unseen_columns(spark):
+    """A fragment carrying a SUBSET of the table's columns (the normal
+    update-strategy case) must patch only the columns it carries —
+    current-only columns survive on every row of the merged snapshot."""
+    current = spark.createDataFrame(
+        [(1, "a", 10.0, "keep1"), (2, "b", 20.0, "keep2")],
+        ["k", "s", "v", "extra"],
+    )
+    incoming = spark.createDataFrame(
+        [(2, "b2", 25.0, 7), (3, "c", 30.0, 8)], ["k", "s", "v", "novel"]
+    )
+    r = merge_upsert(incoming, current, ["k"], table_name="t", batch_id="b")
+    merged = {x.k: x for x in r.merged.collect()}
+    assert set(r.merged.columns) == {"k", "s", "v", "extra", "novel"}
+    # kept row: untouched, incoming-only column null
+    assert merged[1].extra == "keep1" and merged[1].novel is None
+    # patched row: carried columns updated, current-only preserved
+    assert merged[2].s == "b2" and merged[2].v == 25.0
+    assert merged[2].extra == "keep2" and merged[2].novel == 7
+    # fresh row: current-only column null
+    assert merged[3].extra is None and merged[3].novel == 8
+
+
 # --- fuzzy matching --------------------------------------------------------
 
 
@@ -296,13 +414,20 @@ def test_detect_conflicts_and_duplicates(spark):
         ["local_subject_id", "identifier_type", "center_id", "global_subject_id"],
     )
     incoming = spark.createDataFrame(
-        [("a1", "t", 1, "G9"), ("B2", "t", 5, "G3")],
+        [("a1", "t", 1, "G9"), ("B2", "t", 5, "G3"), ("B2", "s", 9, "G9")],
         ["local_subject_id", "identifier_type", "center_id", "global_subject_id"],
     )
-    conf = detect_conflicts(incoming, existing).collect()
-    types = {(r.local_subject_id, r.conflict_type) for r in conf}
-    assert ("a1", "multi_gsid") in types
-    assert ("B2", "center_mismatch") in types
+    # give existing a row where BOTH center and gsid mismatch
+    both = spark.createDataFrame(
+        [("B2", "s", 2, "G3")],
+        ["local_subject_id", "identifier_type", "center_id", "global_subject_id"],
+    )
+    conf = detect_conflicts(incoming, existing.union(both)).collect()
+    types = {(r.local_subject_id, r.identifier_type, r.conflict_type) for r in conf}
+    assert ("a1", "t", "multi_gsid") in types
+    assert ("B2", "t", "center_mismatch") in types
+    # center-mismatch precedence when both mismatch (conflict_detector.py:61-83)
+    assert ("B2", "s", "center_mismatch") in types
 
     dups = find_duplicates(existing).collect()
     assert len(dups) == 1 and dups[0].gsids == ["G1", "G2"]

@@ -216,6 +216,55 @@ def test_rest_source_partial_success(spark):
     assert src.last_offset >= 2
 
 
+def test_redcap_metadata_scan_and_mapping_check(spark):
+    """S2: data-dictionary scan (redcap_client.py:189-204) + mapping
+    validation against it before any record fetch."""
+    from idhub_spark.config import FragmentMapping
+    from idhub_spark.sources.rest import redcap_metadata
+    from idhub_spark.validate import validate_mapping_against_dictionary
+
+    dictionary = [
+        {"field_name": "record_id", "form_name": "f1", "field_type": "text",
+         "field_label": "Record", "required_field": "y"},
+        {"field_name": "reg_date", "form_name": "f1", "field_type": "text",
+         "field_label": "Registered",
+         "text_validation_type_or_show_slider_number": "date_ymd"},
+        {"field_name": "consortium_id", "form_name": "f1", "field_type": "text",
+         "field_label": "Consortium ID", "identifier": "y"},
+    ]
+    calls = {"fail_once": True}
+
+    def fetch():
+        if calls["fail_once"]:
+            calls["fail_once"] = False
+            raise ConnectionError("transient")
+        return dictionary
+
+    md = redcap_metadata(spark, fetch, sleep=lambda s: None)
+    assert md.count() == 3
+    assert {r.field_name for r in md.collect()} == {
+        "record_id", "reg_date", "consortium_id",
+    }
+
+    ok_map = FragmentMapping(
+        table_name="subjects",
+        field_mapping={"registration_year": "reg_date"},
+        subject_id_candidates={"consortium_id": "consortium"},
+    )
+    rep = validate_mapping_against_dictionary(ok_map, md)
+    assert rep.ok and rep.field_types["reg_date"] == "text"
+
+    bad_map = FragmentMapping(
+        table_name="subjects",
+        field_mapping={"x": "not_in_dictionary"},
+        subject_id_candidates={"ghost": "site"},
+    )
+    rep2 = validate_mapping_against_dictionary(bad_map, md)
+    assert not rep2.ok
+    assert rep2.missing_sources == ["not_in_dictionary"]
+    assert rep2.missing_candidates == ["ghost"]
+
+
 def test_load_mapping_dialects(tmp_path):
     import json
 

@@ -116,6 +116,41 @@ def test_incremental_file_merge_exactly_once(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_incremental_merge_dedupes_within_trigger(spark, tmp_path):
+    """Two staged files carrying the same key in ONE AvailableNow
+    trigger collapse to one deterministic winner (max order_col) —
+    no duplicate rows in the snapshot — and .tmp staging dirs are
+    removed after the swap."""
+    staging = str(tmp_path / "staging2")
+    table = str(tmp_path / "table2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(staging)
+    spark.createDataFrame([(1, "old", 1.0)], ["k", "s", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    spark.createDataFrame([(1, "new", 2.0)], ["k", "s", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    incremental_file_merge(
+        spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+        schema=SCHEMA, natural_key=["k"], order_col="v",
+    )
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 1 and rows[0].v == 2.0 and rows[0].s == "new"
+    assert not [p for p in os.listdir(str(tmp_path)) if ".tmp-" in p]
+
+    # a later batch with in-batch dupes against an existing table
+    spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 9.0), (2, "z", 1.0)], ["k", "s", "v"]
+    ).coalesce(1).write.mode("append").parquet(staging)
+    incremental_file_merge(
+        spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+        schema=SCHEMA, natural_key=["k"], order_col="v",
+    )
+    got = {r.k: r for r in spark.read.parquet(table).collect()}
+    assert len(got) == 2 and got[1].v == 9.0 and got[2].v == 1.0
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState keeps per-user totals across
     micro-batches (custom stateful operator, §2.12 extension)."""
