@@ -145,11 +145,79 @@ _EXACT_ORACLE = f"""
     """
 
 
-_N_HASHES = 4  # 2 bands x 2 rows: recall ~ 1-(1-j^2)^2
+_N_HASHES = 4  # oracle-checked default: 2 bands x 2 rows
 
 
 def _sql_minhash(i):
     return f"min(md5(CAST({i} AS VARCHAR) || ':' || sh))"
+
+
+def minhash_lsh_pairs(
+    corpus,
+    *,
+    n_hashes: int = _N_HASHES,
+    bands: int = 2,
+    threshold: float = 0.5,
+):
+    """Parameterized MinHash+LSH near-duplicate pairs.
+
+    Banding recall: with r = n_hashes/bands rows per band, a pair with
+    true Jaccard j becomes a candidate with probability
+    1 - (1 - j^r)^bands (the S-curve of the original LSH formulation).
+    The 4/2 default is toy-sized for the oracle gate; at corpus scale
+    pick e.g. n_hashes=128, bands=32 (r=4) for a ~0.5-threshold knee
+    with >0.97 recall at j=0.8.
+
+    Plan shape (scale-safe at any parameterization): shingle explode
+    -> per-doc signature (ONE partial-aggregated groupBy; the shuffle
+    carries n_hashes 32-byte minima per doc, not shingles) -> band
+    keys -> self-join per band bucket (|bucket|^2 per bucket, never
+    |corpus|^2) -> exact-Jaccard verify on candidates only.
+    """
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("n_hashes must be divisible by bands")
+    sh = _shingles(corpus)
+    hashes = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*hashes)
+    bands_df = None
+    for bi in range(bands):
+        cols = [f"h{bi * rows + r}" for r in range(rows)]
+        part = sigs.select(
+            "doc_id", F.lit(bi).alias("band"), F.concat_ws("|", *cols).alias("bkey")
+        )
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 @query(
@@ -190,48 +258,7 @@ def _sql_minhash(i):
 )
 def minhash_lsh_dedup(spark, sf_dir):
     t = tables(spark, sf_dir, "documents")
-    sh = _shingles(_corpus(t))
-    hashes = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*hashes)
-    bands = sigs.select(
-        "doc_id", F.lit(0).alias("band"), F.concat_ws("|", "h0", "h1").alias("bkey")
-    ).unionByName(
-        sigs.select(
-            "doc_id", F.lit(1).alias("band"), F.concat_ws("|", "h2", "h3").alias("bkey")
-        )
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return out.select("doc_a", "doc_b", "jaccard")
+    return minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b", "jaccard")
 
 
 @query(
@@ -286,15 +313,29 @@ _SIMHASH_ORACLE = f"""
     """
 
 
+# stop-shingle cap: a shingle held by more than this many documents is
+# dropped from the inverted index BEFORE the self-join. Without it any
+# high-frequency boilerplate shingle makes the join quadratic in its
+# posting-list length (10^6 docs sharing one 3-gram => 10^12 candidate
+# pairs) — the one unbounded term in this plan at corpus scale. Stop
+# shingles carry ~no Jaccard signal (they're in everything), so both
+# the intersection AND the per-doc sizes use the filtered universe,
+# keeping the estimate symmetric.
+_SHINGLE_DF_CAP = 50
+
 @query(
     "ngram_jaccard_pairs",
     f"""
     WITH {_CORPUS_SQL},
     {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    hot AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+    idx AS (
+      SELECT s.doc_id, s.sh FROM shingles s
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b)
     SELECT i.doc_a, i.doc_b,
            CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
@@ -304,20 +345,35 @@ _SIMHASH_ORACLE = f"""
     WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
     """,
     doc="All-pairs n-gram Jaccard >= 0.6 via inverted shingle index "
-    "self-join (pairs only materialize where shingles collide; at "
-    "scale, cap per-shingle doc lists / add the LSH prefilter above).",
+    "self-join with a stop-shingle document-frequency cap "
+    f"(df > {_SHINGLE_DF_CAP} dropped) so no posting list is ever "
+    "unbounded — pairs only materialize where informative shingles "
+    "collide.",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir, "documents")
-    # persist the inverted index: it feeds both self-join sides AND
-    # the per-doc sizes (3 consumers); without the cache each consumer
-    # re-runs the explode+distinct shuffle (measured 6.0s -> 2.5s at
-    # sf0.1). At cluster scale this is persist(DISK) or a staged table.
+    # persist the inverted index: it feeds the stop-shingle count,
+    # both self-join sides AND the per-doc sizes; without the cache
+    # each consumer re-runs the explode+distinct shuffle (measured
+    # 6.0s -> 2.5s at sf0.1). At cluster scale this is persist(DISK)
+    # or a staged table.
     sh = _shingles(_corpus(t)).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # shingles are distinct per (doc, sh), so COUNT(*) per sh is the
+    # document frequency; the anti-join against the (small) hot list
+    # is a broadcast filter over the cached index
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    # persist the FILTERED index too: its three consumers (sizes, both
+    # self-join sides) would otherwise each recompute the anti-join
+    idx = sh.join(hot, "sh", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

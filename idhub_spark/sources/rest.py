@@ -48,6 +48,35 @@ def fetch_with_retry(
     raise last  # type: ignore[misc]
 
 
+# REDCap data-dictionary columns (content=metadata response,
+# redcap_client.py:189-204; the standard REDCap dictionary export)
+REDCAP_METADATA_SCHEMA = (
+    "field_name string, form_name string, field_type string, "
+    "field_label string, select_choices_or_calculations string, "
+    "text_validation_type_or_show_slider_number string, "
+    "required_field string, identifier string"
+)
+_METADATA_FIELDS = [c.split()[0] for c in REDCAP_METADATA_SCHEMA.split(", ")]
+
+
+def redcap_metadata(
+    spark: SparkSession,
+    fetch_dictionary: Callable[[], list[dict]],
+    *,
+    sleep=time.sleep,
+):
+    """S2: the REDCap data dictionary as a DataFrame
+    (redcap-pipeline/services/redcap_client.py:189-204, content=
+    'metadata'). The dictionary is one small unpaginated payload, so
+    this is a driver-side fetch (same retry contract as the record
+    scan) that becomes a broadcast-sized dimension frame; join it
+    against mapping configs to validate source fields before a load.
+    """
+    records = fetch_with_retry(fetch_dictionary, sleep=sleep)
+    rows = [{k: (r.get(k) if r.get(k) != "" else None) for k in _METADATA_FIELDS} for r in records]
+    return spark.createDataFrame(rows, schema=REDCAP_METADATA_SCHEMA)
+
+
 class RestSource:
     """Offset/limit-paginated scan -> DataFrame."""
 

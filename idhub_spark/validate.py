@@ -79,3 +79,37 @@ def infer_source_schema(df: DataFrame) -> dict[str, str]:
     """S2-style metadata helper: column -> Spark type name for a
     scanned source, used to draft mapping configs."""
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+@dataclass
+class DictionaryReport:
+    ok: bool
+    missing_sources: list[str] = field(default_factory=list)
+    missing_candidates: list[str] = field(default_factory=list)
+    field_types: dict[str, str] = field(default_factory=dict)
+
+
+def validate_mapping_against_dictionary(mapping, dictionary: DataFrame) -> DictionaryReport:
+    """S2: check a FragmentMapping's source fields against the REDCap
+    data dictionary (sources.rest.redcap_metadata) BEFORE fetching
+    records — the reference pulls the dictionary for exactly this
+    mapping sanity pass (redcap_client.py:189-204 + data_processor's
+    field lookups). The dictionary is tiny; one collect."""
+    known = {
+        r.field_name: r.field_type
+        for r in dictionary.select("field_name", "field_type").collect()
+    }
+    missing_sources = sorted(
+        src for src in mapping.field_mapping.values() if src not in known
+    )
+    missing_candidates = sorted(
+        c for c in mapping.subject_id_candidates
+        if c not in known and c not in mapping.field_mapping
+    )
+    used = set(mapping.field_mapping.values()) | set(mapping.subject_id_candidates)
+    return DictionaryReport(
+        ok=not missing_sources and not missing_candidates,
+        missing_sources=missing_sources,
+        missing_candidates=missing_candidates,
+        field_types={f: t for f, t in known.items() if f in used},
+    )
