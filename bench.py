@@ -48,17 +48,37 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    sf_val = float(sf) if sf else None
+
+    # Full per-query detail goes to a sidecar file; the stdout line is
+    # kept under ~1900 bytes because the driver records only the LAST
+    # 2000 bytes of stdout — a longer line gets its head cut off and
+    # becomes unparseable (r1's BENCH tail proved this). The stdout
+    # queries dict carries the headline five plus the slowest entries
+    # that fit; everything is always in the sidecar.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_queries_full.json"), "w") as f:
+        json.dump({"queries": timings, "sf": sf_val, "total": round(total, 4)}, f)
+
+    ordered = [n for n in HEADLINE if n in timings] + [
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+        if n not in HEADLINE
+    ]
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "detail_file": "bench_queries_full.json",
+        "sf": sf_val,
+    }
+    for name in ordered:
+        out["queries"][name] = timings[name]
+        if len(json.dumps(out, separators=(",", ":"))) > 1800:
+            del out["queries"][name]
+            break
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
