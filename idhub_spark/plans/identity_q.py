@@ -479,12 +479,20 @@ def alias_resolution(spark, sf_dir):
 
 @query(
     "identity_components",
-    None,  # iterative algorithm: no single-query SQL twin (SURVEY §2 note)
+    """
+    SELECT component, COUNT(*) AS n_records FROM (
+      SELECT min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+      FROM orders WHERE o_orderkey % 5 = 0)
+    GROUP BY component
+    """,
     doc="Within-batch connected components over the record<->identifier "
     "bipartite graph (operators/identity.py, the sequential-parity "
-    "algorithm). Iterative label propagation is not expressible as one "
-    "SQL query, so the driver records the rows-only check; component "
-    "correctness is pinned by unit + randomized invariant tests.",
+    "algorithm). General iterative label propagation has no single-SQL "
+    "twin, but THIS demo graph gives each record exactly one identifier "
+    "(its customer), so its transitive closure is per-customer groups "
+    "and the min-label convention is expressible as a window — the "
+    "oracle pins the algorithm's output on star graphs; multi-hop "
+    "chains are pinned by unit + randomized invariant tests.",
 )
 def identity_components(spark, sf_dir):
     from idhub_spark.operators.identity import connected_components

@@ -162,6 +162,58 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @query(
+    "repetition_filter",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws,
+                 list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS gs
+          FROM w)
+    SELECT doc_id,
+           len(ws) AS n_words,
+           1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS dup_word_ratio,
+           CASE WHEN len(gs) > 0
+                THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+                ELSE 0.0 END AS dup_2gram_ratio,
+           (1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) <= 0.3
+           AND (CASE WHEN len(gs) > 0
+                     THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+                     ELSE 0.0 END) <= 0.2 AS keep
+    FROM g
+    """,
+    doc="Repetition-based quality filter (the Gopher-rules family): "
+    "per-doc duplicate-word and duplicate-2-gram ratios with keep "
+    "thresholds (0.3 / 0.2). Pure array projection — distinct counts "
+    "happen inside the row, so at 100 TB this is a shuffle-free scan.",
+)
+def repetition_filter(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    with_ws = t["documents"].select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    with_gs = with_ws.select(
+        "doc_id",
+        "ws",
+        F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("gs"),
+    )
+    n_w = F.size("ws").cast("double")
+    n_g = F.size("gs")
+    dup_w = 1.0 - F.size(F.array_distinct("ws")).cast("double") / n_w
+    dup_g = F.when(
+        n_g > 0, 1.0 - F.size(F.array_distinct("gs")).cast("double") / n_g.cast("double")
+    ).otherwise(F.lit(0.0))
+    return with_gs.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        dup_w.alias("dup_word_ratio"),
+        dup_g.alias("dup_2gram_ratio"),
+        ((dup_w <= 0.3) & (dup_g <= 0.2)).alias("keep"),
+    )
+
+
+@query(
     "vocabulary_topk",
     """
     SELECT w AS token, COUNT(*) AS freq

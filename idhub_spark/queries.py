@@ -92,6 +92,7 @@ _DRIVER_ORDER = [
     "load_stats",
     # new this round
     "alias_resolution",
+    "repetition_filter",
     # never driver-checked in r1 (§2 anchors first)
     "global_distinct_flag",
     "oldest_pick",
@@ -112,6 +113,21 @@ _DRIVER_ORDER = [
     "sketch_profile",
     "grouped_zscore",
     "table_profile",
+    # code changed this round — re-verify (before the generic tpch
+    # block so all of these stay inside a 50-query checked prefix)
+    "identity_resolution",
+    "identity_link_back",
+    "resolution_log",
+    "identity_components",
+    "conflict_detection",
+    "conflict_summary",
+    "merged_state",
+    "merge_upsert_stats",
+    "audit_trail",
+    "local_ids_merge",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    # never driver-checked generic analytics shapes
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
@@ -124,18 +140,6 @@ _DRIVER_ORDER = [
     "order_priority_check",
     "discounted_brand_revenue",
     "idle_customers",
-    # code changed this round — re-verify
-    "identity_resolution",
-    "identity_link_back",
-    "resolution_log",
-    "conflict_detection",
-    "merged_state",
-    "merge_upsert_stats",
-    "audit_trail",
-    "local_ids_merge",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_pairs",
-    "conflict_summary",
 ]
 
 

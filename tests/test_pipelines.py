@@ -265,6 +265,39 @@ def test_redcap_metadata_scan_and_mapping_check(spark):
     assert rep2.missing_candidates == ["ghost"]
 
 
+def test_jdbc_source_options():
+    """S6: JDBC option plumbing — partitioned scans enforced, pushdown
+    query supported (sandbox has no database; the option surface is
+    the real spark.read.format('jdbc') contract)."""
+    import pytest
+
+    from idhub_spark.sources.jdbc import JdbcSource, s3a_session_configs
+
+    src = JdbcSource(
+        url="jdbc:postgresql://db:5432/idhub",
+        table="(SELECT local_subject_id, global_subject_id FROM local_subject_ids) AS t",
+        user="u",
+        password="p",
+        partition_column="center_id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=16,
+    )
+    opts = src.options()
+    assert opts["numPartitions"] == "16" and opts["partitionColumn"] == "center_id"
+    assert opts["fetchsize"] == "10000"
+    assert opts["dbtable"].startswith("(SELECT")
+
+    with pytest.raises(ValueError):
+        JdbcSource(
+            url="jdbc:postgresql://db/x", table="t", partition_column="id"
+        ).options()
+
+    cfg = s3a_session_configs(endpoint="http://minio:9000")
+    assert cfg["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert cfg["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+
 def test_load_mapping_dialects(tmp_path):
     import json
 
