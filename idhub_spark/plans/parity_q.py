@@ -1,0 +1,244 @@
+"""Driver anchors for §2 rows without their own oracle query yet:
+P15 flexible timestamp parse, F2 invalid-GSID row filter, F3
+conflict-exclusion anti-join, J11 subject enrichment joins, J12
+family linkage.
+
+Each models its reference operator over the synthetic star schema the
+same way identity_q does: deterministic fixtures derived from
+customer/orders/nation, the library operator on the Spark side, the
+same semantics re-derived in ANSI SQL on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idhub_spark.functions.expressions import GSID_REGEX, flexible_timestamp_expr
+from idhub_spark.operators.conflicts import apply_resolutions
+from idhub_spark.queries import query, tables
+
+
+@query(
+    "flexible_timestamp_parse",
+    """
+    SELECT o_orderkey,
+           CASE WHEN raw ~ '^[0-9]{12,}$'
+                THEN epoch_ms(CAST(raw AS BIGINT))
+                ELSE try_cast(raw AS TIMESTAMP) END AS parsed_ts
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(1500000000000 + o_orderkey * 1000 AS VARCHAR)
+                  WHEN o_orderkey % 3 = 1
+                    THEN '2023-0' || CAST(1 + o_orderkey % 9 AS VARCHAR)
+                         || '-11 08:30:0' || CAST(o_orderkey % 10 AS VARCHAR)
+                  ELSE 'not a time' END AS raw
+      FROM orders)
+    """,
+    doc="P15: flexible date/epoch parse (labkey_client.py:83-101) — "
+    "epoch-milliseconds recognized by shape (>=12 digits), ISO strings "
+    "through the normal parser, garbage -> NULL.",
+)
+def flexible_timestamp_parse(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.lit(1500000000000) + F.col("o_orderkey") * 1000).cast("string"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(
+                F.lit("2023-0"),
+                (1 + F.col("o_orderkey") % 9).cast("string"),
+                F.lit("-11 08:30:0"),
+                (F.col("o_orderkey") % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("not a time"))
+    )
+    return t["orders"].select(
+        "o_orderkey", flexible_timestamp_expr(raw).alias("parsed_ts")
+    )
+
+
+@query(
+    "gsid_filter",
+    """
+    SELECT gsid, o_orderkey FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                    THEN 'GSID-' || lower(lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, '7'))
+                  WHEN o_orderkey % 7 = 1
+                    THEN 'GSID-' || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, 'L')
+                  ELSE 'GSID-' || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, '7')
+             END AS gsid
+      FROM orders)
+    WHERE regexp_matches(gsid, '^GSID-[0-9A-HJ-NP-TV-Z]{16}$')
+    """,
+    doc="F2: invalid-GSID row filter (load_batch.py gate; format "
+    "contract gsid_generator.py:12) — rows whose GSID fails the "
+    "Crockford-alphabet regex are dropped before load. %7==0 plants "
+    "lowercase, %7==1 plants the excluded letter L.",
+)
+def gsid_filter(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    body = F.lpad((F.col("o_orderkey") % 100000).cast("string"), 16, "7")
+    gsid = (
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.concat(F.lit("GSID-"), F.lower(body))
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 1,
+            F.concat(
+                F.lit("GSID-"),
+                F.lpad((F.col("o_orderkey") % 100000).cast("string"), 16, "L"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("GSID-"), body))
+    )
+    return (
+        t["orders"]
+        .select(gsid.alias("gsid"), "o_orderkey")
+        .filter(F.col("gsid").rlike(GSID_REGEX))
+    )
+
+
+@query(
+    "conflict_exclusion",
+    """
+    SELECT i.local_subject_id, i.center_id
+    FROM (SELECT c_name AS local_subject_id, c_nationkey AS center_id,
+                 c_custkey FROM customer) i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT c_name AS local_subject_id,
+               CASE WHEN c_custkey % 3 = 0 THEN 'keep_existing'
+                    WHEN c_custkey % 3 = 1 THEN 'use_incoming'
+                    ELSE 'pending' END AS resolution_action
+        FROM customer WHERE c_custkey % 2 = 0) r
+      WHERE r.local_subject_id = i.local_subject_id
+        AND r.resolution_action IN ('keep_existing', 'delete_both', 'pending'))
+    """,
+    doc="F3: conflict-exclusion anti-join (loader.py:279-292) — "
+    "incoming rows whose key has a keep_existing/delete_both/pending "
+    "resolution are excluded from the load; use_incoming rows pass.",
+)
+def conflict_exclusion(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    incoming = t["customer"].select(
+        F.col("c_name").alias("local_subject_id"),
+        F.col("c_nationkey").alias("center_id"),
+    )
+    resolutions = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_name").alias("local_subject_id"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("keep_existing"))
+            .when(F.col("c_custkey") % 3 == 1, F.lit("use_incoming"))
+            .otherwise(F.lit("pending"))
+            .alias("resolution_action"),
+        )
+    )
+    return apply_resolutions(incoming, resolutions, ["local_subject_id"])
+
+
+@query(
+    "subject_enrichment",
+    """
+    SELECT s.global_subject_id, s.subject_name, n.n_name AS center_name,
+           COALESCE(ids.n_ids, 0) AS n_local_ids,
+           COALESCE(ids.total_value, 0.0) AS total_value
+    FROM (SELECT 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id,
+                 c_name AS subject_name, c_nationkey, c_custkey
+          FROM customer) s
+    JOIN nation n ON n.n_nationkey = s.c_nationkey
+    LEFT JOIN (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM orders GROUP BY o_custkey) ids ON ids.o_custkey = s.c_custkey
+    """,
+    doc="J11: subject enrichment joins (api.py get_subject / "
+    "routes.py:98-156) — subject x broadcast center dim x aggregated "
+    "identifier rollup; the dim join broadcasts, the rollup is "
+    "map-side combined before its shuffle.",
+)
+def subject_enrichment(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "nation", "orders")
+    subjects = t["customer"].select(
+        F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")).alias(
+            "global_subject_id"
+        ),
+        F.col("c_name").alias("subject_name"),
+        "c_nationkey",
+        "c_custkey",
+    )
+    rollup = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
+    )
+    return (
+        subjects.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            subjects["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(rollup, subjects["c_custkey"] == F.col("o_custkey"), "left")
+        .select(
+            "global_subject_id",
+            "subject_name",
+            F.col("n_name").alias("center_name"),
+            F.coalesce("n_ids", F.lit(0)).alias("n_local_ids"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "family_linkage",
+    """
+    SELECT family_id, COUNT(*) AS n_members,
+           min(global_subject_id) AS proband
+    FROM (
+      SELECT 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id,
+             'FAM-' || CAST(c_nationkey AS VARCHAR) || '-'
+                    || CAST(c_custkey % 500 AS VARCHAR) AS family_id
+      FROM customer)
+    GROUP BY family_id
+    HAVING COUNT(*) > 1
+    """,
+    doc="J12: family linkage (redcap_sync.py family fan-out; family "
+    "table 01-schema.sql) — subjects sharing a family key group into "
+    "one family row with a deterministic proband pick.",
+)
+def family_linkage(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer")
+    return (
+        t["customer"]
+        .select(
+            F.concat(
+                F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+            ).alias("global_subject_id"),
+            F.concat(
+                F.lit("FAM-"),
+                F.col("c_nationkey").cast("string"),
+                F.lit("-"),
+                (F.col("c_custkey") % 500).cast("string"),
+            ).alias("family_id"),
+        )
+        .groupBy("family_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("global_subject_id").alias("proband"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -61,6 +61,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     identity_q,
     lifecycle_q,
     multimodal_q,
+    parity_q,
     projections,
     sampling_q,
     similarity_q,
@@ -93,6 +94,11 @@ _DRIVER_ORDER = [
     # new this round
     "alias_resolution",
     "repetition_filter",
+    "flexible_timestamp_parse",
+    "gsid_filter",
+    "conflict_exclusion",
+    "subject_enrichment",
+    "family_linkage",
     # never driver-checked in r1 (§2 anchors first)
     "global_distinct_flag",
     "oldest_pick",
