@@ -59,6 +59,28 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_staging_csv(
+    df: DataFrame,
+    staging_root: str,
+    *,
+    batch_id: str,
+    table: str,
+    header: bool = True,
+    single_file: bool = False,
+) -> str:
+    """K1: the validated-fragment staging sink — the reference writes
+    `staging/validated/{batch_id}/{table}.csv` to S3
+    (fragment-validator/services/validator.py:139-145,
+    s3_client.py:22-41). Same keys here (local path or s3a://);
+    `single_file=True` coalesces to one part for small curated
+    fragments (the reference's one-CSV-per-table contract),
+    multi-part otherwise so big fragments write in parallel."""
+    path = f"{staging_root.rstrip('/')}/staging/validated/{batch_id}/{table}.csv"
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", header).csv(path)
+    return path
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -44,3 +44,21 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # partition pruning visible in the scan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_write_staging_csv_layout(spark, tmp_path):
+    """K1: staging layout staging/validated/{batch_id}/{table}.csv
+    (validator.py:139-145), readable back with the same schema."""
+    from idhub_spark.storage import write_staging_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    path = write_staging_csv(
+        df, str(tmp_path), batch_id="batch_20240101_x", table="subjects",
+        single_file=True,
+    )
+    assert path.endswith("staging/validated/batch_20240101_x/subjects.csv")
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 2 and set(back.columns) == {"k", "s"}
+    import glob
+    parts = glob.glob(path + "/part-*")
+    assert len(parts) == 1  # single-file contract
