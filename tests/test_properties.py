@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 COLS = ["record_key", "local_subject_id", "identifier_type"]
 REG_COLS = ["local_subject_id", "global_subject_id", "created_at"]
 
@@ -69,3 +71,66 @@ def test_resolution_invariants_randomized(spark):
                 assert out[rec].global_subject_id.startswith("GSID-REG"), (
                     f"seed {seed}: record {rec} id {i}"
                 )
+
+
+def test_mint_uniqueness_randomized(spark):
+    """Minted GSIDs are unique within a batch AND across batches with
+    different salts, and disjoint components never share a mint —
+    the distributed analog of the reference's registry-checked
+    uniqueness (gsid_generator.py:generate_unique_gsids)."""
+    from idhub_spark.operators.identity import resolve_identities
+
+    registry = spark.createDataFrame(
+        [], "local_subject_id string, global_subject_id string, created_at string"
+    )
+    seen: dict[str, tuple[int, str]] = {}
+    for seed in range(3):
+        edges, _ = _scenario(seed + 100)
+        ids = spark.createDataFrame([(rec, f"B{seed}-ID-{i}", "t") for rec, i in edges], COLS)
+        out = resolve_identities(ids, registry, batch_salt=f"batch-{seed}").collect()
+        # map each component to its minted GSID; no two components
+        # (within or across batches) may share one
+        for r in out:
+            key = (seed, r.component)
+            prior = seen.get(r.global_subject_id)
+            assert prior is None or prior == key, (
+                f"GSID {r.global_subject_id} minted for {prior} and {key}"
+            )
+            seen[r.global_subject_id] = key
+
+
+def test_merge_random_schema_subsets(spark):
+    """merge_upsert with a randomly-narrowed incoming schema never
+    loses current-only columns and stays idempotent."""
+    import random
+
+    from idhub_spark.operators.merge import merge_upsert
+
+    rng = random.Random(7)
+    all_cols = ["k", "a", "b", "c", "d"]
+    current = spark.createDataFrame(
+        [(i, f"a{i}", f"b{i}", float(i), i % 3) for i in range(20)], all_cols
+    )
+    for trial in range(3):
+        keep = ["k"] + sorted(rng.sample(["a", "b", "c", "d"], rng.randint(1, 3)))
+        incoming = (
+            current.filter(F.col("k") % 2 == trial % 2)
+            .select(*keep)
+            .withColumn(keep[1], F.lit("patched"))
+        )
+        r = merge_upsert(incoming, current, ["k"], table_name="t", batch_id=str(trial))
+        merged = r.merged
+        assert set(merged.columns) == set(all_cols), f"trial {trial}"
+        assert merged.count() == 20, f"trial {trial}"
+        # untouched columns keep their current values on every row
+        untouched = [c for c in ["a", "b", "c", "d"] if c not in keep]
+        for c in untouched:
+            joined = (
+                merged.alias("m")
+                .join(current.alias("cu"), "k")
+                .filter(~F.col(f"m.{c}").eqNullSafe(F.col(f"cu.{c}")))
+            )
+            assert joined.count() == 0, f"trial {trial} col {c}"
+        # idempotence: re-merge of merged state audits nothing
+        r2 = merge_upsert(merged, merged, ["k"])
+        assert r2.audit.count() == 0, f"trial {trial}"
