@@ -13,6 +13,7 @@ from idhub_spark.streaming.incremental import (
     hourly_rollup_plan,
     incremental_file_merge,
     session_agg_plan,
+    streaming_exact_dedup,
 )
 
-__all__ = ["hourly_rollup_plan", "incremental_file_merge", "session_agg_plan"]
+__all__ = ["hourly_rollup_plan", "incremental_file_merge", "session_agg_plan", "streaming_exact_dedup"]

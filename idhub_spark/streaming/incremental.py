@@ -61,6 +61,34 @@ def session_agg_plan(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch exact-dedup (plans/dedup_q.py):
+    keep the first occurrence of each key (e.g. a content hash) and
+    drop later duplicates arriving within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state by event
+    time: a key's state is evicted once the watermark passes it, so
+    state size is (arrival rate x horizon), not corpus size — the
+    property that makes streaming dedup of a 100 TB/day feed feasible.
+    (Plain dropDuplicates on a stream keeps ALL keys forever.)
+
+    On a batch DataFrame this degrades to plain dropDuplicates so the
+    same plan function serves both paths (the module's batch/stream
+    parity convention).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
 def incremental_file_merge(
     spark: SparkSession,
     *,

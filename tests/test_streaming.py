@@ -214,3 +214,41 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination()
     got = {r.user_id: r.tier for r in spark.table("enrich_sink").collect()}
     assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first occurrence of a
+    content hash and drops in-horizon duplicates; batch path degrades
+    to plain dropDuplicates (plan parity)."""
+    from idhub_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    rows = [
+        (1, "2024-01-01 00:00:00", "H-AAA"),
+        (2, "2024-01-01 00:05:00", "H-AAA"),  # dup within horizon
+        (3, "2024-01-01 00:10:00", "H-BBB"),
+        (4, "2024-01-01 00:12:00", "H-BBB"),  # dup within horizon
+        (5, "2024-01-01 00:20:00", "H-CCC"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "text_hash"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, ts timestamp, text_hash string").parquet(src)
+    q = (
+        streaming_exact_dedup(stream, key_cols=["text_hash"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.text_hash for r in spark.table("dedup_sink").collect()}
+    assert got == {"H-AAA", "H-BBB", "H-CCC"}
+    assert spark.table("dedup_sink").count() == 3
+
+    # batch parity
+    batch = streaming_exact_dedup(df, key_cols=["text_hash"])
+    assert batch.count() == 3
