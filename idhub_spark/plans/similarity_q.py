@@ -264,3 +264,23 @@ def ann_recall_at_k(spark, sf_dir):
         .groupBy(exact["query_id"].alias("query_id"))
         .agg((F.count("a_neighbor").cast("double") / 5.0).alias("recall_at_5"))
     )
+
+
+@query(
+    "ann_topk_ivf",
+    None,  # k-means fit is iterative — no single-SQL twin (same note
+    # as identity_components; recall vs the exact baseline is pinned
+    # by tests/test_ann.py)
+    doc="IVF ANN: DataFrame-native Lloyd's k-means (operators/ann.py) "
+    "partitions the corpus into inverted lists; each query scans only "
+    "its nprobe nearest lists. The honest scale path beyond sign-bit "
+    "buckets: per-query work is nprobe/k of the corpus, training "
+    "shuffles are bounded by k x dim.",
+)
+def ann_topk_ivf(spark, sf_dir):
+    from idhub_spark.operators.ann import ivf_topk, kmeans_fit
+
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    centroids = kmeans_fit(e, k=8, max_iter=2)
+    return ivf_topk(e, centroids, query_ids=list(range(8)), k=5, nprobe=2)
