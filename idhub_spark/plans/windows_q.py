@@ -121,8 +121,8 @@ def running_value_total(spark, sf_dir):
       FROM events),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       FROM gaps)
     SELECT user_id, session_no, COUNT(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end

@@ -56,10 +56,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     operators never pre-filter manually.
     """
     # The driver's harness builds its own bare SparkSession, so the
-    # builder-time conf in get_spark is not enough: events.parquet carries
-    # INT64 TIMESTAMP(NANOS) which Spark rejects unless this (runtime
-    # settable) legacy conf is on. Set it on whatever session we're given.
+    # builder-time confs in get_spark are not enough. Both of these are
+    # runtime-settable; set them on whatever session we're given:
+    # - events.parquet carries INT64 TIMESTAMP(NANOS), which Spark
+    #   rejects unless the legacy conf is on;
+    # - timestamp comparisons against the UTC-naive DuckDB oracle
+    #   require a UTC session timezone (free on a UTC host, load-
+    #   bearing anywhere else).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
