@@ -75,6 +75,93 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+def byte_histogram_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    n_bins: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature extraction over the binary column: an n_bins-bin
+    normalized byte-value histogram per payload — a REAL (not stubbed)
+    content feature computable without codec libraries, with the same
+    signature a CNN-embedding extractor would have:
+    (id, binary) -> (id, array<double> features).
+
+    Arrow-batched mapInPandas with numpy bincount per payload: the
+    Python work is O(bytes) vectorized, memory bounded by the Arrow
+    batch. The output feature column feeds the embedding operators
+    (ANN top-k, embedding_near_dup) unchanged — this is the bridge
+    from raw media to the similarity stack.
+    """
+    import numpy as np
+
+    width = 256 // n_bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
+                feats.append((hist / arr.size).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, f"{id_col} bigint, features array<double>"
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Resize plumbing: (id, binary) -> (id, binary, width, height).
+    The actual pixel resample requires PIL, which is NOT in this
+    container — the kernel raises NotImplementedError unless PIL is
+    importable; the Spark-side contract (schema, Arrow batching,
+    size-bucketed partitioning guidance) is the deliverable here.
+    """
+    try:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        def _resize(payload: bytes) -> bytes:
+            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format=img.format or "PNG")
+            return buf.getvalue()
+    except ImportError:
+
+        def _resize(payload: bytes) -> bytes:
+            raise NotImplementedError(
+                "image resample needs PIL; install pillow on the cluster "
+                "(plumbing contract is tested via byte_histogram_features)"
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_resize(p) for p in pdf[payload_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        batches, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every: int = 4) -> DataFrame:
     """Frame-sampling plumbing: chunk the binary payload into fixed
     'frames' and keep every Nth — the explode/array plumbing a real

@@ -65,3 +65,45 @@ def frame_sampling(spark, sf_dir):
             F.max("frame_no").alias("last_frame"),
         )
     )
+
+
+@query(
+    "binary_features",
+    """
+    WITH b AS (
+      SELECT doc_id, list_transform(string_split_regex(text, ''), c -> ord(c)) AS bytes
+      FROM documents),
+    h AS (
+      SELECT doc_id, bytes,
+             list_transform(range(0, 16), bin ->
+               len(list_filter(bytes, v -> v // 16 = bin))) AS counts
+      FROM b)
+    SELECT doc_id,
+           CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS dominant_bin,
+           CAST(list_max(counts) AS DOUBLE) / CAST(len(bytes) AS DOUBLE) AS dominant_share,
+           CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS nonzero_bins
+    FROM h
+    """,
+    doc="Feature extraction over the binary column: 16-bin byte-value "
+    "histogram per payload via Arrow mapInPandas + numpy bincount "
+    "(operators/multimodal.py:byte_histogram_features), projected to "
+    "scalar summaries (dominant bin with first-position tie-break, its "
+    "share, occupancy). The oracle re-derives the histogram from the "
+    "ASCII payload bytes declaratively — the Python batch path must "
+    "compute exactly what the SQL twin does.",
+)
+def binary_features(spark, sf_dir):
+    from idhub_spark.operators.multimodal import byte_histogram_features
+
+    t = tables(spark, sf_dir, "documents")
+    with_payload = t["documents"].select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feats = byte_histogram_features(with_payload)
+    mx = F.array_max("features")
+    return feats.select(
+        "doc_id",
+        (F.array_position(F.col("features"), mx) - 1).cast("int").alias("dominant_bin"),
+        mx.alias("dominant_share"),
+        F.size(F.filter("features", lambda v: v > 0)).alias("nonzero_bins"),
+    )

@@ -99,6 +99,7 @@ _DRIVER_ORDER = [
     "conflict_exclusion",
     "subject_enrichment",
     "family_linkage",
+    "binary_features",
     # never driver-checked in r1 (§2 anchors first)
     "global_distinct_flag",
     "oldest_pick",

@@ -51,3 +51,43 @@ def test_downsample_majority_only_hits_target_label(spark):
         counts[r.lang] = counts.get(r.lang, 0) + 1
     assert counts["de"] == 100  # untouched
     assert counts["en"] < 60  # ~10% of 200 kept
+
+
+def test_byte_histogram_features_exact(spark):
+    """mapInPandas byte histogram equals a direct numpy recompute and
+    sums to 1.0; empty payloads give the zero vector."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from idhub_spark.operators.multimodal import byte_histogram_features
+
+    rows = [(1, b"abcabc"), (2, bytes(range(256))), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.features for r in byte_histogram_features(df).collect()}
+    for doc_id, payload in rows:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            assert got[doc_id] == [0.0] * 16
+            continue
+        expect = (np.bincount(arr // 16, minlength=16)[:16] / arr.size).tolist()
+        assert got[doc_id] == expect, doc_id
+        assert abs(sum(got[doc_id]) - 1.0) < 1e-12
+
+
+def test_resize_image_gate(spark):
+    """resize_image's kernel is gated behind PIL: without it the action
+    raises NotImplementedError (schema/plumbing still valid)."""
+    import pytest
+
+    from idhub_spark.operators.multimodal import resize_image
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    out = resize_image(df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
+    try:
+        import PIL  # noqa: F401
+        out.collect()  # real kernel available
+    except ImportError:
+        with pytest.raises(Exception) as e:
+            out.collect()
+        assert "NotImplementedError" in str(e.value) or "PIL" in str(e.value)
