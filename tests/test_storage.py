@@ -62,3 +62,32 @@ def test_write_staging_csv_layout(spark, tmp_path):
     import glob
     parts = glob.glob(path + "/part-*")
     assert len(parts) == 1  # single-file contract
+
+
+def test_snapshot_store_versions_and_rollback(spark, tmp_path):
+    """Versioned snapshots: publish, merge, time-travel, rollback,
+    vacuum retention (idhub_spark/snapshots.py)."""
+    from idhub_spark.operators.merge import merge_upsert
+    from idhub_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "subjects"))
+    v1_df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    assert store.write(v1_df, note="initial") == 1
+
+    incoming = spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "s"])
+    merged = merge_upsert(incoming, store.read(spark), ["k"]).merged
+    assert store.write(merged, note="batch2") == 2
+
+    assert {r.k: r.s for r in store.read(spark).collect()} == {1: "a", 2: "b2", 3: "c"}
+    # time travel
+    assert {r.k: r.s for r in store.read(spark, version=1).collect()} == {1: "a", 2: "b"}
+    # rollback is metadata-only
+    store.rollback(1)
+    assert store.read(spark).count() == 2
+    store.rollback(2)
+
+    # vacuum keeps the newest `keep` + never the current pointer
+    store.write(store.read(spark), note="v3")
+    removed = store.vacuum(keep=2)
+    assert removed == [1]
+    assert store.read(spark, version=2).count() == 3
