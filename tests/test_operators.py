@@ -462,3 +462,70 @@ def test_resolution_log(spark):
     assert log["3"].requires_review
     assert log["3"].matched_gsids == '["GSID-OLD1","GSID-OLD3"]'
     assert all(r.batch_id == "b9" for r in log.values())
+
+
+def test_registration_year_differential(spark):
+    """Differential test: registration_year_expr vs a Python
+    datetime.strptime reference over seeded-random inputs across all
+    four formats, bare years, and malformed strings (one Spark job for
+    the whole batch, not one per example)."""
+    from datetime import datetime
+
+    def py_parse(s: str):
+        s = s.strip()
+        if s.isdigit() and len(s) == 4:
+            y = int(s)
+            return f"{y}-01-01" if 1900 <= y <= 2100 else None
+        # shape dispatch mirrors the operator: a 10-char string admits
+        # only the formats its separator position selects
+        if len(s) != 10:
+            return None
+        if s[4] == "-":
+            fmts = ["%Y-%m-%d"]
+        elif s[2] == "/":
+            fmts = ["%m/%d/%Y", "%d/%m/%Y"]
+        elif s[4] == "/":
+            fmts = ["%Y/%m/%d"]
+        else:
+            return None
+        for f in fmts:
+            try:
+                d = datetime.strptime(s, f)
+                if 1900 <= d.year <= 2100:
+                    return f"{d.year}-01-01"
+                return None
+            except ValueError:
+                continue
+        return None
+
+    samples = set()
+    import random
+
+    rnd = random.Random(11)
+    for _ in range(120):
+        y = rnd.randint(1850, 2150)
+        m = rnd.randint(1, 12)
+        day = rnd.randint(1, 28)
+        pick = rnd.randrange(5)
+        if pick == 0:
+            samples.add(f"{y:04d}-{m:02d}-{day:02d}")
+        elif pick == 1:
+            samples.add(f"{m:02d}/{day:02d}/{y:04d}")
+        elif pick == 2:
+            samples.add(f"{day:02d}/{m:02d}/{y:04d}")
+        elif pick == 3:
+            samples.add(f"{y:04d}/{m:02d}/{day:02d}")
+        else:
+            samples.add(str(y))
+    samples |= {"NA", "", "13/13/2000", "00/00/2000", "2000-13-01", "garbage!!"}
+    rows = [(s,) for s in sorted(samples)]
+    df = spark.createDataFrame(rows, ["d"])
+    got = {
+        r.d: (str(r.v) if r.v is not None else None)
+        for r in df.select("d", registration_year_expr(F.col("d")).alias("v")).collect()
+    }
+    for (s,) in rows:
+        expect = py_parse(s)
+        # MM/dd vs dd/MM ambiguity: the operator tries US first, then
+        # intl — py_parse mirrors that order, so expectations align
+        assert got[s] == expect, f"{s!r}: spark={got[s]} py={expect}"

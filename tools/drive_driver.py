@@ -26,9 +26,18 @@ import pandas as pd
 import __spark_entry__ as E
 from idhub_spark.session import ALL_TABLES, get_spark
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if not a.startswith("-")]
+SF = args[0] if args else "/root/testdata/sf0.01"
 
-spark = get_spark("driver_sim", cpus=8)
+if "--bare" in sys.argv:
+    # exact driver replica: default confs, nothing from get_spark —
+    # catches any conf-dependent behavior load_tables doesn't pin
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").appName("driver_sim_bare").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+else:
+    spark = get_spark("driver_sim", cpus=8)
 con = duckdb.connect()
 for t in ALL_TABLES:
     con.execute(
