@@ -50,6 +50,7 @@ def validate_fragment(
     *,
     registry: DataFrame,
     existing_ids: DataFrame | None = None,
+    aliases: DataFrame | None = None,
     target_schema=None,
     batch_id: str = "batch",
     record_key: str = "_record_id",
@@ -102,6 +103,7 @@ def validate_fragment(
         registry,
         batch_salt=batch_id,
         mint_ts_ms=F.unix_millis(F.current_timestamp()),
+        aliases=aliases,
     )
     with_gsid = mapped.join(
         resolved.select(

@@ -76,6 +76,26 @@ def test_validate_fragment_end_to_end(spark):
     assert lids == {"IBDGC-100", "ibdgc-200", "NEWSUBJ-1"}
 
 
+def test_validate_fragment_alias_path(spark):
+    """subject_alias rows resolve through the pipeline exactly like
+    local_subject_ids (alias -> GSID, case-insensitive)."""
+    aliases = spark.createDataFrame(
+        [("LEGACY-7", "GSID-EXISTING000100A", "2010-01-01")],
+        ["alias", "global_subject_id", "created_at"],
+    )
+    frag = spark.createDataFrame(
+        [("S9", "blood", "legacy-7", 5)],
+        ["SampleID", "Material", "consortium_id", "center"],
+    )
+    res = validate_fragment(
+        spark, frag, _MAPPING, registry=_registry(spark), aliases=aliases,
+        batch_id="b2",
+    )
+    row = res.mapped.collect()[0]
+    assert row.global_subject_id == "GSID-EXISTING000100A"
+    assert res.report["gsids_linked"] == 1 and res.report["gsids_created"] == 0
+
+
 def test_validate_fragment_schema_failure(spark):
     bad = FragmentMapping(
         table_name="specimen",
