@@ -119,6 +119,7 @@ _DRIVER_ORDER = [
     "event_value_percentiles",
     "sketch_profile",
     "grouped_zscore",
+    "grouped_zscore_native",
     "table_profile",
     # code changed this round — re-verify (before the generic tpch
     # block so all of these stay inside a 50-query checked prefix)
