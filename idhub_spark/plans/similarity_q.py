@@ -284,3 +284,78 @@ def ann_topk_ivf(spark, sf_dir):
     e = t["embeddings"]
     centroids = kmeans_fit(e, k=8, max_iter=2)
     return ivf_topk(e, centroids, query_ids=list(range(8)), k=5, nprobe=2)
+
+
+_HAMMING_LE1 = (
+    "len(list_filter(range(1, 7), i -> "
+    "(q.embedding[i] >= 0) <> (n.embedding[i] >= 0))) <= 1"
+)
+
+
+@query(
+    "ann_topk_multiprobe",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
+      FROM q JOIN embeddings n
+        ON q.vec_id <> n.vec_id AND {_HAMMING_LE1}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Multi-probe LSH top-3: each query also probes the 6 buckets "
+    "at Hamming distance 1 (one flipped sign bit), recovering the "
+    "near-boundary neighbors single-bucket search misses, at 7x the "
+    "per-query candidate cost. Spark keeps it an EQUI-join by "
+    "exploding the query side into its 7 probe keys; the oracle uses "
+    "the equivalent bit-distance predicate.",
+)
+def ann_topk_multiprobe(spark, sf_dir):
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    # probe keys: the exact bucket + each one-bit flip. The bucket is a
+    # 6-char '0'/'1' string; flipping bit i is a substring splice.
+    flips = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring("bucket", i + 2, 6 - i - 1),
+        )
+        for i in range(6)
+    ]
+    q = (
+        prepped.filter(F.col("vec_id") < 32)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sv").alias("q_sv"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.array(*flips)).alias("bucket"),
+        )
+    )
+    n = prepped.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("n_sv"),
+        F.col("norm").alias("n_norm"),
+        "bucket",
+    )
+    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(n, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
