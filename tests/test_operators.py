@@ -529,3 +529,63 @@ def test_registration_year_differential(spark):
         # MM/dd vs dd/MM ambiguity: the operator tries US first, then
         # intl — py_parse mirrors that order, so expectations align
         assert got[s] == expect, f"{s!r}: spark={got[s]} py={expect}"
+
+
+def test_boolean_lexicon_differential(spark):
+    """boolean_expr vs a Python reference over the full lexicon x case
+    x whitespace grid plus non-lexicon strings."""
+    from idhub_spark.functions.expressions import FALSE_VALUES, TRUE_VALUES
+
+    def py_bool(s):
+        low = s.strip().lower()
+        if low in [v.lower() for v in TRUE_VALUES]:
+            return True
+        if low in [v.lower() for v in FALSE_VALUES]:
+            return False
+        return None
+
+    samples = []
+    for v in TRUE_VALUES + FALSE_VALUES:
+        samples += [v, v.upper(), f"  {v} ", v.capitalize()]
+    samples += ["maybe", "2", "", "truthy", "nope", "10", "yes!"]
+    df = spark.createDataFrame([(s,) for s in samples], ["b"])
+    got = {r.b: r.v for r in df.select("b", boolean_expr(F.col("b")).alias("v")).collect()}
+    for s in samples:
+        assert got[s] == py_bool(s), repr(s)
+
+
+def test_flexible_timestamp_differential(spark):
+    """flexible_timestamp_expr vs a Python reference: >=12-digit
+    strings are epoch millis, ISO strings parse, junk is NULL."""
+    from datetime import datetime, timezone
+
+    from idhub_spark.functions.expressions import flexible_timestamp_expr
+
+    def py_parse(s):
+        t = s.strip()
+        if t.isdigit() and len(t) >= 12:
+            return datetime.fromtimestamp(int(t) / 1000.0, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+        try:
+            return datetime.fromisoformat(t)
+        except ValueError:
+            return None
+
+    samples = [
+        "1700000000000",          # epoch ms
+        "1700000000123",
+        "  1500000000000 ",       # trimmed
+        "99999999999",            # 11 digits -> NOT millis, not ISO -> null
+        "2023-05-06 07:08:09",
+        "2023-05-06T07:08:09",
+        "not a time",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = {
+        r.t: r.v
+        for r in df.select("t", flexible_timestamp_expr(F.col("t")).alias("v")).collect()
+    }
+    for s in samples:
+        assert got[s] == py_parse(s), f"{s!r}: {got[s]} vs {py_parse(s)}"
