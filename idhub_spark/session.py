@@ -39,6 +39,9 @@ def get_spark(app_name: str = "idhub_spark", cpus: str | int | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # COUNT/MIN/MAX over unfiltered parquet answer from footer
+        # statistics instead of scanning row groups (off by default)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects;
         # read as bigint nanos and rebuild micros in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
