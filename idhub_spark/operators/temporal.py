@@ -85,9 +85,15 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # compare at MICROsecond precision: cast("long") truncates to
+        # whole seconds, which silently widens the tolerance by up to
+        # a second at the boundary (real event times are sub-second)
         in_tol = (
             F.col("_carried_ts").isNotNull()
-            & (F.col("_ts").cast("long") - F.col("_carried_ts").cast("long") <= tolerance_seconds)
+            & (
+                F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_carried_ts"))
+                <= tolerance_seconds * 1_000_000
+            )
         )
         out = out.select(
             "_k", "_ts", "_l",
@@ -121,10 +127,13 @@ def interval_join(
     cand = l_b.withColumn(
         "_probe", F.explode(F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1))
     )
-    lsec = F.col(f"l.{left_ts}").cast("long")
-    rsec = F.col(f"r.{right_ts}").cast("long")
-    # residual exact range predicate on candidates only; keep the
-    # left image of the join key (they are equal by construction)
+    # residual predicate at MICROsecond precision — the bucket
+    # prefilter may truncate to seconds (coverage is unaffected:
+    # probes span ±1 bucket), but the exact range test must not, or a
+    # pair whose true gap is e.g. 1800.4s passes a 1800s window
+    lus = F.unix_micros(F.col(f"l.{left_ts}"))
+    rus = F.unix_micros(F.col(f"r.{right_ts}"))
+    # keep the left image of the join key (they are equal by construction)
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{c}").alias(c) for c in right.columns if c != on
     ]
@@ -134,6 +143,9 @@ def interval_join(
             r_b.alias("r"),
             (F.col("l._probe") == F.col("r._rb")) & (F.col(f"l.{on}") == F.col(f"r.{on}")),
         )
-        .filter((rsec >= lsec - max_before_seconds) & (rsec <= lsec + max_after_seconds))
+        .filter(
+            (rus >= lus - max_before_seconds * 1_000_000)
+            & (rus <= lus + max_after_seconds * 1_000_000)
+        )
         .select(*keep)
     )

@@ -139,7 +139,11 @@ def sessionize(spark, sf_dir):
     prev = F.lag("ts").over(wo)
     new_session = (
         F.when(
-            prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+            # microsecond-precision gap: cast("long") would truncate to
+            # seconds and misclassify a 1800.4s gap as same-session
+            prev.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
+            1,
         ).otherwise(0)
     )
     return (
