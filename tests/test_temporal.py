@@ -81,3 +81,44 @@ def test_interval_join_bounds(spark):
     )
     got = {(r.click, r.what) for r in out.collect()}
     assert got == {("c1", "in-window"), ("c2", "edge-in")}
+
+
+def test_subsecond_boundary_precision(spark):
+    """Window/tolerance predicates compare at microsecond precision:
+    a gap of 60.4s must NOT pass a 60s window (cast-to-seconds
+    truncation would let it through)."""
+    from idhub_spark.operators.temporal import asof_join, interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00.500"), (2, "2024-01-01 00:02:00.100")],
+        ["lid", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00.100"), (20, "2024-01-01 00:01:00.200")],
+        ["rid", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lk = left.withColumn("k", F.lit("u"))
+    rk = right.withColumn("k", F.lit("u"))
+
+    # interval: rid=10 is 60.4s before lid=1 -> excluded by a 60s
+    # max_before window; rid=20 is 0.3s before -> included
+    out = interval_join(
+        lk, rk.withColumnRenamed("ts", "rts"), on="k",
+        left_ts="ts", right_ts="rts", max_before_seconds=60, max_after_seconds=0,
+    )
+    pairs = {(r.lid, r.rid) for r in out.collect()}
+    assert (1, 20) in pairs and (1, 10) not in pairs
+    # lid=2 vs rid=20: 59.9s -> included
+    assert (2, 20) in pairs
+
+    # as-of tolerance: carried row 60.3s back fails a 60s tolerance
+    one_l = lk.filter(F.col("lid") == 1)
+    one_r = rk.filter(F.col("rid") == 10)  # 60.4s earlier
+    got = asof_join(
+        one_l, one_r, on="k", right_values=["rid"], tolerance_seconds=60
+    ).collect()[0]
+    assert got.rid_asof is None
+    got2 = asof_join(
+        one_l, one_r, on="k", right_values=["rid"], tolerance_seconds=61
+    ).collect()[0]
+    assert got2.rid_asof == 10
