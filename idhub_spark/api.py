@@ -28,12 +28,15 @@ def register_subjects(
     """POST /register/subject, batched: one row per request with the
     route's response contract (api/models.py:53-62): gsid, action,
     identifiers_linked, conflicts flag."""
+    import time as _time
+
     ids_long = unpivot_candidates(requests, key_col, candidates)
     resolved = resolve_identities(
         ids_long,
         registry,
         batch_salt=batch_salt,
-        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+        # Python literal: stable across every action on this lazy plan
+        mint_ts_ms=F.lit(int(_time.time() * 1000)),
     )
     linked = ids_long.groupBy("record_key").agg(
         F.count(F.lit(1)).alias("identifiers_linked")

@@ -122,15 +122,16 @@ def ivf_topk(
     join of the two results.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # query_filter is written against the PUBLIC input columns, so it
+    # must apply before the internal _id/_v rename
+    q_src = vectors if query_filter is None else vectors.filter(query_filter)
     v = vectors.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
     corpus = _assign(v, centroids).select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"), "cluster"
     )
-    q = v
+    q = q_src.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
     if query_ids is not None:
         q = q.filter(F.col("_id").isin(query_ids))
-    if query_filter is not None:
-        q = q.filter(query_filter)
     probes = _assign(q, centroids, nprobe=nprobe).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("q_v"), "cluster"
     )

@@ -83,7 +83,15 @@ def merge_upsert(
     # update-strategy patches only present fields) must never destroy
     # the columns it doesn't carry.
     cur_value_cols = [c for c in current.columns if c not in natural_key]
-    cur_only = [c for c in cur_value_cols if c not in incoming.columns]
+    # immutable columns are excluded here: the cur_imm join below
+    # always carries them, and joining them in twice (once via cur_imm,
+    # once via the cur_only join) is an ambiguous-reference error when
+    # the fragment doesn't carry the immutable column
+    cur_only = [
+        c
+        for c in cur_value_cols
+        if c not in incoming.columns and c not in set(immutable)
+    ]
     inc_only = [
         c for c in incoming.columns if c not in current.columns and c not in natural_key
     ]
@@ -105,18 +113,28 @@ def merge_upsert(
     # carried NULLs do overwrite) but keep current values for
     # immutable fields and for columns incoming doesn't carry
     patch_src = classified.filter(F.col("change_type").isin(take_upd))
-    if immutable:
-        cur_imm = current.select(*natural_key, *[c for c in immutable if c in current.columns])
-        patch_src = patch_src.drop(*immutable).join(cur_imm, natural_key, "left")
+    imm_in_cur = [c for c in immutable if c in current.columns]
+    if imm_in_cur:
+        # replace only immutable columns current actually has; an
+        # immutable name that exists only in incoming keeps its
+        # incoming value (there is no current value to protect)
+        cur_imm = current.select(*natural_key, *imm_in_cur)
+        patch_src = patch_src.drop(*imm_in_cur).join(cur_imm, natural_key, "left")
     if cur_only:
         patch_src = patch_src.join(
             current.select(*natural_key, *cur_only), natural_key, "left"
         )
     patched = patch_src.select(*natural_key, *[F.col(c) for c in out_cols])
-    fresh = classified.filter(F.col("change_type").isin(take_new)).select(
+    # fresh rows have no current image: any output column the
+    # classified frame doesn't carry (current-only, or an immutable
+    # column absent from the fragment) is NULL
+    fresh_src = classified.filter(F.col("change_type").isin(take_new))
+    fresh = fresh_src.select(
         *natural_key,
         *[
-            F.col(c) if c not in cur_only else F.lit(None).cast(cur_types[c]).alias(c)
+            F.col(c)
+            if c in fresh_src.columns
+            else F.lit(None).cast(cur_types[c]).alias(c)
             for c in out_cols
         ],
     )

@@ -106,7 +106,10 @@ def byte_histogram_features(
                 if arr.size == 0:
                     feats.append([0.0] * n_bins)
                     continue
-                hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
+                # clip so the top partial bin (when 256 % n_bins != 0)
+                # folds into the last bin instead of being sliced off
+                bins = np.minimum(arr // width, n_bins - 1)
+                hist = np.bincount(bins, minlength=n_bins)[:n_bins]
                 feats.append((hist / arr.size).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
@@ -134,9 +137,10 @@ def resize_image(
         from PIL import Image
 
         def _resize(payload: bytes) -> bytes:
-            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            img = Image.open(io.BytesIO(payload))
+            fmt = img.format or "PNG"  # resize() returns format=None
             buf = io.BytesIO()
-            img.save(buf, format=img.format or "PNG")
+            img.resize((width, height)).save(buf, format=fmt)
             return buf.getvalue()
     except ImportError:
 

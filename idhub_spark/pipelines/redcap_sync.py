@@ -78,11 +78,16 @@ def redcap_sync(
 
     # identity resolution (the one join that replaces per-record HTTP)
     ids_long = unpivot_candidates(mapped, record_key, mapping.subject_id_candidates)
+    # Python-literal mint time: one value across ALL output sinks of
+    # this lazy plan (current_timestamp() re-freezes per execution and
+    # would mint different GSIDs per sink for the same record)
+    import time as _time
+
     resolved = resolve_identities(
         ids_long,
         registry,
         batch_salt=batch_id,
-        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+        mint_ts_ms=F.lit(int(_time.time() * 1000)),
     )
     with_gsid = mapped.join(
         resolved.select(F.col("record_key").alias(record_key), "global_subject_id", "action"),

@@ -96,13 +96,18 @@ def validate_fragment(
     # ThreadPool HTTP fan-out, subject_id_resolver.py:20-188)
     ids_long = unpivot_candidates(mapped, record_key, mapping.subject_id_candidates)
     # batch_salt makes mint seeds batch-globally unique; the mint
-    # timestamp prefix is the true load time (query-constant, so task
-    # retries within the job still mint identically)
+    # timestamp is captured ONCE as a Python literal — current_timestamp()
+    # would re-freeze per query execution, and the pipeline's several
+    # output sinks (subjects write, link-back, report) are separate
+    # executions of this lazy plan, which would mint DIFFERENT GSIDs
+    # for the same record in different sinks
+    import time as _time
+
     resolved = resolve_identities(
         ids_long,
         registry,
         batch_salt=batch_id,
-        mint_ts_ms=F.unix_millis(F.current_timestamp()),
+        mint_ts_ms=F.lit(int(_time.time() * 1000)),
         aliases=aliases,
     )
     with_gsid = mapped.join(

@@ -135,6 +135,7 @@ _DRIVER_ORDER = [
     "local_ids_merge",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
+    "ann_topk_multiprobe",
     # never driver-checked generic analytics shapes
     "pricing_summary",
     "shipping_priority",

@@ -76,7 +76,11 @@ class SnapshotStore:
         invisible until the manifest flip, so a crashed writer leaves
         only an unreferenced directory (garbage, not corruption)."""
         os.makedirs(self.root, exist_ok=True)
-        version = (self.latest_version() or 0) + 1
+        # number from max(history), NOT the manifest pointer: after a
+        # rollback the pointer is an older version, and reusing its
+        # successor's number would overwrite a retained snapshot
+        history_max = max((e["version"] for e in self.versions()), default=0)
+        version = history_max + 1
         rel = f"v={version}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         entry = {

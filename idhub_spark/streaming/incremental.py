@@ -86,7 +86,19 @@ def streaming_exact_dedup(
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             key_cols
         )
-    return events.dropDuplicates(key_cols)
+    # batch parity means FIRST occurrence, deterministically — plain
+    # dropDuplicates keeps a partition-dependent arbitrary row
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in events.columns if c not in key_cols and c != ts_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def incremental_file_merge(

@@ -589,3 +589,17 @@ def test_flexible_timestamp_differential(spark):
     }
     for s in samples:
         assert got[s] == py_parse(s), f"{s!r}: {got[s]} vs {py_parse(s)}"
+
+
+def test_merge_immutable_column_not_in_fragment(spark):
+    """An immutable column the fragment doesn't carry must be
+    preserved from current without an ambiguous-reference crash."""
+    current = spark.createDataFrame(
+        [(1, "a", "2020-01-01"), (2, "b", "2021-01-01")], ["k", "s", "created_at"]
+    )
+    incoming = spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "s"])
+    r = merge_upsert(incoming, current, ["k"], immutable=["created_at"])
+    merged = {x.k: x for x in r.merged.collect()}
+    assert merged[2].s == "b2" and merged[2].created_at == "2021-01-01"
+    assert merged[1].created_at == "2020-01-01"
+    assert merged[3].created_at is None

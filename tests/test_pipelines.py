@@ -345,3 +345,23 @@ def test_load_mapping_dialects(tmp_path):
     assert m2.field_mapping["registration_year"] == "reg"
     assert m2.transforms["registration_year"] == "registration_year"
     assert m2.subject_id_candidates == {"consortium_id": "consortium"}
+
+
+def test_mint_consistent_across_sinks(spark):
+    """A newly-minted GSID must be IDENTICAL in every output sink of
+    one pipeline run (mapped rows, link-back records) even though the
+    sinks are separate executions of the lazy plan."""
+    frag = spark.createDataFrame(
+        [("S1", "blood", "BRAND-NEW-1", 5)],
+        ["SampleID", "Material", "consortium_id", "center"],
+    )
+    res = validate_fragment(
+        spark, frag, _MAPPING, registry=_registry(spark), batch_id="bmint"
+    )
+    # two separate actions on mapped + one on local_id_records
+    g1 = res.mapped.collect()[0].global_subject_id
+    import time
+    time.sleep(1.2)  # current_timestamp()-based minting would drift here
+    g2 = res.mapped.collect()[0].global_subject_id
+    g3 = res.local_id_records.collect()[0].global_subject_id
+    assert g1 == g2 == g3

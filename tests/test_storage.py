@@ -91,3 +91,19 @@ def test_snapshot_store_versions_and_rollback(spark, tmp_path):
     removed = store.vacuum(keep=2)
     assert removed == [1]
     assert store.read(spark, version=2).count() == 3
+
+
+def test_snapshot_write_after_rollback_never_overwrites(spark, tmp_path):
+    """A write after rollback() must allocate a FRESH version number,
+    not reuse (and overwrite) a retained snapshot."""
+    from idhub_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "t"))
+    store.write(spark.createDataFrame([(1,)], ["k"]), note="v1")
+    store.write(spark.createDataFrame([(1,), (2,)], ["k"]), note="v2")
+    store.rollback(1)
+    v = store.write(spark.createDataFrame([(9,)], ["k"]), note="after-rollback")
+    assert v == 3
+    # v2's data is untouched
+    assert store.read(spark, version=2).count() == 2
+    assert store.read(spark, version=3).collect()[0].k == 9
