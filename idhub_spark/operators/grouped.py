@@ -40,8 +40,13 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         s2 = int((sv * sv).sum())
         mean_s = s1 / n  # one double op, same shape as the SQL twin
         var_s = s2 / n - (s1 / n) * (s1 / n)
-        std_s = var_s**0.5
-        z = (sv - mean_s) / std_s if std_s > 0 else sv * 0.0
+        # Zero-variance groups yield NULL on every engine (Spark's
+        # Divide would NULL, DuckDB would inf) — pin the same var > 0
+        # guard all three ways so the oracle hash can't diverge.
+        if var_s > 0:
+            z = (sv - mean_s) / var_s**0.5
+        else:
+            z = pd.Series([None] * n, dtype="Float64")
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

@@ -106,7 +106,7 @@ _INCOMING_SQL = """
            CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                 WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                 ELSE 'conflict_resolved' END AS action,
-           min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+           (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
            COUNT(DISTINCT gsid) > 1 AS requires_review
     FROM matched
     GROUP BY record_key
@@ -144,7 +144,7 @@ def identity_resolution(spark, sf_dir):
       FROM incoming i
       LEFT JOIN registry r ON lower(i.local_subject_id) = lower(r.local_subject_id)),
     chosen AS (
-      SELECT record_key, min(gsid ORDER BY created_at, gsid) AS global_subject_id
+      SELECT record_key, (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id
       FROM matched GROUP BY record_key
       HAVING COUNT(DISTINCT gsid) >= 1)
     SELECT DISTINCT m.local_subject_id, m.identifier_type, c.global_subject_id
@@ -358,7 +358,7 @@ def fuzzy_center_match(spark, sf_dir):
              CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                   WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                   ELSE 'conflict_resolved' END AS action,
-             min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+             (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
              COUNT(DISTINCT gsid) > 1 AS requires_review
       FROM matched GROUP BY record_key)
     SELECT CAST(record_key AS VARCHAR) AS record_key, action,
@@ -413,7 +413,17 @@ def resolution_log_q(spark, sf_dir):
       SELECT 'AL-' || CAST(n_nationkey AS VARCHAR) AS alias,
              'G-A' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0') AS global_subject_id,
              n_nationkey - 1000 AS created_at
-      FROM nation),
+      FROM nation
+      UNION ALL
+      -- multi-match rows: same alias keys as nation 0..4 but a
+      -- DIFFERENT gsid that sorts lexically AFTER 'G-A…' yet is
+      -- OLDER (except regionkey 0: same created_at, so the lexical
+      -- gsid tie-break fires instead) — the oldest-wins pick must
+      -- choose by (created_at, gsid), not by gsid alone
+      SELECT 'AL-' || CAST(r_regionkey AS VARCHAR),
+             'G-Z' || lpad(CAST(r_regionkey AS VARCHAR), 8, '0'),
+             CASE WHEN r_regionkey = 0 THEN -1000 ELSE r_regionkey - 2000 END
+      FROM region),
     lookup AS (
       SELECT lower(local_subject_id) AS k, global_subject_id AS gsid, created_at
       FROM registry
@@ -427,7 +437,7 @@ def resolution_log_q(spark, sf_dir):
            CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                 WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                 ELSE 'conflict_resolved' END AS action,
-           min(gsid ORDER BY created_at, gsid) AS global_subject_id,
+           (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
            COUNT(DISTINCT gsid) > 1 AS requires_review
     FROM matched
     GROUP BY record_key
@@ -435,10 +445,15 @@ def resolution_log_q(spark, sf_dir):
     doc="subject_alias path (01-schema.sql:35-39): candidates resolve "
     "through the alias->GSID table exactly like local_subject_ids — "
     "one unioned lookup side, case-insensitive, with the alias rows' "
-    "created_at participating in the oldest-wins tie-break.",
+    "created_at participating in the oldest-wins tie-break. The "
+    "region-derived alias block collides with nation keys 0-4 on "
+    "purpose: records there match TWO gsids whose created_at and "
+    "lexical orders disagree, so the (created_at, gsid) tie-break "
+    "(identity_resolution.py:180-183) is actually exercised, not "
+    "just fixture-coincidentally green.",
 )
 def alias_resolution(spark, sf_dir):
-    t = tables(spark, sf_dir, "customer", "orders", "nation")
+    t = tables(spark, sf_dir, "customer", "orders", "nation", "region")
     o = t["orders"].join(
         t["customer"].select("c_custkey", "c_name"),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -466,6 +481,19 @@ def alias_resolution(spark, sf_dir):
             F.lit("G-A"), F.lpad(F.col("n_nationkey").cast("string"), 8, "0")
         ).alias("global_subject_id"),
         (F.col("n_nationkey") - 1000).alias("created_at"),
+    ).unionByName(
+        # deliberate multi-match collision block — see oracle comment
+        t["region"].select(
+            F.concat(F.lit("AL-"), F.col("r_regionkey").cast("string")).alias(
+                "alias"
+            ),
+            F.concat(
+                F.lit("G-Z"), F.lpad(F.col("r_regionkey").cast("string"), 8, "0")
+            ).alias("global_subject_id"),
+            F.when(F.col("r_regionkey") == 0, F.lit(-1000))
+            .otherwise(F.col("r_regionkey") - 2000)
+            .alias("created_at"),
+        )
     )
     out = dispatch_matches(match_registry(ids_long, _registry_df(t), aliases))
     return out.select(

@@ -71,26 +71,29 @@ def frame_sampling(spark, sf_dir):
     "binary_features",
     """
     WITH b AS (
-      SELECT doc_id, list_transform(string_split_regex(text, ''), c -> ord(c)) AS bytes
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n_bytes
       FROM documents),
-    h AS (
-      SELECT doc_id, bytes,
+    hgrams AS (
+      SELECT doc_id, n_bytes,
              list_transform(range(0, 16), bin ->
-               len(list_filter(bytes, v -> v // 16 = bin))) AS counts
+               len(list_filter(range(0, n_bytes), i ->
+                 h[2*i+1] = '0123456789ABCDEF'[bin+1]))) AS counts
       FROM b)
     SELECT doc_id,
            CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS dominant_bin,
-           CAST(list_max(counts) AS DOUBLE) / CAST(len(bytes) AS DOUBLE) AS dominant_share,
+           CAST(list_max(counts) AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS dominant_share,
            CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS nonzero_bins
-    FROM h
+    FROM hgrams
     """,
     doc="Feature extraction over the binary column: 16-bin byte-value "
     "histogram per payload via Arrow mapInPandas + numpy bincount "
     "(operators/multimodal.py:byte_histogram_features), projected to "
     "scalar summaries (dominant bin with first-position tie-break, its "
-    "share, occupancy). The oracle re-derives the histogram from the "
-    "ASCII payload bytes declaratively — the Python batch path must "
-    "compute exactly what the SQL twin does.",
+    "share, occupancy). The oracle is BYTE-exact, not codepoint-based: "
+    "bin = byte // 16 is precisely the high hex nibble, so it "
+    "histograms the odd-position chars of hex(encode(text)) — "
+    "equivalence holds for any UTF-8 text, not just ASCII fixtures.",
 )
 def binary_features(spark, sf_dir):
     from idhub_spark.operators.multimodal import byte_histogram_features

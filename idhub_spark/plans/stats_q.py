@@ -75,7 +75,9 @@ def event_value_percentiles(spark, sf_dir):
     doc="Scale-path profiling: HyperLogLog distinct counts + approx "
     "percentiles per event_type — constant memory per group vs the "
     "exact shuffles above. Rows-only driver check; accuracy bounds "
-    "asserted in tests/test_stats.py.",
+    "asserted in tests/test_stats.py. Quantiles are emitted as two "
+    "scalar double columns (not array<double>) so row canonicalizers "
+    "that sort on all columns never see an unhashable list cell.",
 )
 def sketch_profile(spark, sf_dir):
     t = tables(spark, sf_dir, "events")
@@ -84,7 +86,8 @@ def sketch_profile(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_quantiles"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -100,9 +103,12 @@ def sketch_profile(spark, sf_dir):
              SUM(CAST(round(value * 1000) AS BIGINT) * CAST(round(value * 1000) AS BIGINT)) AS s2
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value,
-           (CAST(round(e.value * 1000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
-             / sqrt(CAST(s.s2 AS DOUBLE) / s.n
-                    - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)) AS zscore
+           CASE WHEN CAST(s.s2 AS DOUBLE) / s.n
+                     - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n) > 0
+                THEN (CAST(round(e.value * 1000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+                     / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+           END AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
     doc="Grouped-map Pandas UDF (applyInPandas) computing per-group "
@@ -129,9 +135,12 @@ def grouped_zscore_q(spark, sf_dir):
              SUM(CAST(round(value * 1000) AS BIGINT) * CAST(round(value * 1000) AS BIGINT)) AS s2
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value,
-           (CAST(round(e.value * 1000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
-             / sqrt(CAST(s.s2 AS DOUBLE) / s.n
-                    - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)) AS zscore
+           CASE WHEN CAST(s.s2 AS DOUBLE) / s.n
+                     - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n) > 0
+                THEN (CAST(round(e.value * 1000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+                     / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+           END AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
     doc="The JVM-native twin of grouped_zscore: identical int64-exact "
@@ -154,11 +163,13 @@ def grouped_zscore_native(spark, sf_dir):
     s2 = F.sum(sv * sv).over(w)
     mean = s1.cast("double") / n
     var = s2.cast("double") / n - mean * mean
+    # var > 0 guard: zero-variance groups are NULL on both engines
+    # (DuckDB would otherwise emit inf under IEEE semantics).
     return e.select(
         "event_id",
         "event_type",
         "value",
-        ((sv - mean) / F.sqrt(var)).alias("zscore"),
+        F.when(var > 0, (sv - mean) / F.sqrt(var)).alias("zscore"),
     )
 
 
@@ -185,24 +196,37 @@ def grouped_zscore_native(spark, sf_dir):
            CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
     FROM customer
     """,
-    doc="Data-quality profile: per-column null/distinct/min/max in one "
-    "scan per column family (the validator's schema checks generalized "
-    "to a profiling report; at scale swap COUNT(DISTINCT) for HLL).",
+    doc="Data-quality profile: per-column null/distinct/min/max for all "
+    "four columns in ONE table scan — a single agg emits every "
+    "column's stats side by side (Catalyst plans the multiple "
+    "COUNT(DISTINCT)s with one Expand over one scan), then stack() "
+    "unpivots to the per-column report rows. The oracle's UNION ALL "
+    "of per-column scans is the semantic spec, not the plan. At scale "
+    "swap COUNT(DISTINCT) for HLL.",
 )
 def table_profile(spark, sf_dir):
     t = tables(spark, sf_dir, "customer")
     c = t["customer"]
+    cols = ("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
 
-    def prof(col):
-        return c.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).cast("string").alias("min_val"),
-            F.max(col).cast("string").alias("max_val"),
-        ).select(F.lit(col).alias("column_name"), "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__n_null"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            F.min(col).cast("string").alias(f"{col}__min_val"),
+            F.max(col).cast("string").alias(f"{col}__max_val"),
+        ]
+    wide = c.agg(*aggs)
 
-    out = prof("c_custkey")
-    for col in ("c_name", "c_mktsegment", "c_nationkey"):
-        out = out.unionByName(prof(col))
-    return out
+    stacked = ", ".join(
+        f"'{col}', {col}__n_null, {col}__n_distinct, {col}__min_val, {col}__max_val"
+        for col in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")

@@ -118,13 +118,28 @@ class SnapshotStore:
         self._write_json_atomic(self._manifest_path(), matches[0])
 
     def vacuum(self, *, keep: int = 3) -> list[int]:
-        """Drop all but the newest `keep` versions (never the current
-        pointer). Returns removed version numbers."""
+        """Drop all but the newest `keep` versions; the current
+        pointer's version always survives in addition to the keep
+        budget (so after a rollback, `keep` newest + the rolled-back
+        current are retained). keep=0 retains only the current
+        pointer; negative keep is an error (a bare `history[:-keep]`
+        would make 0 a silent no-op). Returns removed versions."""
         import shutil
 
-        history = self.versions()
+        if keep < 0:
+            raise ValueError(f"keep must be >= 0, got {keep}")
+        history = sorted(self.versions(), key=lambda e: e["version"])
         current = self.latest_version()
-        removable = [e for e in history[:-keep] if e["version"] != current]
+        survivors = (
+            {e["version"] for e in history[max(0, len(history) - keep) :]}
+            if keep > 0
+            else set()
+        )
+        removable = [
+            e
+            for e in history
+            if e["version"] not in survivors and e["version"] != current
+        ]
         for e in removable:
             shutil.rmtree(os.path.join(self.root, e["path"]), ignore_errors=True)
         kept = [e for e in history if e not in removable]

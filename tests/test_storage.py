@@ -107,3 +107,30 @@ def test_snapshot_write_after_rollback_never_overwrites(spark, tmp_path):
     # v2's data is untouched
     assert store.read(spark, version=2).count() == 2
     assert store.read(spark, version=3).collect()[0].k == 9
+
+
+def test_snapshot_vacuum_keep_zero_and_rollback_budget(spark, tmp_path):
+    """vacuum(keep=0) retains ONLY the current pointer (not a silent
+    no-op), a rolled-back current pointer survives outside the keep
+    budget, and negative keep raises."""
+    import pytest
+
+    from idhub_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "t"))
+    for i in range(1, 5):
+        store.write(spark.createDataFrame([(i,)], ["k"]), note=f"v{i}")
+    store.rollback(1)  # current pointer now older than newest
+
+    with pytest.raises(ValueError):
+        store.vacuum(keep=-1)
+
+    # keep=2 -> newest two (3, 4) + rolled-back current (1) survive
+    assert store.vacuum(keep=2) == [2]
+    assert {e["version"] for e in store.versions()} == {1, 3, 4}
+    assert store.read(spark).collect()[0].k == 1  # pointer intact
+
+    # keep=0 -> everything but the current pointer goes
+    assert store.vacuum(keep=0) == [3, 4]
+    assert {e["version"] for e in store.versions()} == {1}
+    assert store.read(spark).collect()[0].k == 1

@@ -58,8 +58,16 @@ for name in qs:
     try:
         got_df = qs[name](spark, SF)
         if name not in oracles:
-            cnt = got_df.count()
-            print(f"{name}: NO-ORACLE rows-only OK ({cnt} rows)")
+            # Mimic the driver's rows-only path exactly: it does NOT
+            # just count() — it pulls the frame and canonicalizes with
+            # an all-column sort + value hash, which dies on
+            # unhashable cells (array<...> columns: r2's
+            # sketch_profile crash). Reproduce that here so the sim
+            # catches the same class of failure.
+            pdf = got_df.toPandas()
+            pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+            pd.util.hash_pandas_object(pdf, index=False)
+            print(f"{name}: NO-ORACLE rows-only OK ({len(pdf)} rows)")
             continue
         got = normalize(got_df.toPandas())
         want = normalize(con.execute(oracles[name]).fetchdf())
