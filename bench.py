@@ -36,12 +36,21 @@ def main() -> None:
     names += [n for n in sorted(REGISTRY) if n not in names]
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     total = 0.0
     for name in names:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # One failing query must not kill the whole run (r4 lost ALL
+        # bench data to a single AnalysisException): record it and
+        # keep going. Errors go in the JSON as names-only.
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:
+            errors.append(name)
+            print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
@@ -58,7 +67,10 @@ def main() -> None:
     # that fit; everything is always in the sidecar.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_queries_full.json"), "w") as f:
-        json.dump({"queries": timings, "sf": sf_val, "total": round(total, 4)}, f)
+        json.dump(
+            {"queries": timings, "errors": errors, "sf": sf_val, "total": round(total, 4)},
+            f,
+        )
 
     ordered = [n for n in HEADLINE if n in timings] + [
         n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
@@ -70,6 +82,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
+        "errors": errors[:10],
+        "n_errors": len(errors),
         "detail_file": "bench_queries_full.json",
         "sf": sf_val,
     }

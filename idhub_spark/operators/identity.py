@@ -125,11 +125,19 @@ def dispatch_matches(matched: DataFrame) -> DataFrame:
         F.sort_array(F.collect_set("matched_gsid")).alias("matched_gsids"),
         # guard: only matched rows feed the min-struct — an unmatched
         # candidate's (null, null) struct would sort first and poison
-        # the oldest-GSID pick
+        # the oldest-GSID pick. The leading null-flag field pins a NULL
+        # matched_created_at to sort LAST (engines disagree on bare
+        # NULL-in-struct order: Spark sorts it first, DuckDB last), so
+        # a registry row without a created_at only wins when no dated
+        # match exists — then by lexical gsid.
         F.min(
             F.when(
                 F.col("matched_gsid").isNotNull(),
-                F.struct("matched_created_at", "matched_gsid"),
+                F.struct(
+                    F.col("matched_created_at").isNull().alias("nf"),
+                    F.col("matched_created_at"),
+                    F.col("matched_gsid"),
+                ),
             )
         ).alias("_oldest"),
     ).select(

@@ -87,11 +87,13 @@ def asof_join(
     if tolerance_seconds is not None:
         # compare at MICROsecond precision: cast("long") truncates to
         # whole seconds, which silently widens the tolerance by up to
-        # a second at the boundary (real event times are sub-second)
+        # a second at the boundary (real event times are sub-second).
+        # cast to TIMESTAMP first so a TIMESTAMP_NTZ input is legal.
         in_tol = (
             F.col("_carried_ts").isNotNull()
             & (
-                F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_carried_ts"))
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_carried_ts"))
                 <= tolerance_seconds * 1_000_000
             )
         )
@@ -118,9 +120,19 @@ def interval_join(
     """Pairs (l, r) on the same key with
     l.ts - max_before <= r.ts <= l.ts + max_after, via time-bucket
     equi-join prefilter + residual range filter."""
-    width = max(max_before_seconds + max_after_seconds, 1)
-    l_b = left.withColumn("_lb", (F.col(left_ts).cast("long") / width).cast("long"))
-    r_b = right.withColumn("_rb", (F.col(right_ts).cast("long") / width).cast("long"))
+    # Bucket at MICROsecond granularity — the same unit as the residual
+    # predicate below (a second-granularity bucket with a microsecond
+    # residual was internally inconsistent), and NTZ-proof: cast to
+    # TIMESTAMP before unix_micros so a TIMESTAMP_NTZ input is legal.
+    width_us = max(max_before_seconds + max_after_seconds, 1) * 1_000_000
+    l_b = left.withColumn(
+        "_lb",
+        F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(width_us)).cast("long"),
+    )
+    r_b = right.withColumn(
+        "_rb",
+        F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / F.lit(width_us)).cast("long"),
+    )
     # each left bucket needs right buckets {b-1, b, b+1} to cover the
     # asymmetric window; explode the LEFT side 3x (cheaper side may
     # vary; at scale explode the smaller input)
@@ -131,8 +143,8 @@ def interval_join(
     # prefilter may truncate to seconds (coverage is unaffected:
     # probes span ±1 bucket), but the exact range test must not, or a
     # pair whose true gap is e.g. 1800.4s passes a 1800s window
-    lus = F.unix_micros(F.col(f"l.{left_ts}"))
-    rus = F.unix_micros(F.col(f"r.{right_ts}"))
+    lus = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp"))
+    rus = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp"))
     # keep the left image of the join key (they are equal by construction)
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{c}").alias(c) for c in right.columns if c != on

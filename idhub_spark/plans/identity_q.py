@@ -37,7 +37,12 @@ def _registry_df(t):
         F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")).alias(
             "global_subject_id"
         ),
-        F.col("c_custkey").alias("created_at"),
+        # %19 rows carry a NULL created_at so the nulls-LAST tie-break
+        # convention (dispatch_matches' nf flag) is actually exercised:
+        # a NULL-dated match must lose to any dated match in its group
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("created_at"),
     )
 
 
@@ -95,7 +100,7 @@ _INCOMING_SQL = """
     WITH {_INCOMING_SQL},
     registry AS (
       SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
-             c_custkey AS created_at
+             CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS created_at
       FROM customer),
     matched AS (
       SELECT i.record_key, r.global_subject_id AS gsid, r.created_at
@@ -106,7 +111,7 @@ _INCOMING_SQL = """
            CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                 WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                 ELSE 'conflict_resolved' END AS action,
-           (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
+           (min(CASE WHEN gsid IS NOT NULL THEN {{'nf': created_at IS NULL, 'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
            COUNT(DISTINCT gsid) > 1 AS requires_review
     FROM matched
     GROUP BY record_key
@@ -136,7 +141,7 @@ def identity_resolution(spark, sf_dir):
     WITH {_INCOMING_SQL},
     registry AS (
       SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
-             c_custkey AS created_at
+             CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS created_at
       FROM customer),
     matched AS (
       SELECT i.record_key, i.local_subject_id, i.identifier_type,
@@ -144,7 +149,7 @@ def identity_resolution(spark, sf_dir):
       FROM incoming i
       LEFT JOIN registry r ON lower(i.local_subject_id) = lower(r.local_subject_id)),
     chosen AS (
-      SELECT record_key, (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id
+      SELECT record_key, (min(CASE WHEN gsid IS NOT NULL THEN {{'nf': created_at IS NULL, 'ca': created_at, 'g': gsid}} END)).g AS global_subject_id
       FROM matched GROUP BY record_key
       HAVING COUNT(DISTINCT gsid) >= 1)
     SELECT DISTINCT m.local_subject_id, m.identifier_type, c.global_subject_id
@@ -347,7 +352,7 @@ def fuzzy_center_match(spark, sf_dir):
     WITH {_INCOMING_SQL},
     registry AS (
       SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
-             c_custkey AS created_at
+             CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS created_at
       FROM customer),
     matched AS (
       SELECT i.record_key, r.global_subject_id AS gsid, r.created_at
@@ -358,7 +363,7 @@ def fuzzy_center_match(spark, sf_dir):
              CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                   WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                   ELSE 'conflict_resolved' END AS action,
-             (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
+             (min(CASE WHEN gsid IS NOT NULL THEN {{'nf': created_at IS NULL, 'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
              COUNT(DISTINCT gsid) > 1 AS requires_review
       FROM matched GROUP BY record_key)
     SELECT CAST(record_key AS VARCHAR) AS record_key, action,
@@ -407,7 +412,7 @@ def resolution_log_q(spark, sf_dir):
       FROM orders JOIN customer ON o_custkey = c_custkey),
     registry AS (
       SELECT c_name AS local_subject_id, {_GSID_SQL} AS global_subject_id,
-             c_custkey AS created_at
+             CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS created_at
       FROM customer),
     aliases AS (
       SELECT 'AL-' || CAST(n_nationkey AS VARCHAR) AS alias,
@@ -437,7 +442,7 @@ def resolution_log_q(spark, sf_dir):
            CASE WHEN COUNT(DISTINCT gsid) = 0 THEN 'create_new'
                 WHEN COUNT(DISTINCT gsid) = 1 THEN 'link_existing'
                 ELSE 'conflict_resolved' END AS action,
-           (min(CASE WHEN gsid IS NOT NULL THEN {{'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
+           (min(CASE WHEN gsid IS NOT NULL THEN {{'nf': created_at IS NULL, 'ca': created_at, 'g': gsid}} END)).g AS global_subject_id,
            COUNT(DISTINCT gsid) > 1 AS requires_review
     FROM matched
     GROUP BY record_key

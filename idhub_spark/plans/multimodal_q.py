@@ -70,10 +70,13 @@ def frame_sampling(spark, sf_dir):
 @query(
     "binary_features",
     """
-    WITH b AS (
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT CAST(-1 AS BIGINT), ''),
+    b AS (
       SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS n_bytes
-      FROM documents),
+      FROM docs),
     hgrams AS (
       SELECT doc_id, n_bytes,
              list_transform(range(0, 16), bin ->
@@ -82,7 +85,9 @@ def frame_sampling(spark, sf_dir):
       FROM b)
     SELECT doc_id,
            CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS dominant_bin,
-           CAST(list_max(counts) AS DOUBLE) / CAST(n_bytes AS DOUBLE) AS dominant_share,
+           CASE WHEN n_bytes > 0
+                THEN CAST(list_max(counts) AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                ELSE 0.0 END AS dominant_share,
            CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS nonzero_bins
     FROM hgrams
     """,
@@ -93,13 +98,21 @@ def frame_sampling(spark, sf_dir):
     "share, occupancy). The oracle is BYTE-exact, not codepoint-based: "
     "bin = byte // 16 is precisely the high hex nibble, so it "
     "histograms the odd-position chars of hex(encode(text)) — "
-    "equivalence holds for any UTF-8 text, not just ASCII fixtures.",
+    "equivalence holds for any UTF-8 text, not just ASCII fixtures. "
+    "A synthetic empty-payload row (doc_id -1) pins the 0-byte "
+    "convention on both engines: all-zero features -> dominant_bin 0, "
+    "dominant_share 0.0 (NOT NULL), nonzero_bins 0.",
 )
 def binary_features(spark, sf_dir):
     from idhub_spark.operators.multimodal import byte_histogram_features
 
     t = tables(spark, sf_dir, "documents")
-    with_payload = t["documents"].select(
+    docs = t["documents"].select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("doc_id"), F.lit("").alias("text")
+        )
+    )
+    with_payload = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     feats = byte_histogram_features(with_payload)

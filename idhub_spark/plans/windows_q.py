@@ -140,9 +140,14 @@ def sessionize(spark, sf_dir):
     new_session = (
         F.when(
             # microsecond-precision gap: cast("long") would truncate to
-            # seconds and misclassify a 1800.4s gap as same-session
+            # seconds and misclassify a 1800.4s gap as same-session.
+            # cast("timestamp") first so a TIMESTAMP_NTZ ts is legal.
             prev.isNull()
-            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                > 1800 * 1_000_000
+            ),
             1,
         ).otherwise(0)
     )

@@ -71,10 +71,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanosAsLong read the NANOS column as raw int64; truncate
-            # to micros (same truncation DuckDB applies casting ns->us)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            # events.ts has shipped as INT64 TIMESTAMP(NANOS) (read as
+            # bigint under nanosAsLong) and as timestamp[us] (read as
+            # TIMESTAMP_NTZ). Normalize BOTH encodings to TIMESTAMP so
+            # downstream unix_micros()/casts are legal regardless of
+            # which encoding the data carries. Under the UTC session
+            # timezone the NTZ->TIMESTAMP cast is the identical instant,
+            # bit-exact vs the UTC-naive DuckDB oracle.
+            dtype = dict(df.dtypes).get("ts")
+            if dtype == "bigint":
+                # truncate nanos to micros (same truncation DuckDB
+                # applies casting ns->us)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
