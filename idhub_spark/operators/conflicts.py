@@ -7,9 +7,18 @@
 - find_duplicates: (local_id, id_type) groups with >1 row in the
   existing table (conflict_detector.py:130-182).
 - apply_resolutions: `keep_existing` / pending -> anti-join incoming
-  out; `use_incoming` -> keep incoming (caller deletes existing);
-  `delete_both` -> drop both (loader.py:124-171,
-  fragment_resolution.py:125-174).
+  out; `use_incoming` -> keep incoming; `delete_both` -> drop both
+  (loader.py:124-171, fragment_resolution.py:125-174).
+- apply_resolutions_existing: the existing-side twin —
+  `use_incoming` / `delete_both` delete the matching existing rows
+  (conflict_resolver.py:61-75,91-110 _delete_existing_record).
+- apply_center_updates: center_mismatch + use_incoming propagates the
+  incoming center to `subjects` and deletes the stale
+  `local_subject_ids` row (fragment_resolution.py:389-564).
+- The reference's `merge` action is explicitly unimplemented there
+  (conflict_resolver.py:77-81 logs a warning and does nothing); here
+  it is the same documented no-op on BOTH sides: incoming loads
+  (fragment_resolution.py:158-161), existing stays.
 
 Scale: the conflict join is an equi-join on (local_id, id_type) —
 same key as the registry's physical layout, so it co-partitions with
@@ -99,3 +108,81 @@ def apply_resolutions(
         F.col("resolution_action").isin("keep_existing", "delete_both", "pending")
     ).select(*key).distinct()
     return incoming.join(F.broadcast(excl), key, "left_anti")
+
+
+def apply_resolutions_existing(
+    existing: DataFrame, resolutions: DataFrame, key: list[str]
+) -> DataFrame:
+    """Existing-side effects of resolutions: `use_incoming` and
+    `delete_both` delete the matching existing rows
+    (conflict_resolver.py:61-75 -> _delete_existing_record:91-110 —
+    the incoming row then replaces it for use_incoming, nothing does
+    for delete_both). `keep_existing`, pending, and the reference's
+    unimplemented `merge` leave existing untouched. The resolution
+    set is human-curated and tiny -> broadcast anti-join; existing
+    never shuffles.
+    """
+    excl = resolutions.filter(
+        F.col("resolution_action").isin("use_incoming", "delete_both")
+    ).select(*key).distinct()
+    return existing.join(F.broadcast(excl), key, "left_anti")
+
+
+def apply_center_updates(
+    subjects: DataFrame,
+    local_ids: DataFrame,
+    resolutions: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Center-mismatch propagation for `use_incoming` resolutions
+    (fragment_resolution.py:389-480 apply_center_updates_to_subjects,
+    :482-564 apply_center_updates_to_local_ids):
+
+    - subjects rows matching (existing_gsid, existing_center_id) get
+      center_id := incoming_center_id;
+    - local_subject_ids rows matching (existing_center_id,
+      local_subject_id, identifier_type) are deleted — the incoming
+      row re-inserts them under the new center.
+
+    The reference applies updates row-by-row in cursor order, with a
+    WHERE center_id = old guard making later duplicates no-ops; the
+    set-based twin pins the equivalent determinism by reducing to ONE
+    incoming center per (existing_gsid, existing_center_id) with min().
+
+    Returns (subjects', local_ids'). Both joins broadcast the tiny
+    resolution side; the big tables keep their partitioning.
+    """
+    cr = resolutions.filter(
+        (F.col("conflict_type") == "center_mismatch")
+        & (F.col("resolution_action") == "use_incoming")
+    )
+    upd = (
+        cr.groupBy(
+            F.col("existing_gsid").alias("_gsid"),
+            F.col("existing_center_id").alias("_old_center"),
+        )
+        .agg(F.min("incoming_center_id").alias("_new_center"))
+    )
+    subjects2 = subjects.join(
+        F.broadcast(upd),
+        (subjects["global_subject_id"] == upd["_gsid"])
+        & (subjects["center_id"] == upd["_old_center"]),
+        "left",
+    ).select(
+        *[
+            F.coalesce(F.col("_new_center"), subjects[c]).alias("center_id")
+            if c == "center_id"
+            else subjects[c]
+            for c in subjects.columns
+        ]
+    )
+    del_keys = cr.select(
+        F.col("existing_center_id").alias("center_id"),
+        "local_subject_id",
+        "identifier_type",
+    ).distinct()
+    local2 = local_ids.join(
+        F.broadcast(del_keys),
+        ["center_id", "local_subject_id", "identifier_type"],
+        "left_anti",
+    )
+    return subjects2, local2

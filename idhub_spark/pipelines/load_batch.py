@@ -18,7 +18,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from idhub_spark.operators.conflicts import apply_resolutions
+from idhub_spark.operators.conflicts import (
+    apply_resolutions,
+    apply_resolutions_existing,
+)
 from idhub_spark.operators.merge import MergeResult, merge_upsert
 from idhub_spark.schema import (
     DEFAULT_EXCLUDES,
@@ -59,6 +62,24 @@ def load_batch(
         key = [k for k in ("local_subject_id", "identifier_type") if k in incoming.columns]
         if key:
             incoming = apply_resolutions(incoming, resolutions, key)
+            # existing-side twin (conflict_resolver.py:61-110): rows
+            # resolved use_incoming/delete_both are deleted from the
+            # current table before the merge — use_incoming rows are
+            # then re-inserted from the fragment, delete_both rows are
+            # gone from both sides. The reference deletes by
+            # (center_id, local_id, type); include the center key when
+            # both sides carry it.
+            ekey = list(key)
+            res_e = resolutions
+            if (
+                "existing_center_id" in resolutions.columns
+                and "center_id" in current.columns
+            ):
+                res_e = resolutions.withColumn(
+                    "center_id", F.col("existing_center_id")
+                )
+                ekey = ["center_id", *key]
+            current = apply_resolutions_existing(current, res_e, ekey)
 
     # invalid-GSID row filter (F2, data_transformer.py:120-134)
     if "global_subject_id" in incoming.columns:

@@ -232,6 +232,119 @@ def conflict_detection(spark, sf_dir):
 
 
 @query(
+    "conflict_apply_state",
+    """
+    WITH subjects AS (
+      SELECT 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id,
+             c_nationkey AS center_id, c_name AS subject_name
+      FROM customer),
+    local_ids AS (
+      SELECT c_nationkey AS center_id, c_name AS local_subject_id,
+             'name' AS identifier_type,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id
+      FROM customer),
+    resolutions AS (
+      SELECT c_name AS local_subject_id, 'name' AS identifier_type,
+             c_nationkey AS existing_center_id,
+             c_nationkey + 100 AS incoming_center_id,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS existing_gsid,
+             CASE WHEN c_custkey % 8 = 0 THEN 'center_mismatch'
+                  ELSE 'multi_gsid' END AS conflict_type,
+             CASE WHEN c_custkey % 12 = 0 THEN 'keep_existing'
+                  WHEN c_custkey % 12 = 4 THEN 'use_incoming'
+                  ELSE 'delete_both' END AS resolution_action
+      FROM customer WHERE c_custkey % 4 = 0),
+    local_after AS (
+      SELECT l.* FROM local_ids l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM resolutions r
+        WHERE r.resolution_action IN ('use_incoming', 'delete_both')
+          AND r.existing_center_id = l.center_id
+          AND r.local_subject_id = l.local_subject_id
+          AND r.identifier_type = l.identifier_type)),
+    upd AS (
+      SELECT existing_gsid, existing_center_id,
+             min(incoming_center_id) AS new_center
+      FROM resolutions
+      WHERE conflict_type = 'center_mismatch'
+        AND resolution_action = 'use_incoming'
+      GROUP BY existing_gsid, existing_center_id)
+    SELECT 'subject' AS kind, s.global_subject_id,
+           CAST(COALESCE(u.new_center, s.center_id) AS BIGINT) AS center_id,
+           s.subject_name AS name
+    FROM subjects s
+    LEFT JOIN upd u ON u.existing_gsid = s.global_subject_id
+                   AND u.existing_center_id = s.center_id
+    UNION ALL
+    SELECT 'local_id', global_subject_id, CAST(center_id AS BIGINT),
+           local_subject_id
+    FROM local_after
+    """,
+    doc="Existing-side conflict-resolution application "
+    "(conflict_resolver.py:61-110 + fragment_resolution.py:389-564): "
+    "use_incoming/delete_both delete the matching local_subject_ids "
+    "row; center_mismatch + use_incoming also rewrites the subject's "
+    "center_id. Output = post-application state of both tables, "
+    "union-tagged. Fixture: 1-in-4 customers carry a resolution "
+    "(action cycles keep_existing/use_incoming/delete_both on %12; "
+    "conflict_type center_mismatch on %8).",
+)
+def conflict_apply_state(spark, sf_dir):
+    from idhub_spark.operators.conflicts import (
+        apply_center_updates,
+        apply_resolutions_existing,
+    )
+
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    gsid = F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+    subjects = c.select(
+        gsid.alias("global_subject_id"),
+        F.col("c_nationkey").alias("center_id"),
+        F.col("c_name").alias("subject_name"),
+    )
+    local_ids = c.select(
+        F.col("c_nationkey").alias("center_id"),
+        F.col("c_name").alias("local_subject_id"),
+        F.lit("name").alias("identifier_type"),
+        gsid.alias("global_subject_id"),
+    )
+    resolutions = c.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_name").alias("local_subject_id"),
+        F.lit("name").alias("identifier_type"),
+        F.col("c_nationkey").alias("existing_center_id"),
+        (F.col("c_nationkey") + 100).alias("incoming_center_id"),
+        gsid.alias("existing_gsid"),
+        F.when(F.col("c_custkey") % 8 == 0, F.lit("center_mismatch"))
+        .otherwise(F.lit("multi_gsid"))
+        .alias("conflict_type"),
+        F.when(F.col("c_custkey") % 12 == 0, F.lit("keep_existing"))
+        .when(F.col("c_custkey") % 12 == 4, F.lit("use_incoming"))
+        .otherwise(F.lit("delete_both"))
+        .alias("resolution_action"),
+    )
+    local1 = apply_resolutions_existing(
+        local_ids,
+        resolutions.withColumn("center_id", F.col("existing_center_id")),
+        ["center_id", "local_subject_id", "identifier_type"],
+    )
+    subjects2, local2 = apply_center_updates(subjects, local1, resolutions)
+    return subjects2.select(
+        F.lit("subject").alias("kind"),
+        "global_subject_id",
+        F.col("center_id").cast("long").alias("center_id"),
+        F.col("subject_name").alias("name"),
+    ).unionByName(
+        local2.select(
+            F.lit("local_id").alias("kind"),
+            "global_subject_id",
+            F.col("center_id").cast("long").alias("center_id"),
+            F.col("local_subject_id").alias("name"),
+        )
+    )
+
+
+@query(
     "duplicate_id_detection",
     """
     SELECT lower(local_subject_id) AS local_subject_id_norm, identifier_type,

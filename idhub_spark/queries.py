@@ -81,62 +81,10 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # r1 ERR/hash-fail rows, now fixed — must re-check
-    "resolution_stats",
-    "multi_type_subjects",
-    "change_stats",
-    "per_subject_review",
-    "data_type_counts",
-    "first_wins_dedup",
-    "type_coercion",
-    "per_center_summary",
-    "load_stats",
-    # new this round
-    "alias_resolution",
-    "repetition_filter",
-    "flexible_timestamp_parse",
-    "gsid_filter",
-    "conflict_exclusion",
-    "subject_enrichment",
-    "family_linkage",
-    "binary_features",
-    # never driver-checked in r1 (§2 anchors first)
-    "global_distinct_flag",
-    "oldest_pick",
-    "recent_changes_topk",
-    "running_value_total",
-    "sessionize",
-    "hourly_rollup",
-    "asof_last_click",
-    "interval_followup_purchases",
-    "funnel_conversion",
-    "token_count",
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    "vocabulary_topk",
-    "priority_status_rollup",
-    "event_value_percentiles",
-    "sketch_profile",
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "table_profile",
-    # code changed this round — re-verify (before the generic tpch
-    # block so all of these stay inside a 50-query checked prefix)
-    "identity_resolution",
-    "identity_link_back",
-    "resolution_log",
-    "identity_components",
-    "conflict_detection",
-    "conflict_summary",
-    "merged_state",
-    "merge_upsert_stats",
-    "audit_trail",
-    "local_ids_merge",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_pairs",
-    "ann_topk_multiprobe",
-    # never driver-checked generic analytics shapes
+    # round 5 front: (1) the 13 queries never yet driver-checked in
+    # r1-r4 (the 12 TPC-H-shape analytics + ann_topk_ivf, all locally
+    # oracle-green but without a driver row), plus fuzzy_center_match
+    # (green in r1 only — r3 ADVICE asked for a re-check)
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
@@ -149,6 +97,54 @@ _DRIVER_ORDER = [
     "order_priority_check",
     "discounted_brand_revenue",
     "idle_customers",
+    "ann_topk_ivf",
+    "fuzzy_center_match",
+    # (2) new this round
+    "conflict_apply_state",
+    # (3) code/fixtures changed this round — nulls-last tie-break in
+    # dispatch_matches + %19 NULL-created_at registry fixture
+    "identity_resolution",
+    "identity_link_back",
+    "resolution_log",
+    "alias_resolution",
+    "identity_components",
+    # empty-payload convention pinned
+    "binary_features",
+    # conflicts.py gained the existing-side operators (detection code
+    # itself unchanged; cheap re-evidence)
+    "conflict_detection",
+    "conflict_exclusion",
+    "conflict_summary",
+    # (4) r4's ERR rows, fixed via the TIMESTAMP_NTZ normalization +
+    # every other events.ts consumer (ts now TIMESTAMP again)
+    "sessionize",
+    "interval_followup_purchases",
+    "funnel_conversion",
+    "asof_last_click",
+    "hourly_rollup",
+    "oldest_pick",
+    "recent_changes_topk",
+    "running_value_total",
+    "global_distinct_flag",
+    "event_value_percentiles",
+    "sketch_profile",
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "table_profile",
+    # (5) continued evidence for the §2 anchor set (previously green;
+    # fills the ~50-entry checked prefix)
+    "merged_state",
+    "merge_upsert_stats",
+    "audit_trail",
+    "local_ids_merge",
+    "load_stats",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "ann_topk_multiprobe",
+    "subject_enrichment",
+    "family_linkage",
+    "flexible_timestamp_parse",
+    "gsid_filter",
 ]
 
 

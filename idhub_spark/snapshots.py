@@ -143,5 +143,9 @@ class SnapshotStore:
         for e in removable:
             shutil.rmtree(os.path.join(self.root, e["path"]), ignore_errors=True)
         kept = [e for e in history if e not in removable]
+        # rewrite history in ascending-version order (the sort above),
+        # regardless of the on-disk append order — versions()/readers
+        # may rely on monotone history after a rollback interleaves
+        # appends
         self._write_json_atomic(self._history_path(), kept)
         return [e["version"] for e in removable]

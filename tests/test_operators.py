@@ -442,6 +442,63 @@ def test_apply_resolutions(spark):
     assert {r.id for r in out} == {"B", "C"}
 
 
+def test_apply_resolutions_existing(spark):
+    """Existing-side twin: use_incoming/delete_both delete existing
+    rows; keep_existing/merge leave them (conflict_resolver.py:61-110)."""
+    from idhub_spark.operators.conflicts import apply_resolutions_existing
+
+    existing = spark.createDataFrame(
+        [("A", 1), ("B", 2), ("C", 3), ("D", 4)], ["id", "v"]
+    )
+    res = spark.createDataFrame(
+        [
+            ("A", "keep_existing"),
+            ("B", "use_incoming"),
+            ("C", "delete_both"),
+            ("D", "merge"),  # reference's unimplemented action: no-op
+        ],
+        ["id", "resolution_action"],
+    )
+    out = apply_resolutions_existing(existing, res, ["id"]).collect()
+    assert {r.id for r in out} == {"A", "D"}
+
+
+def test_apply_center_updates(spark):
+    """center_mismatch + use_incoming: subject center rewritten when
+    (gsid, old center) match; stale local_subject_ids row deleted
+    (fragment_resolution.py:389-564)."""
+    from idhub_spark.operators.conflicts import apply_center_updates
+
+    subjects = spark.createDataFrame(
+        [("G1", 1, "s1"), ("G2", 2, "s2"), ("G3", 9, "s3")],
+        ["global_subject_id", "center_id", "subject_name"],
+    )
+    local_ids = spark.createDataFrame(
+        [(1, "A", "t", "G1"), (2, "B", "t", "G2"), (9, "C", "t", "G3")],
+        ["center_id", "local_subject_id", "identifier_type", "global_subject_id"],
+    )
+    res = spark.createDataFrame(
+        [
+            # applies: G1's center 1 -> 5, local (1, A, t) deleted
+            ("A", "t", 1, 5, "G1", "center_mismatch", "use_incoming"),
+            # wrong action: no effect
+            ("B", "t", 2, 6, "G2", "center_mismatch", "keep_existing"),
+            # wrong conflict type: no effect
+            ("C", "t", 9, 7, "G3", "multi_gsid", "use_incoming"),
+        ],
+        [
+            "local_subject_id", "identifier_type", "existing_center_id",
+            "incoming_center_id", "existing_gsid", "conflict_type",
+            "resolution_action",
+        ],
+    )
+    subj2, local2 = apply_center_updates(subjects, local_ids, res)
+    centers = {r.global_subject_id: r.center_id for r in subj2.collect()}
+    assert centers == {"G1": 5, "G2": 2, "G3": 9}
+    assert subj2.columns == subjects.columns
+    assert {r.local_subject_id for r in local2.collect()} == {"B", "C"}
+
+
 def test_resolution_log(spark):
     from idhub_spark.operators.identity import resolution_log
 
