@@ -59,6 +59,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     changes_q,
     dedup_q,
     identity_q,
+    io_q,
     lifecycle_q,
     multimodal_q,
     parity_q,
@@ -101,6 +102,8 @@ _DRIVER_ORDER = [
     "fuzzy_center_match",
     # (2) new this round
     "conflict_apply_state",
+    "csv_roundtrip_staging",
+    "json_roundtrip_report",
     # (3) code/fixtures changed this round — nulls-last tie-break in
     # dispatch_matches + %19 NULL-created_at registry fixture
     "identity_resolution",
@@ -143,8 +146,6 @@ _DRIVER_ORDER = [
     "ann_topk_multiprobe",
     "subject_enrichment",
     "family_linkage",
-    "flexible_timestamp_parse",
-    "gsid_filter",
 ]
 
 
