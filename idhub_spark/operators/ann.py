@@ -5,7 +5,7 @@ path beyond the sign-bit LSH buckets in plans/similarity_q.py).
 Why this shape at 100 TB:
 - Training touches a SAMPLE (k-means needs ~100k vectors, not the
   corpus); each Lloyd iteration is one broadcast-join assignment pass
-  (centroids are k x dim doubles — kilobytes) and one re-centering
+  (centroids are k x dim ints — kilobytes) and one re-centering
   aggregate whose shuffle carries (cluster, dim, partial sum), bounded
   by k x dim, not corpus size.
 - Search assigns every query to its nprobe nearest centroids (tiny
@@ -15,10 +15,24 @@ Why this shape at 100 TB:
 - All vector arithmetic is JVM-side higher-order functions (zip_with
   + aggregate) — no Python in the hot path.
 
-The iterative fit has no single-SQL twin (same note as the identity
-CC loop); correctness is pinned by unit tests: monotone non-increasing
-k-means cost per iteration and recall@k against the exact brute-force
-oracle query.
+Determinism: floating-point k-means is nondeterministic under
+parallel summation (partial-sum order varies run to run), which makes
+the fit unreproducible and un-oracle-able. This implementation is
+EXACT-INTEGER end to end: vectors are quantized once at
+_ASSIGN_SCALE (1e-3 resolution — far finer than any cluster
+geometry), centroids are carried as (count n, integer sum vector s)
+instead of float means, and the assignment argmin compares
+d_j = ||n_j*x - s_j||^2 / n_j^2 — an integer numerator with one final
+int->double division, bit-identical on every engine and every
+partitioning. Overflow bound: |n*x_i - s_i| <= 2*n*S*|x|_max, so the
+64-dim numerator stays under 2^63 for any training sample up to
+~1e5 vectors of unit-scale values (the documented sample size).
+The IVF cosine uses the same scaled-integer recipe as
+plans/similarity_q.py's oracle-proven _COSINE (scale 1e6).
+
+The fit has no single-SQL twin as a LOOP, but with determinism the
+UNROLLED 2-iteration driver query (ann_topk_ivf) is expressible as a
+DuckDB CTE chain — see plans/similarity_q.py:_IVF_ORACLE.
 """
 
 from __future__ import annotations
@@ -26,16 +40,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# assignment quantization: round(x * 1000) — exact-integer cluster
+# geometry at 1e-3 resolution
+_ASSIGN_SCALE = 1000.0
+# cosine quantization — matches plans/similarity_q.py _COSINE (1e6)
+_COS_SCALE = 1000000.0
 
-def _sq_l2(a, b):
+
+def _quantize(col, scale):
+    return F.transform(col, lambda x: F.round(x * scale, 0).cast("bigint"))
+
+
+def _int_dot(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
 def _dot(a, b):
+    """Double fold — kept for the brute-force baseline in tests."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -51,49 +76,93 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means; returns (cluster, centroid array<double>).
+    """Lloyd's k-means; returns (cluster, centroid array<double>,
+    _n bigint, _s array<bigint>) — centroid is the float mean for
+    inspection, (_n, _s) the exact integer representation _assign
+    consumes.
 
     Deterministic init: the k vectors with the lowest ids (at corpus
     scale: a deterministic hash-sample). Each iteration: broadcast
     centroids -> nearest-centroid assignment (k-way min over a
     broadcast join, no shuffle on the corpus) -> re-center via
     posexplode + groupBy(cluster, dim) whose shuffle is k x dim
-    partial sums.
+    partial sums — and the sums are int64, so the result is the same
+    whatever the partitioning.
     """
+    from pyspark.storagelevel import StorageLevel
+
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    v = vectors.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    # persist the cast+quantized working set: every iteration's
+    # assignment pass (and the init scan) re-reads parquet otherwise —
+    # the training sample fits in memory by construction
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        vec_d.alias("_v"),
+        _quantize(vec_d, _ASSIGN_SCALE).alias("_x"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     centroids = (
         v.orderBy("_id")
         .limit(k)
         .select(
             (F.row_number().over(Window.orderBy("_id")) - 1).alias("cluster"),
-            F.col("_v").alias("centroid"),
+            F.lit(1).cast("long").alias("_n"),
+            F.col("_x").alias("_s"),
         )
     )
     for _ in range(max_iter):
         assigned = _assign(v, centroids)
         centroids = (
-            assigned.select("cluster", F.posexplode("_v").alias("dim", "val"))
+            assigned.select("cluster", F.posexplode("_x").alias("dim", "xi"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("xi").alias("sd"), F.count(F.lit(1)).alias("nd"))
             .groupBy("cluster")
             .agg(
+                F.max("nd").alias("_n"),  # identical across dims
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
+                    F.sort_array(F.collect_list(F.struct("dim", "sd"))),
+                    lambda s: s["sd"],
+                ).alias("_s"),
             )
         )
-        # truncate the growing lineage (same pattern as the CC loop)
+        # truncate the growing lineage (same pattern as the CC loop);
+        # eager=True also means v's last consumer has executed by the
+        # time the loop exits, so the unpersist below is safe
         centroids = centroids.localCheckpoint(eager=True)
-    return centroids
+    v.unpersist()
+    # float mean for callers that want coordinates; _assign never
+    # touches it
+    return centroids.select(
+        "cluster",
+        F.transform(
+            F.col("_s"),
+            lambda s: s.cast("double") / F.lit(_ASSIGN_SCALE) / F.col("_n"),
+        ).alias("centroid"),
+        "_n",
+        "_s",
+    )
 
 
 def _assign(v: DataFrame, centroids: DataFrame, *, nprobe: int = 1) -> DataFrame:
     """Nearest (or nprobe-nearest) centroid per vector via broadcast
-    cross join + top-n window. Output: (_id, _v, cluster, _dist)."""
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "_id", "_v", "cluster", _sq_l2(F.col("_v"), F.col("centroid")).alias("_dist")
+    cross join + top-n window, on the exact-integer distance
+    d_j = ||n_j*x - s_j||^2 / n_j^2 (== squared distance to the mean,
+    scaled by _ASSIGN_SCALE^2). Ties break on cluster asc. Preserves
+    the input columns and adds (cluster, _dist).
+
+    Input needs a quantized `_x` column; adds one from `_v` if absent
+    (the fit's persisted set already carries it)."""
+    if "_x" not in v.columns:
+        v = v.withColumn("_x", _quantize(F.col("_v"), _ASSIGN_SCALE))
+    n, s = F.col("_n"), F.col("_s")
+    num = F.aggregate(
+        F.zip_with(F.col("_x"), s, lambda x, si: (n * x - si) * (n * x - si)),
+        F.lit(0).cast("long"),
+        lambda acc, val: acc + val,
+    )
+    scored = v.crossJoin(F.broadcast(centroids.select("cluster", "_n", "_s"))).select(
+        *v.columns,
+        F.col("cluster"),
+        (num.cast("double") / (n * n).cast("double")).alias("_dist"),
     )
     w = Window.partitionBy("_id").orderBy(F.asc("_dist"), F.asc("cluster"))
     return (
@@ -119,25 +188,44 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cosine, rank) — the same output
     contract as ann_topk_bruteforce, so recall@k evaluates by a direct
-    join of the two results.
+    join of the two results. Cosine uses the scaled-int64 recipe
+    (exact dot/norms, one int->double conversion) so results are
+    deterministic and oracle-comparable.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # query_filter is written against the PUBLIC input columns, so it
     # must apply before the internal _id/_v rename
     q_src = vectors if query_filter is None else vectors.filter(query_filter)
-    v = vectors.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
-    corpus = _assign(v, centroids).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"), "cluster"
+    # scaled vectors + exact integer norms computed BELOW the
+    # assignment window (a shuffle barrier), so CollapseProject cannot
+    # inline the per-row transform into the per-candidate-pair
+    # projection above the join
+    def _prep(df):
+        si = _quantize(vec_d, _COS_SCALE)
+        return df.select(
+            F.col(id_col).alias("_id"),
+            vec_d.alias("_v"),
+            si.alias("_si"),
+            _int_dot(si, si).alias("_nrm"),
+        )
+
+    corpus = _assign(_prep(vectors), centroids).select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_si").alias("n_si"),
+        F.col("_nrm").alias("n_nrm"),
+        "cluster",
     )
-    q = q_src.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    q = _prep(q_src)
     if query_ids is not None:
         q = q.filter(F.col("_id").isin(query_ids))
     probes = _assign(q, centroids, nprobe=nprobe).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("q_v"), "cluster"
+        F.col("_id").alias("query_id"),
+        F.col("_si").alias("q_si"),
+        F.col("_nrm").alias("q_nrm"),
+        "cluster",
     )
-    cosine = _dot(F.col("q_v"), F.col("n_v")) / (
-        F.sqrt(_dot(F.col("q_v"), F.col("q_v")))
-        * F.sqrt(_dot(F.col("n_v"), F.col("n_v")))
+    cosine = _int_dot(F.col("q_si"), F.col("n_si")).cast("double") / (
+        F.sqrt(F.col("q_nrm").cast("double")) * F.sqrt(F.col("n_nrm").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

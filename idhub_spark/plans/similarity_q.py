@@ -266,16 +266,97 @@ def ann_recall_at_k(spark, sf_dir):
     )
 
 
+# Exact-integer IVF oracle: because operators/ann.py quantizes the
+# assignment geometry (scale 1e3) and carries centroids as exact
+# (count, int-sum-vector) pairs, the 2-iteration Lloyd's fit is
+# DETERMINISTIC and the whole query unrolls into a CTE chain —
+# upgrading ann_topk_ivf from a rows-only check to a hash-checked row.
+def _ivf_dist(c):
+    """d_j = ||n_j*x - s_j||^2 / n_j^2 — integer numerator, one
+    int->double division; identical bits to ann.py's _assign."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"({c}.n * v.xs[i] - {c}.s[i]) * ({c}.n * v.xs[i] - {c}.s[i]))) AS DOUBLE)"
+        f" / CAST({c}.n * {c}.n AS DOUBLE)"
+    )
+
+
+def _ivf_assign(prev, out, nprobe=1, keep="v.xs"):
+    return f"""
+    {out} AS (
+      SELECT id, {keep.split('.')[-1]}, cluster FROM (
+        SELECT v.id, {keep}, c.cluster,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {_ivf_dist('c')}, c.cluster) AS rn
+        FROM v CROSS JOIN {prev} c) WHERE rn <= {nprobe})"""
+
+
+def _ivf_recenter(assigned, out):
+    return f"""
+    {out}_sums AS (
+      SELECT cluster, i AS dim, CAST(SUM(xs[i]) AS BIGINT) AS sd,
+             COUNT(*) AS nd
+      FROM {assigned}, UNNEST(range(1, 65)) AS t(i)
+      GROUP BY cluster, i),
+    {out} AS (
+      SELECT cluster, CAST(max(nd) AS BIGINT) AS n,
+             list_transform(list_sort(list({{'d': dim, 'sd': sd}})),
+                            r -> r.sd) AS s
+      FROM {out}_sums GROUP BY cluster)"""
+
+
+_IVF_SI = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+_IVF_COS = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> p.si[i] * n.si[i])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> p.si[i] * p.si[i])) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> n.si[i] * n.si[i])) AS DOUBLE)))"
+)
+
+_IVF_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xs,
+             {_IVF_SI} AS si
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
+             CAST(1 AS BIGINT) AS n, xs AS s
+      FROM v ORDER BY id LIMIT 8),
+    {_ivf_assign('c0', 'a1').strip()},
+    {_ivf_recenter('a1', 'c1').strip()},
+    {_ivf_assign('c1', 'a2').strip()},
+    {_ivf_recenter('a2', 'c2').strip()},
+    {_ivf_assign('c2', 'corpus', keep='v.si').strip()},
+    qv AS (SELECT * FROM v WHERE id < 8),
+    probes AS (
+      SELECT id, si, cluster FROM (
+        SELECT v.id, v.si, c.cluster,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {_ivf_dist('c')}, c.cluster) AS rn
+        FROM qv v CROSS JOIN c2 c) WHERE rn <= 2),
+    pairs AS (
+      SELECT p.id AS query_id, n.id AS neighbor_id, {_IVF_COS} AS cosine
+      FROM probes p JOIN corpus n
+        ON p.cluster = n.cluster AND p.id <> n.id)
+    SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """
+
+
 @query(
     "ann_topk_ivf",
-    None,  # k-means fit is iterative — no single-SQL twin (same note
-    # as identity_components; recall vs the exact baseline is pinned
-    # by tests/test_ann.py)
+    _IVF_ORACLE,
     doc="IVF ANN: DataFrame-native Lloyd's k-means (operators/ann.py) "
     "partitions the corpus into inverted lists; each query scans only "
     "its nprobe nearest lists. The honest scale path beyond sign-bit "
     "buckets: per-query work is nprobe/k of the corpus, training "
-    "shuffles are bounded by k x dim.",
+    "shuffles are bounded by k x dim. Exact-integer quantized "
+    "assignment + int-sum centroids make the fit deterministic, so "
+    "the oracle unrolls both Lloyd iterations as CTEs and the driver "
+    "hash-checks the full result (previously rows-only).",
 )
 def ann_topk_ivf(spark, sf_dir):
     from idhub_spark.operators.ann import ivf_topk, kmeans_fit
