@@ -28,19 +28,23 @@ _SCALE_D = float(10**SCALE)
     """,
     doc="W1/W2: COUNT(DISTINCT) OVER () global-flag pattern "
     "(01-schema.sql:414-419,441-452). Spark lacks distinct window "
-    "aggregates, so: size(collect_set() over ()) — semantically the "
-    "reference's window; DuckDB oracle spells it as a scalar cross join.",
+    "aggregates — and an empty-partition window (collect_set over ()) "
+    "funnels EVERY row through one task, the one plan shape that "
+    "cannot scale. Instead: the global distinct count is a 1-row "
+    "aggregate broadcast-joined back (the same shape as the DuckDB "
+    "oracle's scalar cross join) — distributed agg + map-side join, "
+    "zero single-partition stages.",
 )
 def global_distinct_flag(spark, sf_dir):
     t = tables(spark, sf_dir, "events")
     sub = (
         t["events"].filter(F.col("value") > 140).select("user_id", "event_type").distinct()
     )
-    w = Window.partitionBy()  # global window
-    return sub.select(
+    total = sub.agg(F.countDistinct("user_id").alias("_n_users_total"))
+    return sub.crossJoin(F.broadcast(total)).select(
         "user_id",
         "event_type",
-        (F.size(F.collect_set("user_id").over(w)) > 1).alias("conflict_flag"),
+        (F.col("_n_users_total") > 1).alias("conflict_flag"),
     )
 
 
