@@ -242,3 +242,81 @@ def family_linkage(spark, sf_dir):
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "load_batch_state",
+    """
+    WITH frag AS (
+      SELECT 'S-' || CAST(c_custkey AS VARCHAR) AS sample_id,
+             CASE WHEN c_custkey % 13 = 0 THEN 'nan'
+                  ELSE 'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END
+               AS global_subject_id,
+             lower(c_mktsegment) AS sample_type,
+             c_custkey % 2 = 0 AS sample_available
+      FROM customer),
+    valid AS (
+      SELECT * FROM frag
+      WHERE global_subject_id IS NOT NULL
+        AND trim(global_subject_id) <> ''
+        AND lower(trim(global_subject_id)) <> 'nan'),
+    cur AS (
+      SELECT 'S-' || CAST(c_custkey AS VARCHAR) AS sample_id,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id,
+             CASE WHEN c_custkey % 6 = 0 THEN 'zzz'
+                  ELSE lower(c_mktsegment) END AS sample_type,
+             c_custkey % 2 = 0 AS sample_available
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(v.sample_id, c.sample_id) AS sample_id,
+           COALESCE(v.global_subject_id, c.global_subject_id) AS global_subject_id,
+           COALESCE(v.sample_type, c.sample_type) AS sample_type,
+           COALESCE(v.sample_available, c.sample_available) AS sample_available
+    FROM valid v FULL OUTER JOIN cur c ON v.sample_id = c.sample_id
+    """,
+    doc="End-to-end load_batch pipeline state (§3.3: loader.py:68-254 "
+    "-> pipelines/load_batch.py): report-driven + per-table default "
+    "column exclusion (P4; center_id dropped via DEFAULT_EXCLUDES, "
+    "scratch_note via the report), invalid-GSID row filter (F2; 'nan' "
+    "rows dropped), schema-intersection projection, then the universal "
+    "upsert. Oracle = upsert algebra directly: incoming wins on "
+    "matched keys, current-only rows kept (incoming values coalesce "
+    "over current in a full-outer join on the natural key). Fixture "
+    "makes every merge branch fire: %13 invalid rows, %3 existing "
+    "rows, %6 update rows, the rest inserts/unchanged.",
+)
+def load_batch_state(spark, sf_dir):
+    from idhub_spark.pipelines.load_batch import load_batch
+
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    gsid = F.concat(F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+    frag = c.select(
+        F.concat(F.lit("S-"), F.col("c_custkey").cast("string")).alias("sample_id"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("nan"))
+        .otherwise(gsid)
+        .alias("global_subject_id"),
+        F.lower("c_mktsegment").alias("sample_type"),
+        (F.col("c_custkey") % 2 == 0).alias("sample_available"),
+        # P4 coverage: DEFAULT_EXCLUDES drops center_id for specimen,
+        # the report's exclude_from_load drops scratch_note
+        F.col("c_nationkey").alias("center_id"),
+        F.lit("tmp").alias("scratch_note"),
+    )
+    cur = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("S-"), F.col("c_custkey").cast("string")).alias("sample_id"),
+        gsid.alias("global_subject_id"),
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("zzz"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("sample_type"),
+        (F.col("c_custkey") % 2 == 0).alias("sample_available"),
+    )
+    out = load_batch(
+        frag,
+        cur,
+        table_name="specimen",
+        batch_id="b-lb",
+        report={"exclude_from_load": ["scratch_note"]},
+    )
+    return out.merge.merged.select(
+        "sample_id", "global_subject_id", "sample_type", "sample_available"
+    )
