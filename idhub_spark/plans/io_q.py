@@ -103,3 +103,95 @@ def json_roundtrip_report(spark, sf_dir):
         ssum(F.col("o_totalprice"), "total_price"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+@query(
+    "rest_paginated_scan",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_ssum("c_acctbal", "total_acctbal")},
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="S1: the REDCap-style paginated REST scan "
+    "(redcap-pipeline/services/redcap_client.py:73-170) over REAL "
+    "HTTP: an in-process server pages the customer table as JSON "
+    "(offset/limit params) and fails the second page once with a 500 "
+    "to prove the retry/backoff path; RestSource paginates, retries, "
+    "and lands the records in a DataFrame. The oracle aggregates the "
+    "parquet directly — a hash match proves the transport + pagination "
+    "+ JSON decode pipeline is lossless, doubles included.",
+)
+def rest_paginated_scan(spark, sf_dir):
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as pq
+
+    from idhub_spark.sources.rest import RestSource
+
+    # keep the parquet registered for the driver even though the scan
+    # itself goes over HTTP
+    tables(spark, sf_dir, "customer")
+    rows = (
+        pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+        )
+        .sort_by("c_custkey")
+        .to_pylist()
+    )
+    failed_once = {"flag": False}
+
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence request logging
+            pass
+
+        def do_GET(self):
+            qs = parse_qs(urlparse(self.path).query)
+            offset = int(qs.get("offset", ["0"])[0])
+            limit = int(qs.get("limit", ["100"])[0])
+            # one transient 500 on the second page: the retry path is
+            # exercised, the final result is unaffected
+            if offset > 0 and not failed_once["flag"]:
+                failed_once["flag"] = True
+                self.send_response(500)
+                self.end_headers()
+                return
+            body = _json.dumps(rows[offset : offset + limit]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+
+        def fetch_page(offset: int, limit: int) -> list[dict]:
+            url = f"http://127.0.0.1:{port}/records?offset={offset}&limit={limit}"
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                if resp.status != 200:
+                    raise IOError(f"HTTP {resp.status}")
+                return _json.loads(resp.read())
+
+        src = RestSource(fetch_page, page_size=500, sleep=lambda _s: None)
+        df = src.to_dataframe(
+            spark,
+            "c_custkey bigint, c_name string, c_mktsegment string, c_acctbal double",
+        )
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        ssum(F.col("c_acctbal"), "total_acctbal"),
+        F.min("c_name").alias("first_name"),
+    )

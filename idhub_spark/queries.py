@@ -105,6 +105,7 @@ _DRIVER_ORDER = [
     "csv_roundtrip_staging",
     "json_roundtrip_report",
     "load_batch_state",
+    "rest_paginated_scan",
     # (3) code/fixtures changed this round — nulls-last tie-break in
     # dispatch_matches + %19 NULL-created_at registry fixture
     "identity_resolution",
@@ -145,7 +146,6 @@ _DRIVER_ORDER = [
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "ann_topk_multiprobe",
-    "subject_enrichment",
 ]
 
 
