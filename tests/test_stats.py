@@ -60,3 +60,29 @@ def test_semi_join_stays_semi(spark):
 def test_topk_avoids_global_sort(spark):
     plan = _plan(spark, "recent_changes_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_conflict_apply_broadcasts_resolutions(spark):
+    """Existing-side conflict application must broadcast the tiny
+    resolution set (anti-join + center-update join) — the big tables
+    never shuffle for it."""
+    plan = _plan(spark, "conflict_apply_state")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_distinct_flag_no_single_partition_window(spark):
+    """The W1/W2 global flag must NOT run through an unpartitioned
+    window (single-task funnel); it is a 1-row aggregate broadcast
+    back over the distinct set."""
+    plan = _plan(spark, "global_distinct_flag")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ngram_shingles_projection_only(spark):
+    """The shingle build is Generate(explode)-based — no window
+    exchange; the only shuffles are the distinct + the index joins."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "Window" not in plan

@@ -53,6 +53,15 @@ print(f"entry(): OK ({n} rows)")
 
 qs = E.queries()
 oracles = E.oracle_sql()
+# --only=a,b,c restricts the sim to named queries (fast targeted
+# re-verification while iterating; the full run stays the gate)
+only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+if only:
+    wanted = set(only[0].split(","))
+    unknown = wanted - set(qs)
+    if unknown:
+        raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in wanted}
 fail = []
 for name in qs:
     try:
