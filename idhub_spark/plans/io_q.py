@@ -195,3 +195,100 @@ def rest_paginated_scan(spark, sf_dir):
         ssum(F.col("c_acctbal"), "total_acctbal"),
         F.min("c_name").alias("first_name"),
     )
+
+
+@query(
+    "redcap_dictionary_scan",
+    """
+    SELECT 'f_' || CAST(p_partkey AS VARCHAR) AS field_name,
+           lower(p_brand) AS form_name,
+           CASE WHEN p_partkey % 3 = 0 THEN 'text'
+                WHEN p_partkey % 3 = 1 THEN 'radio'
+                ELSE 'yesno' END AS field_type,
+           p_name AS field_label,
+           NULLIF(CASE WHEN p_partkey % 3 = 1 THEN '1, Yes | 0, No' ELSE '' END, '')
+             AS select_choices_or_calculations,
+           NULLIF(CASE WHEN p_partkey % 5 = 0 THEN 'date_ymd' ELSE '' END, '')
+             AS text_validation_type_or_show_slider_number,
+           CASE WHEN p_partkey % 2 = 0 THEN 'y' ELSE 'n' END AS required_field,
+           NULLIF('', '') AS identifier
+    FROM part
+    """,
+    doc="S2: the REDCap data-dictionary scan "
+    "(redcap-pipeline/services/redcap_client.py:189-204, "
+    "content=metadata) over real HTTP with the same retry contract as "
+    "the record scan (first request 500s once), including the "
+    "dictionary's empty-string -> NULL normalization. Fixture "
+    "dictionary derived from `part`; the oracle re-derives it with "
+    "NULLIF-normalized blanks.",
+)
+def redcap_dictionary_scan(spark, sf_dir):
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pyarrow.parquet as pq
+
+    from idhub_spark.sources.rest import redcap_metadata
+
+    tables(spark, sf_dir, "part")
+    parts = (
+        pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_brand"],
+        )
+        .sort_by("p_partkey")
+        .to_pylist()
+    )
+    dictionary = [
+        {
+            "field_name": f"f_{r['p_partkey']}",
+            "form_name": r["p_brand"].lower(),
+            "field_type": ("text", "radio", "yesno")[r["p_partkey"] % 3],
+            "field_label": r["p_name"],
+            "select_choices_or_calculations": (
+                "1, Yes | 0, No" if r["p_partkey"] % 3 == 1 else ""
+            ),
+            "text_validation_type_or_show_slider_number": (
+                "date_ymd" if r["p_partkey"] % 5 == 0 else ""
+            ),
+            "required_field": "y" if r["p_partkey"] % 2 == 0 else "n",
+            "identifier": "",
+        }
+        for r in parts
+    ]
+    failed_once = {"flag": False}
+
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if not failed_once["flag"]:
+                failed_once["flag"] = True
+                self.send_response(500)
+                self.end_headers()
+                return
+            body = _json.dumps(dictionary).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+
+        def fetch_dictionary() -> list[dict]:
+            url = f"http://127.0.0.1:{port}/metadata"
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                return _json.loads(resp.read())
+
+        df = redcap_metadata(spark, fetch_dictionary, sleep=lambda _s: None)
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+    return df

@@ -107,6 +107,7 @@ _DRIVER_ORDER = [
     "load_batch_state",
     "rest_paginated_scan",
     "labkey_sync_state",
+    "redcap_dictionary_scan",
     # (3) code/fixtures changed this round — nulls-last tie-break in
     # dispatch_matches + %19 NULL-created_at registry fixture
     "identity_resolution",
@@ -145,7 +146,6 @@ _DRIVER_ORDER = [
     "local_ids_merge",
     "load_stats",
     "minhash_lsh_dedup",
-    "ngram_jaccard_pairs",
 ]
 
 
