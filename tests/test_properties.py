@@ -134,3 +134,65 @@ def test_merge_random_schema_subsets(spark):
         # idempotence: re-merge of merged state audits nothing
         r2 = merge_upsert(merged, merged, ["k"])
         assert r2.audit.count() == 0, f"trial {trial}"
+
+
+def test_conflict_application_invariants_randomized(spark):
+    """Seeded-random invariants for the two-sided conflict application
+    (conflict_resolver.py:61-110 semantics):
+
+    - incoming after apply_resolutions = incoming minus keys resolved
+      keep_existing/delete_both/pending;
+    - existing after apply_resolutions_existing = existing minus keys
+      resolved use_incoming/delete_both;
+    - a delete_both key survives on NEITHER side; a keep_existing key
+      survives on BOTH (incoming blocked only); merge/unknown touch
+      nothing;
+    - the two filters never invent rows.
+    """
+    from idhub_spark.operators.conflicts import (
+        apply_resolutions,
+        apply_resolutions_existing,
+    )
+
+    actions = ["keep_existing", "use_incoming", "delete_both", "pending", "merge"]
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        keys = [f"K{i}" for i in range(rng.randint(4, 12))]
+        incoming_keys = sorted(rng.sample(keys, rng.randint(1, len(keys))))
+        existing_keys = sorted(rng.sample(keys, rng.randint(1, len(keys))))
+        resolved = {
+            k: rng.choice(actions) for k in keys if rng.random() < 0.7
+        }
+        incoming = spark.createDataFrame([(k, 1) for k in incoming_keys], ["id", "v"])
+        existing = spark.createDataFrame([(k, 2) for k in existing_keys], ["id", "v"])
+        res = (
+            spark.createDataFrame(
+                [(k, a) for k, a in resolved.items()], ["id", "resolution_action"]
+            )
+            if resolved
+            else spark.createDataFrame([], "id string, resolution_action string")
+        )
+        inc_out = {r.id for r in apply_resolutions(incoming, res, ["id"]).collect()}
+        ex_out = {
+            r.id for r in apply_resolutions_existing(existing, res, ["id"]).collect()
+        }
+        inc_expect = {
+            k
+            for k in incoming_keys
+            if resolved.get(k) not in ("keep_existing", "delete_both", "pending")
+        }
+        ex_expect = {
+            k
+            for k in existing_keys
+            if resolved.get(k) not in ("use_incoming", "delete_both")
+        }
+        assert inc_out == inc_expect, f"seed {seed}"
+        assert ex_out == ex_expect, f"seed {seed}"
+        for k, a in resolved.items():
+            if a == "delete_both":
+                assert k not in inc_out and k not in ex_out, f"seed {seed}: {k}"
+            if a == "keep_existing" and k in existing_keys:
+                assert k in ex_out, f"seed {seed}: {k}"
+            if a == "merge":
+                assert (k in inc_out) == (k in incoming_keys), f"seed {seed}: {k}"
+                assert (k in ex_out) == (k in existing_keys), f"seed {seed}: {k}"
