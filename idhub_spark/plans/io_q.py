@@ -292,3 +292,65 @@ def redcap_dictionary_scan(spark, sf_dir):
         server.shutdown()
         thread.join(timeout=5)
     return df
+
+
+@query(
+    "jdbc_partitioned_scan",
+    f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           {sql_ssum("c_acctbal", "total_acctbal")},
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="S6 + K3 write-side on a REAL database: customer lands in an "
+    "embedded Derby instance through Spark's JDBC writer, then comes "
+    "back through sources/jdbc.py:JdbcSource as a PARTITIONED scan "
+    "(partitionColumn=c_custkey, 8 parallel connections — the scale "
+    "rule the module enforces; an unpartitioned JDBC scan is one "
+    "executor on one connection). Same option surface as the Postgres "
+    "production path (table-loader/services/database.py) — only the "
+    "URL/driver differ. Oracle aggregates the original parquet; a "
+    "hash match proves the JDBC round-trip is lossless.",
+)
+def jdbc_partitioned_scan(spark, sf_dir):
+    from idhub_spark.sources.jdbc import JdbcSource
+
+    t = tables(spark, sf_dir, "customer")
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"idhub_derby_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        t["customer"]
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUSTOMER_RT")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    # partition bounds: custkeys are dense 1..n (footer-served count)
+    n = t["customer"].count()
+    src = JdbcSource(
+        url=url,
+        table="CUSTOMER_RT",
+        driver=driver,
+        fetchsize=1000,
+        partition_column="C_CUSTKEY",
+        lower_bound=1,
+        upper_bound=max(int(n), 2),
+        num_partitions=8,
+    )
+    df = src.read(spark)
+    # Derby uppercases identifiers; restore the parquet casing
+    df = df.select(*[F.col(c).alias(c.lower()) for c in df.columns])
+    return df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        ssum(F.col("c_acctbal"), "total_acctbal"),
+        F.min("c_name").alias("first_name"),
+    )

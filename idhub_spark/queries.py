@@ -108,6 +108,7 @@ _DRIVER_ORDER = [
     "rest_paginated_scan",
     "labkey_sync_state",
     "redcap_dictionary_scan",
+    "jdbc_partitioned_scan",
     # (3) code/fixtures changed this round — nulls-last tie-break in
     # dispatch_matches + %19 NULL-created_at registry fixture
     "identity_resolution",
@@ -145,7 +146,6 @@ _DRIVER_ORDER = [
     "audit_trail",
     "local_ids_merge",
     "load_stats",
-    "minhash_lsh_dedup",
 ]
 
 

@@ -21,9 +21,11 @@ Scale rules encoded here:
   MERGE; Spark's JDBC writer has no upsert, so merge_upsert computes
   the change set and only `inserted`/`updated` rows ship.
 
-The sandbox has no database or JDBC driver jar, so everything here is
-exercised by option-construction tests; the call surface is the real
-one (`spark.read.format("jdbc")`).
+Exercised end to end against embedded Derby (bundled with Spark) by
+the driver query `jdbc_partitioned_scan` (plans/io_q.py): Spark's
+JDBC writer lands the table, JdbcSource reads it back partitioned,
+and the aggregate hash-matches the parquet oracle. Production swaps
+the URL/driver for Postgres; the option surface is identical.
 """
 
 from __future__ import annotations
