@@ -35,31 +35,42 @@ def main() -> None:
     # include everything registered but not in HEADLINE too
     names += [n for n in sorted(REGISTRY) if n not in names]
 
-    timings: dict[str, float] = {}
+    # Two back-to-back passes, min-of-2 per query: r5 showed single-run
+    # wall times on this box carry ±2-8s one-off spikes that migrate
+    # between unrelated queries (GC/JIT/page-cache), so a single run
+    # cannot detect a real 20% regression. The min is the stable
+    # statistic for "how fast can this plan go on this box".
+    runs: list[dict[str, float]] = [{}, {}]
     errors: list[str] = []
-    total = 0.0
-    for name in names:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        # One failing query must not kill the whole run (r4 lost ALL
-        # bench data to a single AnalysisException): record it and
-        # keep going. Errors go in the JSON as names-only.
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as e:
-            errors.append(name)
-            print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
-            continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # drop persisted intermediates between queries: the dedup/
-        # identity plans persist their shared subtrees, and 93 queries'
-        # leftovers otherwise accumulate in storage memory, taxing the
-        # late-alphabet queries with eviction/spill they didn't cause
-        spark.catalog.clearCache()
+    for pass_i in range(2):
+        for name in names:
+            if name in errors:
+                continue
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            # One failing query must not kill the whole run (r4 lost
+            # ALL bench data to a single AnalysisException): record it
+            # and keep going. Errors go in the JSON as names-only.
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                runs[pass_i][name] = round(dt, 4)
+                print(f"# p{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+            except Exception as e:
+                errors.append(name)
+                print(f"# p{pass_i} {name}: ERROR {type(e).__name__}", file=sys.stderr)
+            finally:
+                # drop persisted intermediates between queries — even on
+                # error — so one query's leftovers (or a failed query's
+                # persisted subtrees) never tax the next query's timing
+                spark.catalog.clearCache()
+
+    timings = {
+        name: min(runs[0][name], runs[1].get(name, runs[0][name]))
+        for name in runs[0]
+    }
+    total = sum(timings.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
@@ -74,19 +85,20 @@ def main() -> None:
                            "bench_queries_full.json"), "w") as f:
         json.dump(
             {
-                "queries": timings,
+                "queries": timings,  # min-of-2 per query
+                "run1": runs[0],
+                "run2": runs[1],
                 "errors": errors,
                 "sf": sf_val,
                 "total": round(total, 4),
-                # r5 finding: per-query wall times on this box carry
-                # ±2-8s one-off spikes that move between unrelated
-                # queries run-to-run (GC/JIT/page-cache); r3's apparent
-                # order_priority_check/resolution_log/oldest_pick
-                # regressions did not reproduce. Also note the driver
-                # regenerated testdata after r3 (events 500k -> 100k
-                # rows at sf0.1; documents corpus more self-similar),
-                # so cross-round per-query deltas are not like-for-like.
-                "note": "timings ±noise; testdata regenerated post-r3",
+                # Per-query wall times on this box carry ±2-8s one-off
+                # spikes that migrate between unrelated queries
+                # run-to-run (GC/JIT/page-cache) — hence min-of-2.
+                # The driver regenerated testdata after r3 (events
+                # 500k -> 100k rows at sf0.1; documents corpus more
+                # self-similar), so cross-round per-query deltas
+                # before/after r3 are not like-for-like.
+                "note": "min-of-2 per query; testdata regenerated post-r3",
             },
             f,
         )
@@ -100,6 +112,7 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": {},
+        "stat": "min_of_2",
         "n_queries": len(timings),
         "errors": errors[:10],
         "n_errors": len(errors),

@@ -24,11 +24,27 @@ geometry), centroids are carried as (count n, integer sum vector s)
 instead of float means, and the assignment argmin compares
 d_j = ||n_j*x - s_j||^2 / n_j^2 — an integer numerator with one final
 int->double division, bit-identical on every engine and every
-partitioning. Overflow bound: |n*x_i - s_i| <= 2*n*S*|x|_max, so the
-64-dim numerator stays under 2^63 for any training sample up to
-~1e5 vectors of unit-scale values (the documented sample size).
-The IVF cosine uses the same scaled-integer recipe as
-plans/similarity_q.py's oracle-proven _COSINE (scale 1e6).
+partitioning.
+
+Overflow/parity envelope — the binding bound is 2^53, NOT 2^63:
+int64 wraparound needs the dims-summed numerator under 2^63, but
+CROSS-ENGINE HASH PARITY needs it under 2^53, because above 2^53 the
+final int->double conversion is no longer exact and Spark's
+correctly-rounded long->double can differ from DuckDB's hugeint->
+double by 1-2 ulp (the trap tests/_util.py documents for ssum),
+flipping near-tie assignments/rankings. Per-dim |n*x_i - s_i| <=
+2*n*S*|x|_max, so the envelope is
+    dims * (2 * n * S * |x|_max)^2 < 2^53,
+i.e. for 64 dims and unit-scale values (S=1e3), a training sample of
+n <= ~5.8e3 vectors. kmeans_fit ASSERTS this envelope over the actual
+sample (one aggregate over the persisted working set — it doubles as
+the persist warm-up); callers with bigger corpora must train on a
+deterministic hash-sample within the envelope, which is also the
+statistically right thing for k-means. The search-side cosine uses
+the scaled-integer recipe of plans/similarity_q.py's oracle-proven
+_COSINE (scale 1e6): 64 products of <= 1e6*|x|_max each keeps the
+dot under 2^53 for |x|_max <= ~11 — documented, not asserted, since
+asserting would cost a full corpus pass.
 
 The fit has no single-SQL twin as a LOOP, but with determinism the
 UNROLLED 2-iteration driver query (ann_topk_ivf) is expressible as a
@@ -100,6 +116,26 @@ def kmeans_fit(
         vec_d.alias("_v"),
         _quantize(vec_d, _ASSIGN_SCALE).alias("_x"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # enforce the 2^53 cross-engine parity envelope (module docstring):
+    # one aggregate over the persisted sample, doubling as its warm-up
+    env = v.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                F.col("_x"),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+        ).alias("xq_max"),
+        F.max(F.size("_x")).alias("dims"),
+    ).first()
+    if env.n and env.dims * (2 * env.n * env.xq_max) ** 2 >= 2**53:
+        raise ValueError(
+            "k-means training sample exceeds the exact-arithmetic "
+            f"envelope dims*(2*n*S*|x|max)^2 < 2^53 (n={env.n}, "
+            f"dims={env.dims}, max|quantized x|={env.xq_max}); train on "
+            "a smaller deterministic hash-sample"
+        )
     centroids = (
         v.orderBy("_id")
         .limit(k)

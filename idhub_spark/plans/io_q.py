@@ -318,10 +318,22 @@ def jdbc_partitioned_scan(spark, sf_dir):
     from idhub_spark.sources.jdbc import JdbcSource
 
     t = tables(spark, sf_dir, "customer")
+    # Stable per-sf path: overwrite mode makes reruns idempotent, so
+    # repeated bench/driver runs reuse one db dir instead of
+    # accumulating a copy of customer per process (pid-suffixed paths
+    # leaked disk). Keep derby.log out of the working directory by
+    # pointing Derby's error stream into the db's parent (must be set
+    # before the Derby engine first boots in this JVM; no-op after).
     db = os.path.join(
         tempfile.gettempdir(),
-        f"idhub_derby_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"idhub_derby_{os.path.basename(sf_dir.rstrip('/'))}",
     )
+    try:
+        spark.sparkContext._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file", os.path.join(tempfile.gettempdir(), "derby.log")
+        )
+    except Exception:
+        pass  # property is best-effort log hygiene, never query-fatal
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     (

@@ -98,9 +98,13 @@ class RestSource:
         self.partial = False
 
     def pages(self, start_offset: int = 0) -> Iterator[list[dict]]:
-        """Tolerates up to max_consecutive_failures failed pages then
-        stops with partial=True and last_offset set — the reference's
-        partial-success resume contract (pipeline.py:44-101)."""
+        """Retries the SAME offset on failure — never advances past a
+        page it has not fetched, so no records are silently dropped
+        (pipeline.py:44-101 retries the same offset). After
+        max_consecutive_failures rounds of retries on one page it stops
+        with partial=True and last_offset pointing AT the failed page,
+        so a resume from last_offset re-attempts exactly the missing
+        data — the reference's partial-success resume contract."""
         offset = start_offset
         failures = 0
         while True:
@@ -117,7 +121,8 @@ class RestSource:
                     self.partial = True
                     self.last_offset = offset
                     return
-                offset += self.page_size
+                # re-fetch the same offset; do NOT advance (that would
+                # silently drop this page's records)
                 continue
             if not page:
                 self.last_offset = offset

@@ -231,9 +231,34 @@ def test_rest_source_partial_success(spark):
     src = RestSource(
         fetch, page_size=1, retries=1, max_consecutive_failures=3, sleep=lambda s: None
     )
-    list(src.pages())
+    got = [r["id"] for page in src.pages() for r in page]
+    assert got == [0, 1]  # everything before the failed page was yielded
     assert src.partial
-    assert src.last_offset >= 2
+    # last_offset points AT the failed page so a resume re-attempts it
+    assert src.last_offset == 2
+
+
+def test_rest_source_never_skips_a_page(spark):
+    """A page whose retries exhaust is re-fetched at the SAME offset on
+    the next round — records are never silently dropped
+    (redcap-pipeline/services/pipeline.py:44-101 retries same offset)."""
+    flaky_calls = {"n": 0}
+
+    def fetch(offset, limit):
+        if offset == 1:
+            flaky_calls["n"] += 1
+            if flaky_calls["n"] <= 2:  # exhaust retries twice, succeed 3rd round
+                raise ConnectionError("down")
+        if offset >= 3:
+            return []
+        return [{"id": offset}]
+
+    src = RestSource(
+        fetch, page_size=1, retries=1, max_consecutive_failures=3, sleep=lambda s: None
+    )
+    got = [r["id"] for page in src.pages() for r in page]
+    assert got == [0, 1, 2]  # page at offset 1 recovered, nothing skipped
+    assert not src.partial
 
 
 def test_redcap_metadata_scan_and_mapping_check(spark):
