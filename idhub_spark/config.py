@@ -115,6 +115,16 @@ def load_mapping(path_or_dict) -> FragmentMapping:
     )
 
 
+def enabled_projects(projects: dict[str, dict]) -> dict[str, dict]:
+    """F6 enabled-project filter (redcap-pipeline/main.py:66-73): a
+    multi-project run skips any project whose config sets
+    enabled=false; an absent key defaults to enabled. Driver-side by
+    design — the project list is a handful of dicts, and the gate runs
+    before any Spark plan is built, so a disabled project costs zero
+    cluster work."""
+    return {k: v for k, v in projects.items() if v.get("enabled", True)}
+
+
 def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
     """Flatten the record-list dialect; entries for different target
     tables are grouped by the caller (one FragmentMapping per table)."""

@@ -97,6 +97,52 @@ def find_duplicates(existing: DataFrame) -> DataFrame:
     )
 
 
+_RESOLUTION_COLS = [
+    "batch_id",
+    "local_subject_id",
+    "identifier_type",
+    "conflict_type",
+    "resolution_action",
+    "resolved",
+    "existing_gsid",
+    "existing_center_id",
+    "incoming_center_id",
+]
+
+
+def pending_resolutions(resolutions: DataFrame, batch_id: str) -> DataFrame:
+    """F5 batch/status predicates — the reference's
+    get_resolved_conflicts (fragment_resolution.py:302-350): the
+    resolutions for ONE batch that a curator has actioned
+    (resolution_action IS NOT NULL) but the loader has not yet applied
+    (resolved = FALSE). This is the work-queue scan that gates every
+    conflict-application pass; mark_applied is its closing half.
+
+    Scale: batch_id is the natural partition key of the resolutions
+    table; the predicate prunes to one batch before anything shuffles.
+    """
+    return resolutions.filter(
+        (F.col("batch_id") == batch_id)
+        & F.col("resolution_action").isNotNull()
+        & (F.col("resolved") == F.lit(False))
+    ).select(*_RESOLUTION_COLS)
+
+
+def mark_applied(resolutions: DataFrame, batch_id: str) -> DataFrame:
+    """F5's closing half — mark_conflicts_as_applied
+    (fragment_resolution.py:352-387): after application, every
+    actioned resolution in the batch flips resolved := TRUE. Pure
+    column rewrite — no shuffle."""
+    flip = (
+        (F.col("batch_id") == batch_id)
+        & F.col("resolution_action").isNotNull()
+        & (F.col("resolved") == F.lit(False))
+    )
+    return resolutions.withColumn(
+        "resolved", F.when(flip, F.lit(True)).otherwise(F.col("resolved"))
+    )
+
+
 def apply_resolutions(
     incoming: DataFrame, resolutions: DataFrame, key: list[str]
 ) -> DataFrame:

@@ -32,6 +32,11 @@ _STAGING_SCHEMA = (
     "c_acctbal double, c_mktsegment string"
 )
 
+# The REST fixture servers materialize their corpus on the driver to
+# simulate the external API; this constant bounds that materialization
+# at any sf. Oracles carry the same ORDER BY + LIMIT.
+_FIXTURE_ROW_CAP = 50000
+
 
 @query(
     "csv_roundtrip_staging",
@@ -112,7 +117,7 @@ def json_roundtrip_report(spark, sf_dir):
            COUNT(*) AS n_customers,
            {sql_ssum("c_acctbal", "total_acctbal")},
            min(c_name) AS first_name
-    FROM customer
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 50000) customer
     GROUP BY c_mktsegment
     """,
     doc="S1: the REDCap-style paginated REST scan "
@@ -138,13 +143,18 @@ def rest_paginated_scan(spark, sf_dir):
     # keep the parquet registered for the driver even though the scan
     # itself goes over HTTP
     tables(spark, sf_dir, "customer")
+    # The fixture server materializes its corpus on the driver to play
+    # the external API (the reference's S1 is inherently a driver-side
+    # REST adapter) — cap it at a constant so the to_pylist() stays
+    # bounded if this ever runs at sf>=1. The oracle applies the same
+    # ORDER BY c_custkey LIMIT.
     rows = (
         pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
         )
         .sort_by("c_custkey")
-        .to_pylist()
+        .to_pylist()[:_FIXTURE_ROW_CAP]
     )
     failed_once = {"flag": False}
 
@@ -212,7 +222,7 @@ def rest_paginated_scan(spark, sf_dir):
              AS text_validation_type_or_show_slider_number,
            CASE WHEN p_partkey % 2 = 0 THEN 'y' ELSE 'n' END AS required_field,
            NULLIF('', '') AS identifier
-    FROM part
+    FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 50000) part
     """,
     doc="S2: the REDCap data-dictionary scan "
     "(redcap-pipeline/services/redcap_client.py:189-204, "
@@ -233,13 +243,14 @@ def redcap_dictionary_scan(spark, sf_dir):
     from idhub_spark.sources.rest import redcap_metadata
 
     tables(spark, sf_dir, "part")
+    # sf-bounded fixture: same constant cap + ORDER BY as the oracle
     parts = (
         pq.read_table(
             os.path.join(sf_dir, "part.parquet"),
             columns=["p_partkey", "p_name", "p_brand"],
         )
         .sort_by("p_partkey")
-        .to_pylist()
+        .to_pylist()[:_FIXTURE_ROW_CAP]
     )
     dictionary = [
         {

@@ -145,6 +145,67 @@ def conflict_exclusion(spark, sf_dir):
 
 
 @query(
+    "pending_resolutions_scan",
+    """
+    SELECT batch_id, local_subject_id, identifier_type, conflict_type,
+           resolution_action, resolved,
+           existing_gsid, CAST(existing_center_id AS BIGINT) AS existing_center_id,
+           CAST(incoming_center_id AS BIGINT) AS incoming_center_id
+    FROM (
+      SELECT 'batch_' || CAST(c_custkey % 3 AS VARCHAR) AS batch_id,
+             c_name AS local_subject_id, 'name' AS identifier_type,
+             CASE WHEN c_custkey % 8 = 0 THEN 'center_mismatch'
+                  ELSE 'multi_gsid' END AS conflict_type,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  WHEN c_custkey % 5 = 1 THEN 'keep_existing'
+                  WHEN c_custkey % 5 = 2 THEN 'use_incoming'
+                  ELSE 'delete_both' END AS resolution_action,
+             (c_custkey % 4 = 0) AS resolved,
+             'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS existing_gsid,
+             c_nationkey AS existing_center_id,
+             c_nationkey + 100 AS incoming_center_id
+      FROM customer) r
+    WHERE batch_id = 'batch_1'
+      AND resolution_action IS NOT NULL
+      AND resolved = FALSE
+    """,
+    doc="F5 batch/status predicates — get_resolved_conflicts "
+    "(fragment_resolution.py:302-350): one batch's actioned-but-not-"
+    "yet-applied resolutions (resolution_action IS NOT NULL AND "
+    "resolved = FALSE), the work-queue scan gating every conflict-"
+    "application pass. Fixture: every customer carries a resolution "
+    "row; batch cycles on %3, action on %5 (NULL = un-actioned), "
+    "resolved on %4.",
+)
+def pending_resolutions_scan(spark, sf_dir):
+    from idhub_spark.operators.conflicts import pending_resolutions
+
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    resolutions = c.select(
+        F.concat(F.lit("batch_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "batch_id"
+        ),
+        F.col("c_name").alias("local_subject_id"),
+        F.lit("name").alias("identifier_type"),
+        F.when(F.col("c_custkey") % 8 == 0, F.lit("center_mismatch"))
+        .otherwise(F.lit("multi_gsid"))
+        .alias("conflict_type"),
+        F.when(F.col("c_custkey") % 5 == 1, F.lit("keep_existing"))
+        .when(F.col("c_custkey") % 5 == 2, F.lit("use_incoming"))
+        .when(F.col("c_custkey") % 5 >= 3, F.lit("delete_both"))
+        .alias("resolution_action"),
+        (F.col("c_custkey") % 4 == 0).alias("resolved"),
+        F.concat(
+            F.lit("G-"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+        ).alias("existing_gsid"),
+        F.col("c_nationkey").cast("long").alias("existing_center_id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("incoming_center_id"),
+    )
+    return pending_resolutions(resolutions, "batch_1")
+
+
+@query(
     "subject_enrichment",
     """
     SELECT s.global_subject_id, s.subject_name, n.n_name AS center_name,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from idhub_spark.functions.expressions import (
+    GSID_REGEX,
     boolean_expr,
     extract_year_expr,
     gsid_expr,
@@ -321,6 +322,38 @@ def gsid_mint(spark, sf_dir):
     t = tables(spark, sf_dir, "customer")
     return t["customer"].select(
         "c_custkey", gsid_expr(F.col("c_custkey")).alias("global_subject_id")
+    )
+
+
+@query(
+    "gsid_mint_shape",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_valid_format,
+           CAST(21 AS BIGINT) AS min_len,
+           CAST(21 AS BIGINT) AS max_len
+    FROM customer
+    """,
+    doc="P11 shape oracle: the minted GSID column has no DuckDB twin "
+    "(xxhash64), but its CONTRACT does (gsid-service/tests/"
+    "test_gsid_format.py:63-74) — every mint matches "
+    "^GSID-[0-9A-HJ-NP-TV-Z]{16}$, is 21 chars, and is collision-free "
+    "over the batch (count distinct = rows). The oracle states those "
+    "invariants as constants; any format/length/collision break flips "
+    "a Spark-side aggregate and fails the hash. Upgrades gsid_mint "
+    "from rows-only to shape-checked.",
+)
+def gsid_mint_shape(spark, sf_dir):
+    minted = gsid_mint(spark, sf_dir)
+    return minted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("global_subject_id").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("global_subject_id").rlike(GSID_REGEX), 1).otherwise(0)
+        ).cast("long").alias("n_valid_format"),
+        F.min(F.length("global_subject_id")).cast("long").alias("min_len"),
+        F.max(F.length("global_subject_id")).cast("long").alias("max_len"),
     )
 
 

@@ -94,6 +94,53 @@ def sketch_profile(spark, sf_dir):
 
 
 @query(
+    "sketch_profile_check",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS users_ok,
+           CAST(1 AS BIGINT) AS p50_ok,
+           CAST(1 AS BIGINT) AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate-accuracy oracle for sketch_profile: the sketch "
+    "values themselves are engine-specific, but their ERROR BOUNDS "
+    "are contracts — HLL at rsd=0.02 must land within 10% of the "
+    "exact distinct count (5 sigma), and percentile_approx at "
+    "accuracy=10000 guarantees rank error <= n/10000, far inside the "
+    "exact [p49, p51] / [p94, p96] discrete-quantile brackets checked "
+    "here. The oracle states the bound flags as constant 1; a sketch "
+    "accuracy regression flips a Spark-side flag to 0 and fails the "
+    "hash. Upgrades sketch_profile from rows-only to shape-checked.",
+)
+def sketch_profile_check(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    approx = sketch_profile(spark, sf_dir)
+    exact = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY value)").alias("p49"),
+            F.expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY value)").alias("p51"),
+            F.expr("percentile_disc(0.94) WITHIN GROUP (ORDER BY value)").alias("p94"),
+            F.expr("percentile_disc(0.96) WITHIN GROUP (ORDER BY value)").alias("p96"),
+        )
+    )
+    j = approx.join(exact, "event_type")
+    ok = lambda cond: F.when(cond, 1).otherwise(0).cast("long")  # noqa: E731
+    return j.select(
+        "event_type",
+        F.col("n"),
+        ok(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("users_ok"),
+        ok(F.col("p50_approx").between(F.col("p49"), F.col("p51"))).alias("p50_ok"),
+        ok(F.col("p95_approx").between(F.col("p94"), F.col("p96"))).alias("p95_ok"),
+    )
+
+
+@query(
     "grouped_zscore",
     """
     WITH stats AS (

@@ -499,6 +499,50 @@ def test_apply_center_updates(spark):
     assert {r.local_subject_id for r in local2.collect()} == {"B", "C"}
 
 
+def test_pending_resolutions_and_mark_applied(spark):
+    """F5 batch/status predicates (fragment_resolution.py:302-387):
+    the pending scan selects one batch's actioned-but-unapplied rows;
+    mark_applied flips exactly those to resolved=TRUE, so a second
+    scan of the batch returns empty and other batches are untouched."""
+    from idhub_spark.operators.conflicts import mark_applied, pending_resolutions
+
+    rows = [
+        # batch, local, type, conflict, action, resolved, gsid, ec, ic
+        ("b1", "A", "t", "multi_gsid", "keep_existing", False, "G1", 1, 2),
+        ("b1", "B", "t", "multi_gsid", None, False, "G2", 1, 2),  # un-actioned
+        ("b1", "C", "t", "multi_gsid", "use_incoming", True, "G3", 1, 2),  # applied
+        ("b2", "D", "t", "multi_gsid", "delete_both", False, "G4", 1, 2),  # other batch
+    ]
+    cols = [
+        "batch_id", "local_subject_id", "identifier_type", "conflict_type",
+        "resolution_action", "resolved", "existing_gsid",
+        "existing_center_id", "incoming_center_id",
+    ]
+    res = spark.createDataFrame(rows, cols)
+    pend = pending_resolutions(res, "b1")
+    assert pend.columns == cols
+    assert [r.local_subject_id for r in pend.collect()] == ["A"]
+
+    after = mark_applied(res, "b1")
+    state = {r.local_subject_id: r.resolved for r in after.collect()}
+    assert state == {"A": True, "B": False, "C": True, "D": False}
+    assert pending_resolutions(after, "b1").count() == 0
+
+
+def test_enabled_projects_gate():
+    """F6 enabled-project filter (redcap-pipeline/main.py:66-73):
+    enabled=false skips; absent key defaults to enabled."""
+    from idhub_spark.config import enabled_projects
+
+    projects = {
+        "gap": {"enabled": True, "batch_size": 50},
+        "legacy": {"enabled": False},
+        "neo": {"batch_size": 10},  # no key -> enabled
+    }
+    assert sorted(enabled_projects(projects)) == ["gap", "neo"]
+    assert enabled_projects({}) == {}
+
+
 def test_resolution_log(spark):
     from idhub_spark.operators.identity import resolution_log
 
