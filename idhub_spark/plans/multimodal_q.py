@@ -68,6 +68,60 @@ def frame_sampling(spark, sf_dir):
 
 
 @query(
+    "image_resize_check",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT CAST(-1 AS BIGINT), ''),
+    b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT) AS side
+      FROM docs)
+    SELECT doc_id, CAST(64 AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN side = 0 THEN 0 ELSE
+             list_sum(list_transform(range(0, 64), j ->
+               16 * (strpos('0123456789ABCDEF',
+                      h[2 * ((((j // 8) * side) // 8) * side + (((j % 8) * side) // 8)) + 1]) - 1)
+                  + (strpos('0123456789ABCDEF',
+                      h[2 * ((((j // 8) * side) // 8) * side + (((j % 8) * side) // 8)) + 2]) - 1)))
+           END AS BIGINT) AS checksum
+    FROM b
+    """,
+    doc="The numpy resize kernel (operators/multimodal.py:resize_image "
+    "fallback), hash-checked: payloads resample as isqrt-side "
+    "grayscale rasters to 8x8 via nearest neighbor, and the query "
+    "emits each output's byte checksum (JVM-side hex fold). The "
+    "oracle replays the identical index arithmetic "
+    "(out[r,c] = raster[(r*side)//8, (c*side)//8]) over hex(payload) "
+    "nibbles — byte-exact, so any kernel drift (rounding, "
+    "orientation, truncation) fails the hash. A synthetic empty "
+    "payload (doc_id -1) pins the zeros-output convention.",
+)
+def image_resize_check(spark, sf_dir):
+    from idhub_spark.operators.multimodal import resize_image
+
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("doc_id"), F.lit("").alias("text")
+        )
+    )
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    resized = resize_image(with_payload, width=8, height=8)
+    checksum = F.expr(
+        "aggregate(sequence(0, 63), cast(0 as long), (acc, i) -> "
+        "acc + cast(conv(substr(hex(payload), i * 2 + 1, 2), 16, 10) as long))"
+    )
+    return resized.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        checksum.alias("checksum"),
+    )
+
+
+@query(
     "binary_features",
     """
     WITH docs AS (

@@ -82,70 +82,77 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 5 front: (1) the 13 queries never yet driver-checked in
-    # r1-r4 (the 12 TPC-H-shape analytics + ann_topk_ivf, all locally
-    # oracle-green but without a driver row), plus fuzzy_center_match
-    # (green in r1 only — r3 ADVICE asked for a re-check)
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_item_report",
-    "large_orders",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "min_cost_supplier_rank",
-    "avg_yearly_small_qty",
-    "order_priority_check",
-    "discounted_brand_revenue",
-    "idle_customers",
-    "ann_topk_ivf",
-    "fuzzy_center_match",
-    # (2) new this round
-    "conflict_apply_state",
-    "csv_roundtrip_staging",
-    "json_roundtrip_report",
-    "load_batch_state",
+    # round 6 front: (1) code changed since its last driver row —
+    # the three shingle consumers were rewritten in r5 (commit 77e4722,
+    # Generate-barrier _shingles) AFTER their r4/r1 driver rows
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_buckets",
+    # (2) new this round: F5 work-queue scan + the shape-check oracles
+    # that upgrade the two rows-only queries
+    "pending_resolutions_scan",
+    "gsid_mint_shape",
+    "sketch_profile_check",
+    # (3) r6 code/fixture changes to previously-green queries: REST
+    # same-offset retry + fixture row cap, Derby stable path, ANN
+    # 2^53 envelope assert
     "rest_paginated_scan",
-    "labkey_sync_state",
     "redcap_dictionary_scan",
     "jdbc_partitioned_scan",
-    # (3) code/fixtures changed this round — nulls-last tie-break in
-    # dispatch_matches + %19 NULL-created_at registry fixture
-    "identity_resolution",
-    "identity_link_back",
-    "resolution_log",
-    "alias_resolution",
-    "identity_components",
-    # empty-payload convention pinned
-    "binary_features",
-    # conflicts.py gained the existing-side operators (detection code
-    # itself unchanged; cheap re-evidence)
-    "conflict_detection",
-    "conflict_exclusion",
-    "conflict_summary",
-    # (4) r4's ERR rows, fixed via the TIMESTAMP_NTZ normalization +
-    # every other events.ts consumer (ts now TIMESTAMP again)
-    "sessionize",
-    "interval_followup_purchases",
-    "funnel_conversion",
-    "asof_last_click",
-    "hourly_rollup",
-    "oldest_pick",
-    "recent_changes_topk",
-    "running_value_total",
-    "global_distinct_flag",
-    "event_value_percentiles",
-    "sketch_profile",
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "table_profile",
-    # (5) continued evidence for the §2 anchor set (previously green;
-    # fills the ~50-entry checked prefix)
-    "merged_state",
-    "merge_upsert_stats",
-    "audit_trail",
-    "local_ids_merge",
-    "load_stats",
+    "ann_topk_ivf",
+    # (4) evidence refresh: queries whose only driver rows predate the
+    # post-r3 testdata regeneration (r1-r3 rows on old data; all are
+    # locally oracle-green on current data via tests/test_oracle.py)
+    "duplicate_subject_finder",
+    "subjects_by_source",
+    "change_classification",
+    "orphan_detection",
+    "exact_dedup",
+    "embedding_near_dup",
+    "duplicate_id_detection",
+    "keyed_lookup_semi",
+    "fragment_assembly",
+    "multimodal_decode",
+    "frame_sampling",
+    "field_mapping",
+    "extract_year",
+    "registration_year_normalize",
+    "boolean_parse",
+    "id_validation",
+    "name_normalization",
+    "unpivot_candidates",
+    "gsid_mint",
+    "acctbal_bucket_stats",
+    "train_test_split",
+    "stratified_sample",
+    "downsample_majority_class",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "embedding_norm_stats",
+    "ann_recall_at_k",
+    # (5) r4-green queries without an r5 row (already post-regeneration
+    # evidence; re-checked here to keep every row at most 2 rounds old;
+    # the ones past the driver's ~50-entry window keep their r4 green)
+    "resolution_stats",
+    "multi_type_subjects",
+    "change_stats",
+    "per_center_summary",
+    "per_subject_review",
+    "data_type_counts",
+    "first_wins_dedup",
+    "flexible_timestamp_parse",
+    "gsid_filter",
+    "subject_enrichment",
+    "family_linkage",
+    "type_coercion",
+    "ann_topk_multiprobe",
+    "priority_status_rollup",
+    "token_count",
+    "lang_id_heuristic",
+    "quality_score",
+    "doc_fingerprint",
+    "repetition_filter",
+    "vocabulary_topk",
 ]
 
 

@@ -74,20 +74,35 @@ def test_byte_histogram_features_exact(spark):
         assert abs(sum(got[doc_id]) - 1.0) < 1e-12
 
 
-def test_resize_image_gate(spark):
-    """resize_image's kernel is gated behind PIL: without it the action
-    raises NotImplementedError (schema/plumbing still valid)."""
-    import pytest
-
+def test_resize_image_raster_kernel(spark):
+    """Without PIL, resize_image runs the pure-numpy raster kernel:
+    nearest-neighbor out[r,c] = img[(r*side)//H, (c*side)//W] over the
+    isqrt-side grayscale interpretation; empty payload -> zero bytes.
+    (With PIL importable the encoded-format path takes over; this
+    container has no PIL, so the raster expectations below apply.)"""
     from idhub_spark.operators.multimodal import resize_image
 
-    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
-    out = resize_image(df)
-    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
     try:
         import PIL  # noqa: F401
-        out.collect()  # real kernel available
+
+        have_pil = True
     except ImportError:
-        with pytest.raises(Exception) as e:
-            out.collect()
-        assert "NotImplementedError" in str(e.value) or "PIL" in str(e.value)
+        have_pil = False
+
+    rows = [
+        (1, bytes(range(16))),  # 4x4 raster
+        (2, bytes(range(17))),  # 17 bytes: side=4, 17th byte truncated
+        (3, b""),  # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = resize_image(df, width=2, height=2)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
+    if have_pil:  # pragma: no cover - container has no PIL
+        return
+    got = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    # rows/cols picked: (r*4)//2 -> [0, 2]; flat indices [0,2,8,10]
+    assert got[1] == bytes([0, 2, 8, 10])
+    assert got[2] == bytes([0, 2, 8, 10])
+    assert got[3] == bytes(4)
+    dims = {(r.width, r.height) for r in out.collect()}
+    assert dims == {(2, 2)}
