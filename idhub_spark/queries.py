@@ -67,6 +67,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     sampling_q,
     similarity_q,
     stats_q,
+    streaming_q,
     temporal_q,
     text_q,
     tpch,
@@ -93,6 +94,8 @@ _DRIVER_ORDER = [
     "pending_resolutions_scan",
     "gsid_mint_shape",
     "sketch_profile_check",
+    "image_resize_check",
+    "streaming_sessionize",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert
