@@ -222,10 +222,11 @@ def minhash_lsh_pairs(
     )
 
 
-@query(
-    "minhash_lsh_dedup",
-    f"""
-    WITH {_CORPUS_SQL},
+# corpus -> shingles -> minhash signatures -> banded candidates ->
+# exact-Jaccard-verified pairs >= 0.5: shared by the minhash_lsh_dedup
+# oracle and the dedup_cluster_canonical oracle's edge set
+_LSH_PAIRS_CTE = f"""
+    {_CORPUS_SQL},
     {_SHINGLES_SQL},
     sigs AS (
       SELECT doc_id,
@@ -248,11 +249,20 @@ def minhash_lsh_pairs(
       FROM cand c
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-    FROM verified
-    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+      FROM verified
+      WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5)
+"""
+
+
+@query(
+    "minhash_lsh_dedup",
+    f"""
+    WITH {_LSH_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     doc="MinHash+LSH near-dup: shingle -> 4-hash minhash signature -> "
     "2 bands -> bucket self-join -> exact-Jaccard verification >= 0.5. "
@@ -502,6 +512,167 @@ def embedding_near_dup(spark, sf_dir):
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
+    )
+
+
+@query(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS d FROM edges),
+    reach(d, x) AS (
+      SELECT d, d FROM nodes
+      UNION
+      SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.x),
+    comp AS (SELECT d, min(x) AS comp FROM reach GROUP BY d)
+    SELECT comp AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(d)), ',') AS doc_ids
+    FROM comp GROUP BY comp
+    """,
+    doc="Canonical-document selection over near-dup CLUSTERS — the "
+    "step after pair generation that an actual training-data dedup "
+    "needs: MinHash+LSH pairs (>= 0.5 Jaccard) become edges, "
+    "connected components (operators/identity.py min-label "
+    "propagation — same engine as the identity graph) collapse "
+    "transitive chains (A~B, B~C => one cluster even when A!~C), and "
+    "each cluster keeps its min-doc_id canonical. Oracle: recursive-"
+    "CTE reachability over the same verified pairs. Scale: the edge "
+    "set is LSH-bounded (pairs, not corpus^2); CC iterations shuffle "
+    "only (doc, component) labels on stable keys.",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from idhub_spark.operators.identity import connected_components
+
+    t = tables(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b")
+    pid = F.concat_ws("_", F.col("doc_a"), F.col("doc_b"))
+    # bipartite encoding: both endpoints link to a per-pair identifier
+    # node, so the bipartite min-label CC applies unchanged
+    edges = prs.select(F.col("doc_a").alias("r"), pid.alias("i")).unionByName(
+        prs.select(F.col("doc_b").alias("r"), pid.alias("i"))
+    )
+    comp = connected_components(edges, "r", "i")  # -> (record_key, component)
+    return comp.groupBy(F.col("component").alias("keeper")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(",", F.sort_array(F.collect_list("record_key"))).alias("doc_ids"),
+    )
+
+
+def _ngrams(corpus, n: int):
+    """Distinct word-n-gram shingles per doc — the Generate-barrier
+    build of _shingles, generalized (see _shingles for why the barrier
+    matters under Spark 4's CollapseProject)."""
+    parts = ", ".join(f"ws[i+{k}]" for k in range(n))
+    ws = corpus.select("doc_id", F.explode(F.array(F.split("text", " "))).alias("ws"))
+    return (
+        ws.filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{n}), "
+                    f"i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "benchmark_contamination",
+    """
+    WITH ev0 AS (
+      SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 25 = 7),
+    exc AS (
+      SELECT eval_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS excerpt
+      FROM ev0),
+    train AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 3 AND e.excerpt IS NOT NULL
+                  THEN d.text || ' ' || e.excerpt ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN exc e ON e.eval_id = (d.doc_id % 20) * 25 + 7
+      WHERE d.doc_id % 25 <> 7),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+      FROM tw, UNNEST(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5),
+    ew AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev0),
+    eg AS (
+      SELECT DISTINCT eval_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+      FROM ew, UNNEST(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_hit_shingles,
+             CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      FROM tg t JOIN eg e ON t.sh = e.sh GROUP BY t.doc_id)
+    SELECT h.doc_id, h.n_hit_shingles, h.n_eval_docs,
+           CAST(h.n_hit_shingles AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS contamination_rate
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+    doc="Benchmark-contamination detection — the decontamination scan "
+    "every pretraining pipeline runs before training: training docs "
+    "sharing any word-5-gram with the (tiny) eval set are flagged "
+    "with hit counts and contamination rate. Fixture plants eval "
+    "excerpts into %10==3 training docs via a deterministic eval-id "
+    "mapping (LEFT JOIN: no plant where the mapped eval doc doesn't "
+    "exist, so the fixture scales with sf). Scale: the eval-side "
+    "n-gram index is benchmark-sized -> broadcast on BOTH the plant "
+    "join and the contamination join, so the corpus never shuffles "
+    "except for its own per-doc aggregates; no df-cap needed because "
+    "the bounded side is the broadcast index.",
+)
+def benchmark_contamination(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 25 == 7)
+    excerpts = eval_docs.select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("excerpt"),
+    )
+    plant_key = (F.col("doc_id") % 20) * 25 + 7
+    train = (
+        d.filter(F.col("doc_id") % 25 != 7)
+        .join(F.broadcast(excerpts), plant_key == F.col("eval_id"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 3) & F.col("excerpt").isNotNull(),
+                F.concat_ws(" ", "text", "excerpt"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    grams_t = _ngrams(train, 5)
+    grams_e = _ngrams(
+        eval_docs.select(F.col("doc_id"), "text"), 5
+    ).select(F.col("doc_id").alias("eval_id"), "sh")
+    sizes = grams_t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        grams_t.join(F.broadcast(grams_e), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_hit_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit_shingles",
+        "n_eval_docs",
+        (F.col("n_hit_shingles").cast("double") / F.col("n_sh").cast("double")).alias(
+            "contamination_rate"
+        ),
     )
 
 

@@ -96,6 +96,8 @@ _DRIVER_ORDER = [
     "sketch_profile_check",
     "image_resize_check",
     "streaming_sessionize",
+    "dedup_cluster_canonical",
+    "benchmark_contamination",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert
