@@ -86,3 +86,20 @@ def test_ngram_shingles_projection_only(spark):
     exchange; the only shuffles are the distinct + the index joins."""
     plan = _plan(spark, "ngram_jaccard_pairs")
     assert "Window" not in plan
+
+
+def test_contamination_broadcasts_eval_index(spark):
+    """The benchmark-contamination scan must broadcast the (tiny)
+    eval-side n-gram index and the excerpt plant — the training corpus
+    never shuffles for either join, and nothing goes cartesian."""
+    plan = _plan(spark, "benchmark_contamination")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_resize_check_stays_arrow_batched(spark):
+    """image_resize_check's Python stage is exactly one Arrow
+    mapInPandas (the resize kernel); the checksum fold is JVM-side."""
+    plan = _plan(spark, "image_resize_check")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
