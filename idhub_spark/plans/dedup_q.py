@@ -179,6 +179,13 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     if rows * bands != n_hashes:
         raise ValueError("n_hashes must be divisible by bands")
+    # NOTE: deliberately NOT persisted — the shingle distinct's
+    # exchange is ReusedExchange'd across all four consumers
+    # (signatures, both verify-join sides, sizes); persisting replaces
+    # that free reuse with cache write+read and measured SLOWER
+    # (3.1s vs 2.0s at sf0.1). See the verify skill's Generate-barrier
+    # note; ngram_jaccard_pairs persists because its anti-join-filtered
+    # index breaks exchange reuse.
     sh = _shingles(corpus)
     hashes = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
