@@ -50,6 +50,60 @@ def stratified_take(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    key: str,
+    token_count: Column,
+    n_shards: int = 8,
+    seq_len: int = 2048,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing ASSIGNMENT: map
+    each document to its position in the packed training stream
+    without materializing the stream.
+
+    Documents are sharded by hash (reproducible on any cluster), given
+    a stable pseudo-random order within the shard (hash order — the
+    'shuffle' a training run wants, minus the RNG), and laid
+    end-to-end; a document occupying token offsets
+    [offset, offset + n_tokens) of its shard's stream lands in
+    training sequence seq_id = offset // seq_len at offset_in_seq =
+    offset % seq_len (documents may span sequence boundaries, exactly
+    like GPT-style packing).
+
+    Scale: ONE window (cumulative token sum) per shard — shards are
+    independent, so the only shuffle is the repartition-by-shard that
+    the window needs, and each shard's running sum is a single
+    ordered pass. The writer that materializes token shards downstream
+    consumes (shard, seq_id, offset_in_seq) as its layout.
+    """
+    shard = hash_bucket(F.col(key), n_shards, salt)
+    order = F.md5(F.concat(F.lit(salt + "o"), F.col(key).cast("string")))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        df.select(
+            F.col(key),
+            shard.alias("shard"),
+            token_count.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("offset", offset)
+        .select(
+            key,
+            "shard",
+            # integer div, not double-div-then-cast: exact at any offset
+            F.expr(f"offset div {seq_len}").alias("seq_id"),
+            (F.col("offset") % seq_len).alias("offset_in_seq"),
+            "n_tokens",
+        )
+    )
+
+
 def downsample_majority(
     df: DataFrame, *, label: str, key: str, keep_pct: dict[str, int], salt: str = "ds"
 ) -> DataFrame:

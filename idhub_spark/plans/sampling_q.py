@@ -73,6 +73,86 @@ def stratified_sample_q(spark, sf_dir):
 
 
 @query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_BUCKET_SQL.format(salt="pack", key="doc_id").replace("% 100", "% 8")} AS INTEGER) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('packo' || CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    laid AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+      FROM toks)
+    SELECT doc_id, shard, o // 512 AS seq_id, o % 512 AS offset_in_seq, n_tokens
+    FROM laid
+    """,
+    doc="GPT-style concat-and-chunk sequence-packing assignment "
+    "(operators/sampling.py:pack_sequences): hash-shard, stable "
+    "pseudo-random order within shard, running token offset -> "
+    "(seq_id, offset_in_seq) against seq_len=512. Docs span sequence "
+    "boundaries exactly as a packed training stream would. One "
+    "window per shard; shards independent, so the layout step scales "
+    "as width(cluster) with no cross-shard traffic. Oracle replays "
+    "the identical hash order and running sum.",
+)
+def sequence_packing(spark, sf_dir):
+    from idhub_spark.operators.sampling import pack_sequences
+
+    t = tables(spark, sf_dir, "documents")
+    return pack_sequences(
+        t["documents"],
+        key="doc_id",
+        token_count=F.size(F.split("text", " ")),
+        n_shards=8,
+        seq_len=512,
+    )
+
+
+@query(
+    "quality_percentile_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.2 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+      FROM scored)
+    SELECT doc_id, lang, quality, pr
+    FROM ranked WHERE pr >= 0.2
+    """,
+    doc="Per-language quality-percentile gate — the data-mix filter "
+    "step that keeps each language's top 80% by quality instead of "
+    "one global threshold (which would starve low-resource "
+    "languages). percent_rank within the lang stratum, doc_id "
+    "tie-break; the quality blend reuses the bit-deterministic "
+    "length/char-budget terms of text_q's quality_score. One window "
+    "per language partition.",
+)
+def quality_percentile_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("double")
+    quality = 0.5 * F.least(n_words / 100.0, F.lit(1.0)) + 0.2 * F.least(
+        F.col("n_chars").cast("double") / 500.0, F.lit(1.0)
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", quality.alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+    )
+
+
+@query(
     "downsample_majority_class",
     f"""
     SELECT lang, COUNT(*) AS n

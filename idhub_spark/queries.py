@@ -98,6 +98,8 @@ _DRIVER_ORDER = [
     "streaming_sessionize",
     "dedup_cluster_canonical",
     "benchmark_contamination",
+    "sequence_packing",
+    "quality_percentile_filter",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert

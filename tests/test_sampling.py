@@ -53,6 +53,33 @@ def test_downsample_majority_only_hits_target_label(spark):
     assert counts["en"] < 60  # ~10% of 200 kept
 
 
+def test_pack_sequences_contiguous(spark):
+    """Packing invariants: within each shard the documents tile the
+    token stream with no gaps or overlaps, and (seq_id, offset_in_seq)
+    is exactly the decomposition of the running offset by seq_len."""
+    from pyspark.sql import functions as F
+
+    from idhub_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "w " * (i % 7) + "w") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(
+        df, key="doc_id", token_count=F.size(F.split("text", " ")),
+        n_shards=4, seq_len=10,
+    ).collect()
+    assert len(out) == 60
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.offset_in_seq < 10
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: (r.seq_id, r.offset_in_seq))
+        expect = 0
+        for r in docs:
+            assert r.seq_id * 10 + r.offset_in_seq == expect, (shard, r)
+            expect += r.n_tokens
+
+
 def test_byte_histogram_features_exact(spark):
     """mapInPandas byte histogram equals a direct numpy recompute and
     sums to 1.0; empty payloads give the zero vector."""
