@@ -19,12 +19,48 @@ beyond the last watermark).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
 from idhub_spark.queries import query, tables
 
 _QSEQ = {"n": 0}
+
+
+def _event_stream(spark, sf_dir):
+    """readStream over events.parquet with the same two-encoding ts
+    normalization as session.py:load_tables (the raw stream bypasses
+    load_tables)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _drain_to_memory(plan_df, prefix: str):
+    """Trigger.AvailableNow -> complete-mode memory sink; returns the
+    sink table (see module docstring for why complete mode)."""
+    _QSEQ["n"] += 1
+    qname = f"{prefix}_{os.getpid()}_{_QSEQ['n']}"
+    q = (
+        plan_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return qname
 
 
 @query(
@@ -65,29 +101,106 @@ def streaming_sessionize(spark, sf_dir):
 
     # registers the events view (and applies the session confs) for the
     # oracle harness; the streaming scan below re-reads the file itself
-    t = tables(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    tables(spark, sf_dir, "events")
+    sess = session_agg_plan(_event_stream(spark, sf_dir), gap="30 minutes")
+    return spark.table(_drain_to_memory(sess, "stream_sessions"))
+
+
+@query(
+    "streaming_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+    doc="§2.12 tumbling-window streaming execution, driver-checked: "
+    "events through a FileStreamSource into window(ts, '1 hour') "
+    "(streaming/incremental.py:hourly_rollup_plan, watermark '2 "
+    "hours'), drained with Trigger.AvailableNow. Same scaled-int64 "
+    "sum discipline as the batch hourly_rollup, so the oracle is the "
+    "identical SQL — a hash match proves the streaming micro-batch "
+    "aggregation state machine converges to the batch answer.",
+)
+def streaming_hourly_rollup(spark, sf_dir):
+    from idhub_spark.streaming.incremental import hourly_rollup_plan
+
+    tables(spark, sf_dir, "events")
+    roll = hourly_rollup_plan(_event_stream(spark, sf_dir), watermark="2 hours")
+    out = spark.table(_drain_to_memory(roll, "stream_rollup"))
+    return out.select(
+        F.col("hour").cast("timestamp").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
     )
-    # same two-encoding ts normalization as session.py:load_tables
-    # (the raw stream bypasses load_tables)
-    dtype = dict(stream.dtypes).get("ts")
-    if dtype == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dtype == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    sess = session_agg_plan(stream, gap="30 minutes")
-    _QSEQ["n"] += 1
-    qname = f"stream_sessions_{os.getpid()}_{_QSEQ['n']}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+
+
+@query(
+    "incremental_merge_state",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 20.0
+                WHEN c_custkey % 2 = 0 THEN c_acctbal + 10.0
+                ELSE c_acctbal END AS final_acctbal,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2
+                     WHEN c_custkey % 2 = 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS ver
+    FROM customer
+    """,
+    doc="§2.12 incremental batch path END TO END, driver-checked: a "
+    "base snapshot of customer plus two staged fragment files (ver 1 "
+    "patches even keys +10, ver 2 patches %3 keys +20) drain through "
+    "the REAL file-source stream -> foreachBatch(merge_upsert) -> "
+    "snapshot-swap pipeline (streaming/incremental.py:"
+    "incremental_file_merge, Trigger.AvailableNow, checkpointed). "
+    "Both fragments land in ONE trigger, so the within-batch "
+    "order_col dedup decides overlapping keys (%6: ver 2 wins). The "
+    "oracle states the resulting table image directly; a hash match "
+    "proves source listing, dedup, upsert classification, and the "
+    "atomic snapshot swap end to end. Fixture dirs are per-sf under "
+    "tempdir, wiped at query start (fresh checkpoint each run).",
+)
+def incremental_merge_state(spark, sf_dir):
+    from idhub_spark.streaming.incremental import incremental_file_merge
+
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"].select("c_custkey", "c_name", "c_acctbal")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"idhub_incr_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    q.awaitTermination()
-    return spark.table(qname)
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "staging")
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging, exist_ok=True)
+    # base snapshot (no ver column — the fragments introduce it)
+    c.write.mode("overwrite").parquet(table_dir)
+    frag1 = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(10.0))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    frag2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(20.0))
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    frag1.coalesce(1).write.mode("append").parquet(staging)
+    frag2.coalesce(1).write.mode("append").parquet(staging)
+    incremental_file_merge(
+        spark,
+        staging_dir=staging,
+        table_dir=table_dir,
+        checkpoint_dir=ckpt,
+        schema="c_custkey bigint, c_name string, c_acctbal double, ver bigint",
+        natural_key=["c_custkey"],
+        order_col="ver",
+    )
+    final = spark.read.parquet(table_dir)
+    return final.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("final_acctbal"),
+        F.coalesce(F.col("ver"), F.lit(0)).cast("long").alias("ver"),
+    )

@@ -100,6 +100,8 @@ _DRIVER_ORDER = [
     "benchmark_contamination",
     "sequence_packing",
     "quality_percentile_filter",
+    "streaming_hourly_rollup",
+    "incremental_merge_state",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert
