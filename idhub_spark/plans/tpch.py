@@ -429,3 +429,47 @@ def idle_customers(spark, sf_dir):
             ssum(F.col("c_acctbal"), "idle_balance"),
         )
     )
+
+
+@query(
+    "salted_hot_key_join",
+    f"""
+    SELECT n.n_name, COUNT(*) AS n_items,
+           {sql_ssum("l.l_extendedprice", "total_price")}
+    FROM (SELECT CASE WHEN l_partkey % 2 = 0 THEN 7
+                      ELSE l_suppkey % 25 END AS ckey,
+                 l_extendedprice
+          FROM lineitem) l
+    JOIN nation n ON n.n_nationkey = l.ckey
+    GROUP BY n.n_name
+    """,
+    doc="The skew toolkit's salted join (storage.py:salted_join), "
+    "driver-checked: a fixture key that funnels HALF of lineitem onto "
+    "one value (the single-hot-key case AQE's skew split handles "
+    "worst) joins nation through salt-16 — the big side gets a random "
+    "salt, the dim side is replicated per salt, and the hot key "
+    "spreads over 16 tasks. The salt NEVER changes the join result "
+    "(every (key, salt) big row finds its replicated dim row), so the "
+    "oracle is the PLAIN join — a hash match proves salting is purely "
+    "a physical rewrite. The random salt needs no determinism for "
+    "correctness, only uniformity.",
+)
+def salted_hot_key_join(spark, sf_dir):
+    from idhub_spark.storage import salted_join
+
+    t = tables(spark, sf_dir, "lineitem", "nation")
+    big = t["lineitem"].select(
+        F.when(F.col("l_partkey") % 2 == 0, F.lit(7))
+        .otherwise(F.col("l_suppkey") % 25)
+        .cast("int")
+        .alias("ckey"),
+        "l_extendedprice",
+    )
+    dim = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("ckey"), "n_name"
+    )
+    joined = salted_join(big, dim, "ckey", salt=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        ssum(F.col("l_extendedprice"), "total_price"),
+    )

@@ -102,6 +102,7 @@ _DRIVER_ORDER = [
     "quality_percentile_filter",
     "streaming_hourly_rollup",
     "incremental_merge_state",
+    "salted_hot_key_join",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert

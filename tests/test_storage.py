@@ -46,6 +46,33 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key co-partition: the join plan
+    has NO Exchange on either side — the layout-time shuffle saving
+    write_bucketed exists for."""
+    from idhub_spark.storage import write_bucketed
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], ["k", "va"])
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100)], ["k", "vb"])
+    write_bucketed(a, "bkt_a", bucket_cols=["k"], num_buckets=4,
+                   path=str(tmp_path / "bkt_a"))
+    write_bucketed(b, "bkt_b", bucket_cols=["k"], num_buckets=4,
+                   path=str(tmp_path / "bkt_b"))
+    try:
+        # force the shuffle-sensitive strategy: a broadcast join would
+        # trivially have no exchange and prove nothing
+        joined = (
+            spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_write_staging_csv_layout(spark, tmp_path):
     """K1: staging layout staging/validated/{batch_id}/{table}.csv
     (validator.py:139-145), readable back with the same schema."""
