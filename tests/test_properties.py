@@ -196,3 +196,47 @@ def test_conflict_application_invariants_randomized(spark):
             if a == "merge":
                 assert (k in inc_out) == (k in incoming_keys), f"seed {seed}: {k}"
                 assert (k in ex_out) == (k in existing_keys), f"seed {seed}: {k}"
+
+
+def test_pack_sequences_invariants_randomized(spark):
+    """Seeded-random corpora: packing always tiles each shard's token
+    stream exactly (no gaps/overlaps/loss), every doc keeps its token
+    count, and the assignment is identical across repartitionings
+    (the determinism Spark's randomSplit lacks)."""
+    from idhub_spark.operators.sampling import pack_sequences
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        n = rng.randint(5, 60)
+        seq_len = rng.choice([4, 16, 64])
+        rows = [(i, "w " * rng.randint(0, 30) + "w") for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(
+            df, key="doc_id", token_count=F.size(F.split("text", " ")),
+            n_shards=rng.choice([1, 3, 8]), seq_len=seq_len,
+        ).collect()
+        assert len(out) == n, f"seed {seed}"
+        toks = {i: t.count("w") for i, t in rows}
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert r.n_tokens == toks[r.doc_id], f"seed {seed}"
+            assert 0 <= r.offset_in_seq < seq_len, f"seed {seed}"
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: (r.seq_id, r.offset_in_seq))
+            expect = 0
+            for r in docs:
+                assert r.seq_id * seq_len + r.offset_in_seq == expect, (seed, shard)
+                expect += r.n_tokens
+def test_pack_sequences_partitioning_invariant(spark):
+    """Same corpus, different physical partitioning -> byte-identical
+    packing assignment."""
+    from idhub_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "w " * (i % 13) + "w") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(key="doc_id", token_count=F.size(F.split("text", " ")),
+              n_shards=4, seq_len=32)
+    a = sorted(map(tuple, pack_sequences(df.repartition(16), **kw).collect()))
+    b = sorted(map(tuple, pack_sequences(df.coalesce(1), **kw).collect()))
+    assert a == b
