@@ -239,3 +239,43 @@ def vocabulary_topk(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2)
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="Tokenizer induction at corpus scale — the inner loop of BPE "
+    "training: count every adjacent symbol pair within words and "
+    "take the global top candidates (the pair a merge step would "
+    "fuse). One explode + one partial-aggregated groupBy; the "
+    "shuffle carries (2-char pair, partial count), bounded by "
+    "alphabet^2 regardless of corpus size, and the top-k is "
+    "TakeOrdered, not a global sort. Iterating merge rounds re-runs "
+    "this same aggregate over the re-tokenized corpus.",
+)
+def bpe_pair_counts(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

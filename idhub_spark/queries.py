@@ -103,6 +103,7 @@ _DRIVER_ORDER = [
     "streaming_hourly_rollup",
     "incremental_merge_state",
     "salted_hot_key_join",
+    "bpe_pair_counts",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert
