@@ -41,11 +41,9 @@ def main() -> None:
     # cannot detect a real 20% regression. The min is the stable
     # statistic for "how fast can this plan go on this box".
     runs: list[dict[str, float]] = [{}, {}]
-    errors: list[str] = []
+    failed: list[set[str]] = [set(), set()]
     for pass_i in range(2):
         for name in names:
-            if name in errors:
-                continue
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             # One failing query must not kill the whole run (r4 lost
@@ -58,7 +56,7 @@ def main() -> None:
                 runs[pass_i][name] = round(dt, 4)
                 print(f"# p{pass_i} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
             except Exception as e:
-                errors.append(name)
+                failed[pass_i].add(name)
                 print(f"# p{pass_i} {name}: ERROR {type(e).__name__}", file=sys.stderr)
             finally:
                 # drop persisted intermediates between queries — even on
@@ -66,10 +64,16 @@ def main() -> None:
                 # persisted subtrees) never tax the next query's timing
                 spark.catalog.clearCache()
 
+    # a query is an ERROR only if BOTH passes failed; one success keeps
+    # its measurement (and the flake is recorded in the sidecar), so
+    # `timings` and `errors` are disjoint by construction
     timings = {
-        name: min(runs[0][name], runs[1].get(name, runs[0][name]))
-        for name in runs[0]
+        name: min(t for t in (runs[0].get(name), runs[1].get(name)) if t is not None)
+        for name in names
+        if name in runs[0] or name in runs[1]
     }
+    errors = [n for n in names if n in failed[0] and n in failed[1]]
+    flaky = sorted((failed[0] ^ failed[1]) - set(errors))
     total = sum(timings.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -89,6 +93,7 @@ def main() -> None:
                 "run1": runs[0],
                 "run2": runs[1],
                 "errors": errors,
+                "flaky": flaky,  # failed one pass, succeeded the other
                 "sf": sf_val,
                 "total": round(total, 4),
                 # Per-query wall times on this box carry ±2-8s one-off

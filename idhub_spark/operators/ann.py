@@ -129,7 +129,12 @@ def kmeans_fit(
         ).alias("xq_max"),
         F.max(F.size("_x")).alias("dims"),
     ).first()
-    if env.n and env.dims * (2 * env.n * env.xq_max) ** 2 >= 2**53:
+    if (
+        env.n
+        and env.dims is not None
+        and env.xq_max is not None
+        and env.dims * (2 * env.n * env.xq_max) ** 2 >= 2**53
+    ):
         raise ValueError(
             "k-means training sample exceeds the exact-arithmetic "
             f"envelope dims*(2*n*S*|x|max)^2 < 2^53 (n={env.n}, "

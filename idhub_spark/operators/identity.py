@@ -191,36 +191,40 @@ def connected_components(
     )
     labels = e.groupBy("r").agg(F.min("r").alias("comp"))  # trivially comp=r
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # identifier adopts min component of incident records
-        id_label = (
-            e.join(labels, "r")
-            .groupBy("i")
-            .agg(F.min("comp").alias("icomp"))
-        )
-        # record adopts min over its identifiers (and its own label)
-        new_labels = (
-            e.join(id_label, "i")
-            .groupBy("r")
-            .agg(F.min("icomp").alias("comp"))
-        )
-        # checkpoint BEFORE the convergence probe: the probe and the
-        # checkpoint each execute new_labels' subtree, so probing the
-        # un-checkpointed frame ran every iteration twice (measured
-        # ~40% of loop wall time). The probe then reads materialized
-        # partitions only.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "r")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    e.unpersist()
+    try:
+        for _ in range(max_iter):
+            # identifier adopts min component of incident records
+            id_label = (
+                e.join(labels, "r")
+                .groupBy("i")
+                .agg(F.min("comp").alias("icomp"))
+            )
+            # record adopts min over its identifiers (and its own label)
+            new_labels = (
+                e.join(id_label, "i")
+                .groupBy("r")
+                .agg(F.min("icomp").alias("comp"))
+            )
+            # checkpoint BEFORE the convergence probe: the probe and the
+            # checkpoint each execute new_labels' subtree, so probing
+            # the un-checkpointed frame ran every iteration twice
+            # (measured ~40% of loop wall time). The probe then reads
+            # materialized partitions only.
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "r")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # release the cached edge set even when an iteration throws
+        # (executor loss, caller-subtree analysis error, cancellation)
+        e.unpersist()
     return labels.select(F.col("r").alias("record_key"), F.col("comp").alias("component"))
 
 

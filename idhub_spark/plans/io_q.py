@@ -117,7 +117,7 @@ def json_roundtrip_report(spark, sf_dir):
            COUNT(*) AS n_customers,
            {sql_ssum("c_acctbal", "total_acctbal")},
            min(c_name) AS first_name
-    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 50000) customer
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT {_FIXTURE_ROW_CAP}) customer
     GROUP BY c_mktsegment
     """,
     doc="S1: the REDCap-style paginated REST scan "
@@ -145,16 +145,18 @@ def rest_paginated_scan(spark, sf_dir):
     tables(spark, sf_dir, "customer")
     # The fixture server materializes its corpus on the driver to play
     # the external API (the reference's S1 is inherently a driver-side
-    # REST adapter) — cap it at a constant so the to_pylist() stays
-    # bounded if this ever runs at sf>=1. The oracle applies the same
-    # ORDER BY c_custkey LIMIT.
+    # REST adapter) — cap it at a constant so the Python-object
+    # conversion stays bounded if this ever runs at sf>=1: slice the
+    # (columnar, zero-copy) Arrow table BEFORE to_pylist. The oracle
+    # applies the same ORDER BY c_custkey LIMIT.
     rows = (
         pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
         )
         .sort_by("c_custkey")
-        .to_pylist()[:_FIXTURE_ROW_CAP]
+        .slice(0, _FIXTURE_ROW_CAP)
+        .to_pylist()
     )
     failed_once = {"flag": False}
 
@@ -209,7 +211,7 @@ def rest_paginated_scan(spark, sf_dir):
 
 @query(
     "redcap_dictionary_scan",
-    """
+    f"""
     SELECT 'f_' || CAST(p_partkey AS VARCHAR) AS field_name,
            lower(p_brand) AS form_name,
            CASE WHEN p_partkey % 3 = 0 THEN 'text'
@@ -222,7 +224,7 @@ def rest_paginated_scan(spark, sf_dir):
              AS text_validation_type_or_show_slider_number,
            CASE WHEN p_partkey % 2 = 0 THEN 'y' ELSE 'n' END AS required_field,
            NULLIF('', '') AS identifier
-    FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 50000) part
+    FROM (SELECT * FROM part ORDER BY p_partkey LIMIT {_FIXTURE_ROW_CAP}) part
     """,
     doc="S2: the REDCap data-dictionary scan "
     "(redcap-pipeline/services/redcap_client.py:189-204, "
@@ -243,14 +245,16 @@ def redcap_dictionary_scan(spark, sf_dir):
     from idhub_spark.sources.rest import redcap_metadata
 
     tables(spark, sf_dir, "part")
-    # sf-bounded fixture: same constant cap + ORDER BY as the oracle
+    # sf-bounded fixture: same constant cap + ORDER BY as the oracle;
+    # Arrow-slice before to_pylist so the Python conversion is bounded
     parts = (
         pq.read_table(
             os.path.join(sf_dir, "part.parquet"),
             columns=["p_partkey", "p_name", "p_brand"],
         )
         .sort_by("p_partkey")
-        .to_pylist()[:_FIXTURE_ROW_CAP]
+        .slice(0, _FIXTURE_ROW_CAP)
+        .to_pylist()
     )
     dictionary = [
         {
@@ -345,18 +349,31 @@ def jdbc_partitioned_scan(spark, sf_dir):
         )
     except Exception:
         pass  # property is best-effort log hygiene, never query-fatal
-    url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
-    (
-        t["customer"]
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-        .write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "CUSTOMER_RT")
-        .option("driver", driver)
-        .mode("overwrite")
-        .save()
-    )
+
+    def _write(path):
+        u = f"jdbc:derby:{path};create=true"
+        (
+            t["customer"]
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+            .write.format("jdbc")
+            .option("url", u)
+            .option("dbtable", "CUSTOMER_RT")
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+        return u
+
+    try:
+        url = _write(db)
+    except Exception:
+        # embedded Derby is single-JVM: if another live process (e.g. a
+        # concurrent pytest/bench run) has the shared per-sf db booted,
+        # fall back to a pid-suffixed path — the rare-concurrency
+        # escape hatch; the common sequential case reuses one dir
+        db = f"{db}_{os.getpid()}"
+        url = _write(db)
     # partition bounds: custkeys are dense 1..n (footer-served count)
     n = t["customer"].count()
     src = JdbcSource(

@@ -111,7 +111,7 @@ def streaming_sessionize(spark, sf_dir):
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+           CAST(CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 AS total_value
     FROM events GROUP BY hour, event_type
     """,
     doc="§2.12 tumbling-window streaming execution, driver-checked: "

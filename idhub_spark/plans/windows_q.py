@@ -80,9 +80,9 @@ def oldest_pick(spark, sf_dir):
     "running_value_total",
     f"""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(round(value * {10**SCALE}.0) AS BIGINT))
+           CAST(CAST(SUM(CAST(round(value * {10**SCALE}.0) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
              / {10**SCALE}.0 AS running_total
     FROM events
     WHERE user_id < 10
@@ -195,7 +195,7 @@ def recent_changes_topk(spark, sf_dir):
     f"""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value * {10**SCALE}.0) AS BIGINT)) AS DOUBLE) / {10**SCALE}.0 AS total_value
+           CAST(CAST(SUM(CAST(round(value * {10**SCALE}.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / {10**SCALE}.0 AS total_value
     FROM events
     GROUP BY hour, event_type
     """,

@@ -228,6 +228,8 @@ def test_pack_sequences_invariants_randomized(spark):
             for r in docs:
                 assert r.seq_id * seq_len + r.offset_in_seq == expect, (seed, shard)
                 expect += r.n_tokens
+
+
 def test_pack_sequences_partitioning_invariant(spark):
     """Same corpus, different physical partitioning -> byte-identical
     packing assignment."""
