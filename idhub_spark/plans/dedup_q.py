@@ -683,6 +683,84 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+@query(
+    "lsh_recall_eval",
+    f"""
+    WITH {_LSH_PAIRS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    gt AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.5),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM gt) AS BIGINT) AS n_gt,
+             CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_lsh,
+             CAST((SELECT COUNT(*) FROM gt g
+                   WHERE EXISTS (SELECT 1 FROM pairs p
+                                 WHERE p.doc_a = g.doc_a AND p.doc_b = g.doc_b))
+                  AS BIGINT) AS n_hit)
+    SELECT n_gt, n_lsh, n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(n_gt AS DOUBLE) AS recall
+    FROM counts
+    """,
+    doc="Recall evaluation of the MinHash+LSH candidate generator "
+    "against exact all-pairs Jaccard ground truth (>= 0.5) on the "
+    "same shingle universe — the dedup analogue of ann_recall_at_k. "
+    "LSH pairs are exact-verified, so precision is 1.0 by "
+    "construction and the number that matters is recall: what the "
+    "4-hash/2-band toy parameterization misses (tune n_hashes/bands "
+    "up at corpus scale; the banding S-curve in "
+    "minhash_lsh_pairs's docstring quantifies the trade). The exact "
+    "arm is the deliberate brute-force baseline (fixture-bounded), "
+    "exactly like ann_topk_bruteforce for ANN.",
+)
+def lsh_recall_eval(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
+    lsh = minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    gt = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_gt = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = gt.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_gt.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_gt",
+            "n_lsh",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_gt").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 # Patch oracles that are built programmatically (long generated SQL):
 from idhub_spark.queries import REGISTRY as _R  # noqa: E402
 

@@ -104,6 +104,7 @@ _DRIVER_ORDER = [
     "incremental_merge_state",
     "salted_hot_key_join",
     "bpe_pair_counts",
+    "lsh_recall_eval",
     # (3) r6 code/fixture changes to previously-green queries: REST
     # same-offset retry + fixture row cap, Derby stable path, ANN
     # 2^53 envelope assert
