@@ -103,3 +103,38 @@ def test_resize_check_stays_arrow_batched(spark):
     plan = _plan(spark, "image_resize_check")
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+
+
+# Queries whose CONSTRUCTION spins up external fixtures (HTTP server,
+# embedded Derby, file sinks, streaming drains) — plan-audited by their
+# dedicated tests/driver rows instead of the sweep.
+_SWEEP_SKIP = {
+    "rest_paginated_scan",
+    "redcap_dictionary_scan",
+    "jdbc_partitioned_scan",
+    "csv_roundtrip_staging",
+    "json_roundtrip_report",
+    "labkey_sync_state",
+    "streaming_sessionize",
+    "streaming_hourly_rollup",
+    "incremental_merge_state",
+}
+
+
+def test_plan_sweep_no_cartesian_no_row_udfs(spark):
+    """Engine-wide physical-plan invariants over EVERY registered
+    query: no un-broadcast CartesianProduct (a broadcast-tiny cross
+    join compiles to BroadcastNestedLoopJoin, which is allowed) and no
+    row-at-a-time Python UDF (BatchEvalPython) anywhere — the two
+    regressions that silently kill a plan at 100x scale."""
+    bad = []
+    for name in sorted(REGISTRY):
+        if name in _SWEEP_SKIP:
+            continue
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython"))
+        spark.catalog.clearCache()
+    assert not bad, bad
