@@ -238,6 +238,31 @@ def test_rest_source_partial_success(spark):
     assert src.last_offset == 2
 
 
+def test_rest_source_resume_completes_dataset(spark):
+    """The partial-success resume contract end to end: after a run
+    stops with partial=True, resuming from last_offset (once the
+    source recovers) yields exactly the missing records — union of
+    both runs == the full dataset, no gaps, no double-reads."""
+    data = [{"id": i} for i in range(7)]
+    down = {"flag": True}
+
+    def fetch(offset, limit):
+        if down["flag"] and offset >= 3:
+            raise ConnectionError("outage")
+        return data[offset : offset + limit]
+
+    src = RestSource(
+        fetch, page_size=1, retries=1, max_consecutive_failures=2, sleep=lambda s: None
+    )
+    first = [r["id"] for page in src.pages() for r in page]
+    assert src.partial and first == [0, 1, 2] and src.last_offset == 3
+
+    down["flag"] = False  # source recovers
+    second = [r["id"] for page in src.pages(src.last_offset) for r in page]
+    assert not src.partial
+    assert first + second == [r["id"] for r in data]
+
+
 def test_rest_source_never_skips_a_page(spark):
     """A page whose retries exhaust is re-fetched at the SAME offset on
     the next round — records are never silently dropped
