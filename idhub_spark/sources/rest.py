@@ -107,6 +107,9 @@ class RestSource:
         data — the reference's partial-success resume contract."""
         offset = start_offset
         failures = 0
+        # a new run (e.g. a resume from last_offset) starts clean:
+        # partial reflects THIS run's outcome, not a previous one's
+        self.partial = False
         while True:
             try:
                 page = fetch_with_retry(
