@@ -35,13 +35,24 @@ def merge_local_subject_ids(incoming: DataFrame, current: DataFrame) -> LocalIdM
     """incoming/current: (center_id, local_subject_id,
     identifier_type, global_subject_id)."""
     key = F.lower(F.col("local_subject_id")).alias("_k")
-    inc = incoming.select(
-        key,
-        F.col("identifier_type").alias("_t"),
-        F.col("center_id").alias("inc_center"),
-        F.col("local_subject_id").alias("inc_id"),
-        F.col("global_subject_id").alias("inc_gsid"),
-    ).dropDuplicates(["_k", "_t"])
+    # deterministic one-row-per-key pick: plain dropDuplicates keeps a
+    # partition-order-dependent arbitrary row, so a batch carrying two
+    # rows for one (id, type) — e.g. a multi-GSID component's link-back
+    # output — would merge a different winner run to run (the
+    # determinism discipline sampling.py documents)
+    wi = Window.partitionBy("_k", "_t").orderBy("inc_center", "inc_gsid", "inc_id")
+    inc = (
+        incoming.select(
+            key,
+            F.col("identifier_type").alias("_t"),
+            F.col("center_id").alias("inc_center"),
+            F.col("local_subject_id").alias("inc_id"),
+            F.col("global_subject_id").alias("inc_gsid"),
+        )
+        .withColumn("_irn", F.row_number().over(wi))
+        .filter(F.col("_irn") == 1)
+        .drop("_irn")
+    )
 
     # collapse duplicate existing rows per key (delete-all-then-insert
     # semantics: only ONE surviving row per key after the merge)

@@ -182,9 +182,20 @@ def resize_image(
 def sample_frames(df: DataFrame, payload_col: str = "payload", every: int = 4) -> DataFrame:
     """Frame-sampling plumbing: chunk the binary payload into fixed
     'frames' and keep every Nth — the explode/array plumbing a real
-    video sampler would use, with the codec stubbed to byte-slicing."""
-    frame = F.expr(f"transform(sequence(0, int(octet_length({payload_col}) / 16) - 1), "
-                   f"i -> substring({payload_col}, i * 16 + 1, 16))")
+    video sampler would use, with the codec stubbed to byte-slicing.
+
+    Payloads shorter than one frame yield ZERO rows (trailing partial
+    frames are dropped at every length). The n_frames=0 case needs the
+    explicit empty-array guard: Spark's sequence(0, -1) is the
+    DESCENDING array [0, -1], which would emit two spurious frames.
+    """
+    n_frames = f"int(octet_length({payload_col}) / 16)"
+    frame = F.expr(
+        f"CASE WHEN {n_frames} > 0 THEN "
+        f"transform(sequence(0, {n_frames} - 1), "
+        f"i -> substring({payload_col}, i * 16 + 1, 16)) "
+        f"ELSE array() END"
+    )
     return (
         df.select("doc_id", F.posexplode(frame).alias("frame_no", "frame"))
         .filter(F.col("frame_no") % every == 0)

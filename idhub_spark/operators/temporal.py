@@ -65,10 +65,15 @@ def asof_join(
         F.col(right_ts).cast("timestamp").alias("_r_ts"),
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so
-    # "at or before" includes same-timestamp right rows
+    # "at or before" includes same-timestamp right rows. The payload
+    # columns complete the sort to a TOTAL order: without them, two
+    # right rows sharing (key, ts) would tie and last(ignorenulls)
+    # would carry whichever the shuffle happened to order second —
+    # partition-order nondeterminism. With the tie-break, the carried
+    # row is the greatest payload tuple, on any partitioning.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[f"_rv_{c}" for c in right_values])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tag.unionByName(r_tag)
@@ -116,10 +121,13 @@ def interval_join(
     right_ts: str = "ts",
     max_before_seconds: int = 0,
     max_after_seconds: int = 60,
+    suffix: str = "_r",
 ) -> DataFrame:
     """Pairs (l, r) on the same key with
     l.ts - max_before <= r.ts <= l.ts + max_after, via time-bucket
-    equi-join prefilter + residual range filter."""
+    equi-join prefilter + residual range filter. Right columns whose
+    names collide with a left column (e.g. both sides' default 'ts')
+    come back as <col><suffix>, so the output is never ambiguous."""
     # Bucket at MICROsecond granularity — the same unit as the residual
     # predicate below (a second-granularity bucket with a microsecond
     # residual was internally inconsistent), and NTZ-proof: cast to
@@ -145,9 +153,12 @@ def interval_join(
     # pair whose true gap is e.g. 1800.4s passes a 1800s window
     lus = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp"))
     rus = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp"))
-    # keep the left image of the join key (they are equal by construction)
+    # keep the left image of the join key (they are equal by
+    # construction); suffix right columns that collide with left names
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"r.{c}").alias(c) for c in right.columns if c != on
+        F.col(f"r.{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+        for c in right.columns
+        if c != on
     ]
     return (
         cand.alias("l")

@@ -31,31 +31,32 @@ def labkey_sync(
 ) -> MergeResult:
     """labkey_rows: (sample_id, status, collected_date ts).
     Returns the MergeResult over the specimen table."""
-    updates = (
-        labkey_rows.join(
-            specimen.select("sample_id"), "sample_id", "semi"
-        )  # only samples we track (J10 semi-join)
-        .select(
-            "sample_id",
-            (F.lower(F.trim("status")) != "consumed").alias("sample_available"),
-            # ISO strings or epoch millis both parse (P15,
-            # labkey_client.py:83-101)
-            F.year(flexible_timestamp_expr(F.col("collected_date"))).alias(
-                "year_collected"
-            ),
-        )
+    # Each field updates ONLY when its condition holds, exactly like
+    # the reference's per-field UPDATE list (specimen_updater.py:57-66):
+    # - sample_available := false only when status == 'consumed'; any
+    #   other status (including NULL) leaves the current value — the
+    #   reference never sets it back to true;
+    # - year_collected := year(date) only when a date parses; a
+    #   missing/unparseable date keeps the current year.
+    updates = labkey_rows.select(
+        "sample_id",
+        F.lower(F.trim("status")).alias("_status"),
+        # ISO strings or epoch millis both parse (P15,
+        # labkey_client.py:83-101)
+        F.year(flexible_timestamp_expr(F.col("collected_date"))).alias("_year_new"),
     )
-    # merge updates into specimen, preserving untouched columns
-    incoming = (
-        specimen.join(updates.withColumnRenamed("sample_available", "_avail")
-                      .withColumnRenamed("year_collected", "_year"), "sample_id")
-        .select(
-            "sample_id",
-            "global_subject_id",
-            "sample_type",
-            F.col("_avail").alias("sample_available"),
-            F.col("_year").alias("year_collected"),
-        )
+    # inner join == the J10 semi-join plus the update payload; current
+    # field values come along for the keep-when-condition-fails arms
+    incoming = specimen.join(updates, "sample_id").select(
+        "sample_id",
+        "global_subject_id",
+        "sample_type",
+        F.when(F.col("_status") == "consumed", F.lit(False))
+        .otherwise(F.col("sample_available"))
+        .alias("sample_available"),
+        F.coalesce(F.col("_year_new"), F.col("year_collected")).alias(
+            "year_collected"
+        ),
     )
     return merge_upsert(
         incoming,

@@ -19,13 +19,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from idhub_spark.config import FragmentMapping
 from idhub_spark.operators.centers import fuzzy_match_names
 from idhub_spark.operators.identity import (
-    link_back,
     resolve_identities,
     unpivot_candidates,
 )
@@ -94,14 +93,22 @@ def redcap_sync(
         record_key,
         "left",
     )
+    # center is attributed PER RECORD (through record_key), never per
+    # GSID: when two records from different centers resolve to one
+    # GSID, a per-GSID join would cross-attribute every identifier to
+    # BOTH centers, staging registry rows no input ever asserted
     local_id_records = (
-        link_back(resolved, ids_long)
+        ids_long.join(
+            resolved.select("record_key", "global_subject_id"), "record_key"
+        )
         .join(
-            with_gsid.select("global_subject_id", "center_id").distinct(),
-            "global_subject_id",
-            "left",
+            with_gsid.select(
+                F.col(record_key).alias("record_key"), "center_id"
+            ),
+            "record_key",
         )
         .select("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+        .distinct()
     )
 
     subject_cols = [
@@ -109,8 +116,18 @@ def redcap_sync(
         for c in ("registration_year", "control", "family_id")
         if c in with_gsid.columns
     ]
-    subjects = with_gsid.select("global_subject_id", "center_id", *subject_cols).dropDuplicates(
-        ["global_subject_id"]
+    # deterministic representative per GSID: order by record_key so
+    # the same record's values win on every run/partitioning (plain
+    # dropDuplicates keeps a partition-order-dependent arbitrary row
+    # when a multi-record component carries divergent values)
+    w_subj = Window.partitionBy("global_subject_id").orderBy(F.col(record_key))
+    subjects = (
+        with_gsid.select(
+            "global_subject_id", "center_id", *subject_cols, F.col(record_key)
+        )
+        .withColumn("_rn", F.row_number().over(w_subj))
+        .filter(F.col("_rn") == 1)
+        .select("global_subject_id", "center_id", *subject_cols)
     )
 
     # sample fan-out (data_processor.py:416-552): one output row per

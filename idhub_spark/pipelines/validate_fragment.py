@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from idhub_spark.config import FragmentMapping
 from idhub_spark.operators.conflicts import detect_conflicts
 from idhub_spark.operators.identity import (
-    link_back,
     resolve_identities,
     unpivot_candidates,
 )
@@ -120,23 +119,29 @@ def validate_fragment(
         record_key,
         "left",
     )
-    local_ids = link_back(resolved, ids_long)
     center = (
         F.col(mapping.center_id_field)
         if mapping.center_id_field and mapping.center_id_field in mapped.columns
         else F.lit(mapping.default_center_id)
     )
+    # center is attributed PER RECORD through record_key, never per
+    # GSID: joining identifiers to distinct (center, gsid) pairs would
+    # cross-attribute every identifier to EVERY center whose record
+    # shares the GSID — staging registry rows no input asserted and
+    # inflating center_mismatch conflicts downstream
     local_id_records = (
-        with_gsid.select(F.col(record_key), center.cast("int").alias("center_id"))
-        .join(
-            resolved.select(F.col("record_key").alias(record_key)),
-            record_key,
+        ids_long.join(
+            resolved.select("record_key", "global_subject_id"), "record_key"
         )
-        .join(with_gsid.select(record_key, "global_subject_id"), record_key)
-        .select("center_id", "global_subject_id")
-        .distinct()
-        .join(local_ids, "global_subject_id")
+        .join(
+            with_gsid.select(
+                F.col(record_key).alias("record_key"),
+                center.cast("int").alias("center_id"),
+            ),
+            "record_key",
+        )
         .select("center_id", "local_subject_id", "identifier_type", "global_subject_id")
+        .distinct()
     )
 
     # 5) conflict detection vs current registry state (J7)

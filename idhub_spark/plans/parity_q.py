@@ -390,13 +390,16 @@ def load_batch_state(spark, sf_dir):
       SELECT 'S-' || CAST(c_custkey AS VARCHAR) AS sample_id,
              'G-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS global_subject_id,
              lower(c_mktsegment) AS sample_type,
-             TRUE AS sample_available,
+             (c_custkey % 3 <> 0) AS sample_available,
              CAST(2000 + c_custkey % 20 AS INTEGER) AS year_collected
       FROM customer),
     lab AS (
       SELECT 'S-' || CAST(c_custkey AS VARCHAR) AS sample_id,
-             CASE WHEN c_custkey % 4 = 0 THEN 'Consumed ' ELSE 'Available' END AS status,
-             CASE WHEN c_custkey % 6 = 0
+             CASE WHEN c_custkey % 4 = 0 THEN 'Consumed '
+                  WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE 'Available' END AS status,
+             CASE WHEN c_custkey % 9 = 0 THEN NULL
+                  WHEN c_custkey % 6 = 0
                     THEN CAST(1400000000000 + c_custkey * 86400000 AS VARCHAR)
                   ELSE '20' || lpad(CAST(10 + c_custkey % 15 AS VARCHAR), 2, '0')
                        || '-03-05 10:00:00' END AS collected_date
@@ -407,28 +410,33 @@ def load_batch_state(spark, sf_dir):
       FROM customer WHERE c_custkey % 5 = 0),
     upd AS (
       SELECT l.sample_id,
-             lower(trim(l.status)) <> 'consumed' AS sample_available,
+             lower(trim(l.status)) AS st,
              CAST(year(CASE WHEN l.collected_date ~ '^[0-9]{12,}$'
                             THEN epoch_ms(CAST(l.collected_date AS BIGINT))
                             ELSE try_cast(l.collected_date AS TIMESTAMP) END)
-                  AS INTEGER) AS year_collected
+                  AS INTEGER) AS yr
       FROM lab l JOIN spec s ON l.sample_id = s.sample_id)
     SELECT s.sample_id, s.global_subject_id, s.sample_type,
-           CASE WHEN u.sample_id IS NOT NULL THEN u.sample_available
+           CASE WHEN u.sample_id IS NOT NULL THEN
+                  CASE WHEN u.st = 'consumed' THEN FALSE
+                       ELSE s.sample_available END
                 ELSE s.sample_available END AS sample_available,
-           CASE WHEN u.sample_id IS NOT NULL THEN u.year_collected
+           CASE WHEN u.sample_id IS NOT NULL THEN COALESCE(u.yr, s.year_collected)
                 ELSE s.year_collected END AS year_collected
     FROM spec s LEFT JOIN upd u ON s.sample_id = u.sample_id
     """,
     doc="S8+J10 end to end: the LabKey specimen sync "
     "(labkey-sync/services/sync_service.py:19-80, "
     "specimen_updater.py:29-100) — extract rows semi-join the tracked "
-    "specimen set (untracked LabKey samples dropped), status "
-    "'consumed' flips sample_available, collected_date (ISO or "
-    "epoch-millis, P15 flexible parse) becomes year_collected, and "
-    "the update_only merge patches matched rows while untouched rows "
-    "keep their image. Fixture: half the samples get LabKey rows, "
-    "%4 consumed, %6 epoch-millis dates, %5 untracked extras.",
+    "specimen set (untracked LabKey samples dropped), and each field "
+    "updates ONLY when its condition holds, per the reference's "
+    "per-field UPDATE list: status 'consumed' sets "
+    "sample_available=false (any other status, including NULL, keeps "
+    "the current value — never a reset to true), a parseable "
+    "collected_date (ISO or epoch-millis, P15) sets year_collected "
+    "(a NULL date keeps the current year). Fixture: half the samples "
+    "get LabKey rows; %4 consumed, %7 NULL status, %9 NULL date, %6 "
+    "epoch-millis dates, %3 start unavailable, %5 untracked extras.",
 )
 def labkey_sync_state(spark, sf_dir):
     from idhub_spark.pipelines.labkey_sync import labkey_sync
@@ -440,15 +448,17 @@ def labkey_sync_state(spark, sf_dir):
         F.concat(F.lit("S-"), F.col("c_custkey").cast("string")).alias("sample_id"),
         gsid.alias("global_subject_id"),
         F.lower("c_mktsegment").alias("sample_type"),
-        F.lit(True).alias("sample_available"),
+        (F.col("c_custkey") % 3 != 0).alias("sample_available"),
         (F.lit(2000) + F.col("c_custkey") % 20).cast("int").alias("year_collected"),
     )
     tracked = c.filter(F.col("c_custkey") % 2 == 0).select(
         F.concat(F.lit("S-"), F.col("c_custkey").cast("string")).alias("sample_id"),
         F.when(F.col("c_custkey") % 4 == 0, F.lit("Consumed "))
+        .when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
         .otherwise(F.lit("Available"))
         .alias("status"),
-        F.when(
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(None).cast("string"))
+        .when(
             F.col("c_custkey") % 6 == 0,
             (F.lit(1400000000000) + F.col("c_custkey") * 86400000).cast("string"),
         )

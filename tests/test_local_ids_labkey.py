@@ -66,6 +66,8 @@ def test_labkey_sync(spark):
             ("S1", "GS-1", "blood", True, None),
             ("S2", "GS-2", "dna", True, None),
             ("S3", "GS-3", "lcl", True, 1999),
+            ("S4", "GS-4", "blood", False, 2018),  # already unavailable
+            ("S5", "GS-5", "dna", True, 2017),
         ],
         "sample_id string, global_subject_id string, sample_type string, "
         "sample_available boolean, year_collected int",
@@ -74,6 +76,11 @@ def test_labkey_sync(spark):
         [
             ("S1", "Consumed", "2020-03-04"),
             ("S2", "available", "2021-07-01"),
+            # non-consumed status must NOT reset availability to true,
+            # and a present date still updates the year
+            ("S4", "Available", "2022-05-05"),
+            # NULL status + NULL date: both fields keep current values
+            ("S5", None, None),
             ("SX", "consumed", "2020-01-01"),  # unknown sample: semi-join drops
         ],
         ["sample_id", "status", "collected_date"],
@@ -84,6 +91,11 @@ def test_labkey_sync(spark):
     assert rows["S1"].sample_available is False and rows["S1"].year_collected == 2020
     assert rows["S2"].sample_available is True and rows["S2"].year_collected == 2021
     assert rows["S3"].year_collected == 1999  # untouched
+    # the reference only ever sets sample_available=false (on consumed);
+    # an 'Available' status leaves a consumed specimen consumed
+    assert rows["S4"].sample_available is False and rows["S4"].year_collected == 2022
+    # NULL status / NULL date write nothing (specimen_updater.py:57-66)
+    assert rows["S5"].sample_available is True and rows["S5"].year_collected == 2017
     assert "SX" not in rows
     audit_fields = {(a.record_key["sample_id"], a.field) for a in res.audit.collect()}
     assert ("S1", "sample_available") in audit_fields

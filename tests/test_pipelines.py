@@ -76,6 +76,40 @@ def test_validate_fragment_end_to_end(spark):
     assert lids == {"IBDGC-100", "ibdgc-200", "NEWSUBJ-1"}
 
 
+def test_local_id_center_attribution_per_record(spark):
+    """Two records from DIFFERENT centers share one identifier (so
+    they resolve to one GSID); each record's other identifier must be
+    staged under ITS OWN center only — a per-GSID center join would
+    cross-attribute every identifier to both centers."""
+    mapping = FragmentMapping(
+        table_name="specimen",
+        field_mapping={"sample_id": "SampleID"},
+        subject_id_candidates={"consortium_id": "consortium", "alt_id": "alt"},
+        center_id_field="center",
+    )
+    frag = spark.createDataFrame(
+        [
+            ("S1", "SHARED-1", "OWN-A", 5),
+            ("S2", "SHARED-1", "OWN-B", 7),
+        ],
+        ["SampleID", "consortium_id", "alt_id", "center"],
+    )
+    res = validate_fragment(
+        spark, frag, mapping,
+        registry=spark.createDataFrame(
+            [], "local_subject_id string, global_subject_id string, created_at string"
+        ),
+        batch_id="b_ctr",
+    )
+    got = {(r.center_id, r.local_subject_id) for r in res.local_id_records.collect()}
+    assert (5, "OWN-A") in got and (7, "OWN-B") in got
+    assert (7, "OWN-A") not in got and (5, "OWN-B") not in got
+    assert (5, "SHARED-1") in got and (7, "SHARED-1") in got  # both asserted it
+    # and everything resolved to ONE gsid
+    gsids = {r.global_subject_id for r in res.local_id_records.collect()}
+    assert len(gsids) == 1
+
+
 def test_validate_fragment_alias_path(spark):
     """subject_alias rows resolve through the pipeline exactly like
     local_subject_ids (alias -> GSID, case-insensitive)."""

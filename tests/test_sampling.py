@@ -80,6 +80,23 @@ def test_pack_sequences_contiguous(spark):
             expect += r.n_tokens
 
 
+def test_sample_frames_short_payloads_yield_no_rows(spark):
+    """Payloads shorter than one 16-byte frame (including empty) emit
+    ZERO frames — sequence(0, -1) would otherwise produce the
+    descending [0, -1] and two spurious rows; trailing partial frames
+    are dropped at every length."""
+    from idhub_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 40), (2, b"short"), (3, b""), (4, b"y" * 16)],
+        "doc_id long, payload binary",
+    )
+    got = {}
+    for r in sample_frames(df, every=1).collect():
+        got.setdefault(r.doc_id, []).append((r.frame_no, r.frame_bytes))
+    assert got == {1: [(0, 16), (1, 16)], 4: [(0, 16)]}  # 2 and 3 absent
+
+
 def test_byte_histogram_features_exact(spark):
     """mapInPandas byte histogram equals a direct numpy recompute and
     sums to 1.0; empty payloads give the zero vector."""
