@@ -156,6 +156,27 @@ def apply_resolutions(
     return incoming.join(F.broadcast(excl), key, "left_anti")
 
 
+def _ci_anti_join(big: DataFrame, keys_df: DataFrame, key: list[str]) -> DataFrame:
+    """Broadcast anti-join that matches local_subject_id (when it is a
+    key component) CASE-INSENSITIVELY — conflicts are DETECTED on
+    lower(local_subject_id) and resolution rows store the incoming
+    row's casing, so an exact-match delete would silently miss an
+    existing row that differs only in case, leaving the conflict to
+    re-fire every batch (extends docs/deviations.md #8: application
+    matches detection)."""
+    if "local_subject_id" not in key:
+        return big.join(F.broadcast(keys_df), key, "left_anti")
+    jkey = [("_lid" if k == "local_subject_id" else k) for k in key]
+    keys_ci = keys_df.withColumn("_lid", F.lower("local_subject_id")).drop(
+        "local_subject_id"
+    )
+    return (
+        big.withColumn("_lid", F.lower("local_subject_id"))
+        .join(F.broadcast(keys_ci), jkey, "left_anti")
+        .drop("_lid")
+    )
+
+
 def apply_resolutions_existing(
     existing: DataFrame, resolutions: DataFrame, key: list[str]
 ) -> DataFrame:
@@ -164,14 +185,15 @@ def apply_resolutions_existing(
     (conflict_resolver.py:61-75 -> _delete_existing_record:91-110 —
     the incoming row then replaces it for use_incoming, nothing does
     for delete_both). `keep_existing`, pending, and the reference's
-    unimplemented `merge` leave existing untouched. The resolution
-    set is human-curated and tiny -> broadcast anti-join; existing
-    never shuffles.
+    unimplemented `merge` leave existing untouched. Matching is
+    case-insensitive on local_subject_id (see _ci_anti_join). The
+    resolution set is human-curated and tiny -> broadcast anti-join;
+    existing never shuffles.
     """
     excl = resolutions.filter(
         F.col("resolution_action").isin("use_incoming", "delete_both")
     ).select(*key).distinct()
-    return existing.join(F.broadcast(excl), key, "left_anti")
+    return _ci_anti_join(existing, excl, key)
 
 
 def apply_center_updates(
@@ -226,9 +248,7 @@ def apply_center_updates(
         "local_subject_id",
         "identifier_type",
     ).distinct()
-    local2 = local_ids.join(
-        F.broadcast(del_keys),
-        ["center_id", "local_subject_id", "identifier_type"],
-        "left_anti",
+    local2 = _ci_anti_join(
+        local_ids, del_keys, ["center_id", "local_subject_id", "identifier_type"]
     )
     return subjects2, local2

@@ -101,7 +101,12 @@ def load_batch(
         batch_id=batch_id,
     )
 
-    counts = merge.classified.groupBy().agg(
+    # rows_attempted counts FRAGMENT rows only: classify_changes' full
+    # outer join also emits one 'orphan' row per current-table key the
+    # fragment doesn't touch, and counting those would report ~the
+    # whole target table size for a small batch
+    # (fragment_resolution.py:268-296 records batch-sized tallies)
+    counts = merge.classified.filter(F.col("change_type") != "orphan").groupBy().agg(
         F.count(F.lit(1)).alias("rows_attempted"),
         F.sum(F.when(F.col("change_type") == "new", 1).otherwise(0)).alias("rows_inserted"),
         F.sum(F.when(F.col("change_type") == "updated", 1).otherwise(0)).alias("rows_updated"),
@@ -109,14 +114,16 @@ def load_batch(
             "rows_unchanged"
         ),
     )
+    # rows_loaded counts what the MODE actually applied: inserts don't
+    # load in update_only, updates don't load in insert_only
+    applied_new = F.col("rows_inserted") if mode != "update_only" else F.lit(0)
+    applied_upd = F.col("rows_updated") if mode != "insert_only" else F.lit(0)
     bookkeeping = counts.select(
         F.lit(batch_id).alias("batch_id"),
         F.lit(table_name).alias("table_name"),
         F.lit("LOADED").alias("status"),
         "rows_attempted",
-        (F.col("rows_inserted") + F.col("rows_updated") + F.col("rows_unchanged")).alias(
-            "rows_loaded"
-        ),
+        (applied_new + applied_upd + F.col("rows_unchanged")).alias("rows_loaded"),
         F.lit(0).cast("long").alias("rows_failed"),
         "rows_inserted",
         "rows_updated",

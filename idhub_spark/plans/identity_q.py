@@ -260,7 +260,7 @@ def conflict_detection(spark, sf_dir):
         SELECT 1 FROM resolutions r
         WHERE r.resolution_action IN ('use_incoming', 'delete_both')
           AND r.existing_center_id = l.center_id
-          AND r.local_subject_id = l.local_subject_id
+          AND lower(r.local_subject_id) = lower(l.local_subject_id)
           AND r.identifier_type = l.identifier_type)),
     upd AS (
       SELECT existing_gsid, existing_center_id,

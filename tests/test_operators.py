@@ -463,6 +463,47 @@ def test_apply_resolutions_existing(spark):
     assert {r.id for r in out} == {"A", "D"}
 
 
+def test_apply_resolutions_existing_case_insensitive(spark):
+    """Conflicts are DETECTED on lower(local_subject_id) and the
+    resolution stores the incoming casing; the existing-side delete
+    must therefore match case-insensitively, or a case-variant
+    existing row survives and the same conflict re-fires every batch."""
+    from idhub_spark.operators.conflicts import (
+        apply_center_updates,
+        apply_resolutions_existing,
+    )
+
+    existing = spark.createDataFrame(
+        [("abc001", "t", 1), ("keepme", "t", 1)],
+        ["local_subject_id", "identifier_type", "center_id"],
+    )
+    res = spark.createDataFrame(
+        [("ABC001", "t", 1, "use_incoming")],  # incoming casing
+        ["local_subject_id", "identifier_type", "center_id", "resolution_action"],
+    )
+    out = apply_resolutions_existing(
+        existing, res, ["center_id", "local_subject_id", "identifier_type"]
+    ).collect()
+    assert {r.local_subject_id for r in out} == {"keepme"}
+
+    # same contract on the center-update local-ids delete
+    local_ids = spark.createDataFrame(
+        [(1, "abc001", "t", "G1"), (1, "other", "t", "G2")],
+        ["center_id", "local_subject_id", "identifier_type", "global_subject_id"],
+    )
+    subjects = spark.createDataFrame(
+        [("G1", 1, "s")], ["global_subject_id", "center_id", "subject_name"]
+    )
+    cr = spark.createDataFrame(
+        [("ABC001", "t", 1, 5, "G1", "center_mismatch", "use_incoming")],
+        ["local_subject_id", "identifier_type", "existing_center_id",
+         "incoming_center_id", "existing_gsid", "conflict_type",
+         "resolution_action"],
+    )
+    _, local2 = apply_center_updates(subjects, local_ids, cr)
+    assert {r.local_subject_id for r in local2.collect()} == {"other"}
+
+
 def test_apply_center_updates(spark):
     """center_mismatch + use_incoming: subject center rewritten when
     (gsid, old center) match; stale local_subject_ids row deleted

@@ -162,6 +162,9 @@ def test_validate_then_load_roundtrip(spark):
     )
     bk = out.bookkeeping.collect()[0]
     assert (bk.rows_inserted, bk.rows_updated, bk.rows_unchanged) == (3, 1, 0)
+    # rows_attempted = FRAGMENT rows (orphan current-only keys are not
+    # attempts); rows_loaded = what the mode applied
+    assert bk.rows_attempted == 4 and bk.rows_loaded == 4
     audit = out.merge.audit.collect()
     assert {a.field for a in audit} == {"sample_type"}
 
