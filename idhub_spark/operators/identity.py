@@ -290,17 +290,34 @@ def resolve_identities(
         dispatched = dispatched.join(comps, "record_key", "left").withColumn(
             "component", F.coalesce("component", F.col("record_key"))
         )
-        # a component's records must agree: adopt the OLDEST matched
-        # GSID anywhere in the component, oldest by (created_at, gsid)
-        # exactly like the reference's per-record tie-break
-        # (identity_resolution.py:180-183) — lexical GSID order is NOT
-        # creation order (the GSID timestamp prefix wraps every ~9.3h)
+        # a component's records must agree: EVERY record adopts the
+        # OLDEST matched GSID anywhere in the component, oldest by
+        # (created_at, gsid) exactly like the reference's per-record
+        # tie-break (identity_resolution.py:180-183) — lexical GSID
+        # order is NOT creation order (the GSID timestamp prefix wraps
+        # every ~9.3h). When a component's records matched DIFFERENT
+        # registry GSIDs, the losers' records become conflict_resolved
+        # and the whole component is flagged requires_review — the
+        # order-independent image of the reference's sequential flow,
+        # where the later record would see both GSIDs via link-back and
+        # resolve oldest-wins with review (identity_resolution.py:
+        # 163-211). Without this, a bridged component would keep
+        # contradictory GSIDs unflagged and link_back would stage
+        # conflicting registry rows for the bridging identifier.
         comp_choice = (
             dispatched.filter(F.col("global_subject_id").isNotNull())
             .groupBy("component")
-            .agg(F.min("_oldest").alias("_comp_oldest"))
-            .select("component", F.col("_comp_oldest.matched_gsid").alias("_comp_gsid"))
+            .agg(
+                F.min("_oldest").alias("_comp_oldest"),
+                F.countDistinct("global_subject_id").alias("_n_comp_gsids"),
+            )
+            .select(
+                "component",
+                F.col("_comp_oldest.matched_gsid").alias("_comp_gsid"),
+                "_n_comp_gsids",
+            )
         )
+        multi = F.coalesce(F.col("_n_comp_gsids"), F.lit(0)) > 1
         dispatched = dispatched.join(comp_choice, "component", "left").select(
             "record_key",
             "matched_gsids",
@@ -308,10 +325,15 @@ def resolve_identities(
                 (F.col("action") == "create_new") & F.col("_comp_gsid").isNotNull(),
                 F.lit("link_existing"),
             )
+            .when(
+                F.col("global_subject_id").isNotNull()
+                & (F.col("global_subject_id") != F.col("_comp_gsid")),
+                F.lit("conflict_resolved"),
+            )
             .otherwise(F.col("action"))
             .alias("action"),
-            F.coalesce("global_subject_id", "_comp_gsid").alias("global_subject_id"),
-            "requires_review",
+            F.coalesce("_comp_gsid", "global_subject_id").alias("global_subject_id"),
+            (F.col("requires_review") | multi).alias("requires_review"),
             "component",
         )
     else:

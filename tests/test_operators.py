@@ -221,6 +221,16 @@ def test_component_adoption_oldest_by_created_at(spark):
     out = {r.record_key: r for r in resolve_identities(ids, registry).collect()}
     assert out[42].action == "link_existing"
     assert out[42].global_subject_id == "GSID-ZZZ9"
+    # the component bridged TWO registry GSIDs: every record converges
+    # on the oldest, the loser's record is conflict_resolved, and the
+    # whole component is flagged for review (the order-independent
+    # image of the reference's sequential multi-GSID path,
+    # identity_resolution.py:163-211) — no record may keep GSID-AAA1,
+    # or link_back would stage contradictory rows for BR-X
+    assert {r.global_subject_id for r in out.values()} == {"GSID-ZZZ9"}
+    assert out[41].action == "conflict_resolved"
+    assert out[40].action == "link_existing"
+    assert all(r.requires_review for r in out.values())
 
 
 def test_mint_unique_across_batches(spark):
@@ -266,9 +276,18 @@ def test_alias_path_resolution(spark):
     }
     assert out[1].action == "link_existing"
     assert out[1].global_subject_id == "GSID-VIAALIAS"
-    assert out[2].global_subject_id == "GSID-OLD1"
     assert out[3].action == "conflict_resolved"
     assert out[3].global_subject_id == "GSID-VIAALIAS"
+    # record 3 bridges records 1/2 into one component that matched TWO
+    # registry GSIDs; the whole component converges on the oldest and
+    # is flagged — the order-independent fixed point of the reference's
+    # sequential flow, whose conflict handler remaps ALL identifiers of
+    # a conflict-seeing record to the chosen GSID and flags every
+    # conflicting subject (identity_resolution.py:178-211 'Flag ALL
+    # conflicting GSIDs', 215-268 'Link ALL identifiers ... DO UPDATE')
+    assert out[2].global_subject_id == "GSID-VIAALIAS"
+    assert out[2].action == "conflict_resolved"
+    assert all(r.requires_review for r in out.values())
 
 
 def test_mint_registry_collision_remints(spark):
