@@ -75,20 +75,31 @@ def merge_local_subject_ids(incoming: DataFrame, current: DataFrame) -> LocalIdM
     )
 
     j = inc.join(cur_one, ["_k", "_t"], "full_outer")
+    # center 0 means UNKNOWN (gsid-service/services/identity_resolution
+    # .py:222-245): an incoming unknown center never downgrades an
+    # existing real one — the effective center keeps the current value
+    # in that case, so the row classifies by GSID instead of spuriously
+    # migrating to center 0
+    eff_center = F.when(
+        (F.col("inc_center") == 0)
+        & F.col("cur_center").isNotNull()
+        & (F.col("cur_center") != 0),
+        F.col("cur_center"),
+    ).otherwise(F.col("inc_center"))
     change = (
         F.when(F.col("cur_gsid").isNull(), F.lit("insert"))
         .when(F.col("inc_gsid").isNull(), F.lit("keep"))
         .when(F.col("had_duplicates"), F.lit("dedup_rewrite"))
-        .when(F.col("inc_center") != F.col("cur_center"), F.lit("center_migration"))
+        .when(eff_center != F.col("cur_center"), F.lit("center_migration"))
         .when(F.col("inc_gsid") != F.col("cur_gsid"), F.lit("gsid_update"))
         .otherwise(F.lit("unchanged"))
     )
-    classified = j.withColumn("change", change)
+    classified = j.withColumn("change", change).withColumn("_eff_center", eff_center)
 
     take_incoming = classified.filter(
         F.col("change").isin("insert", "center_migration", "gsid_update", "dedup_rewrite")
     ).select(
-        F.col("inc_center").alias("center_id"),
+        F.col("_eff_center").alias("center_id"),
         F.col("inc_id").alias("local_subject_id"),
         F.col("_t").alias("identifier_type"),
         F.col("inc_gsid").alias("global_subject_id"),

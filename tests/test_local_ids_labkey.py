@@ -53,6 +53,26 @@ def test_local_ids_merge_paths(spark):
     }
 
 
+def test_local_ids_unknown_center_never_downgrades(spark):
+    """center 0 = unknown (gsid-service/services/identity_resolution
+    .py:222-245): an incoming 0 keeps the existing real center (the
+    row still gsid-updates), while an existing 0 upgrades to a real
+    incoming center via the normal migration path."""
+    current = spark.createDataFrame(
+        [(5, "A", "t", "G1"), (0, "B", "t", "G2")], COLS
+    )
+    incoming = spark.createDataFrame(
+        [(0, "A", "t", "G1NEW"), (7, "B", "t", "G2")], COLS
+    )
+    res = merge_local_subject_ids(incoming, current)
+    merged = {r.local_subject_id: r for r in res.merged.collect()}
+    assert merged["A"].center_id == 5  # unknown incoming kept real center
+    assert merged["A"].global_subject_id == "G1NEW"  # gsid still updated
+    assert merged["B"].center_id == 7  # unknown existing upgraded
+    changes = {r.local_subject_id: r.change for r in res.audit.collect()}
+    assert changes == {"A": "gsid_update", "B": "center_migration"}
+
+
 def test_local_ids_merge_idempotent(spark):
     current = spark.createDataFrame([(1, "A", "t", "G1")], COLS)
     res = merge_local_subject_ids(current, current)
