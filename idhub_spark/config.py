@@ -43,8 +43,11 @@ TRANSFORMS = {
     "extract_year": extract_year_expr,
     "boolean": boolean_expr,
     "registration_year": registration_year_expr,
-    "integer": lambda c: null_normalize_expr(c).cast("int"),
-    "float": lambda c: null_normalize_expr(c).cast("double"),
+    # tolerant numeric parses: Spark 4's default ANSI mode makes a
+    # plain .cast() THROW on malformed input; the reference nulls the
+    # value instead (data_transformer.py:171-183, int(float(x)))
+    "integer": lambda c: null_normalize_expr(c).try_cast("double").try_cast("int"),
+    "float": lambda c: null_normalize_expr(c).try_cast("double"),
     "string": lambda c: null_normalize_expr(c),
     "upper": lambda c: F.upper(F.trim(c)),
     "lower": lambda c: F.lower(F.trim(c)),

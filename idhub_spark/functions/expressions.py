@@ -21,41 +21,68 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Null sentinels the reference strips everywhere
-# (data_transformer.py:156-160, update_detector.py:229-234).
-NULL_SENTINELS = ["", "NULL", "null", "NA", "N/A", "nan", "NaN", "None"]
+# Null sentinels the reference strips everywhere, compared
+# CASE-INSENSITIVELY: data_transformer.py:159 does
+# str(value).strip().upper() in ("NULL", "NA", "N/A", "") — so
+# 'n/a'/'Null'/'Na' normalize too. NAN/NONE cover pandas-stringified
+# nulls the reference catches via pd.isna/None objects.
+NULL_SENTINELS_UPPER = ["", "NULL", "NA", "N/A", "NAN", "NONE"]
 
 TRUE_VALUES = ["1", "true", "t", "yes", "y"]
 FALSE_VALUES = ["0", "false", "f", "no", "n"]
+# the loader's boolean (data_transformer.py:185): truthy lexicon,
+# EVERYTHING else (non-null) is False — no NULL middle ground
+LOADER_TRUE_VALUES = ["true", "t", "yes", "y", "1"]
 
 
 def null_normalize_expr(col: Column) -> Column:
-    """'' / NULL / NA / N/A / nan (trimmed) -> real NULL."""
+    """'' / NULL / NA / N/A / nan (trimmed, case-insensitive) -> real
+    NULL (data_transformer.py:159)."""
     t = F.trim(col)
-    return F.when(t.isin(NULL_SENTINELS), F.lit(None)).otherwise(t)
+    return F.when(F.upper(t).isin(NULL_SENTINELS_UPPER), F.lit(None)).otherwise(t)
 
 
 def type_coerce(col: Column, target: str) -> Column:
-    """Schema-aware cast with null normalization first.
+    """Schema-aware TOLERANT cast with null normalization first
+    (data_transformer.py:156-217: every failed conversion is a logged
+    None, never an error).
 
-    target: one of int/bigint/float/double/boolean/date/timestamp/
-    string/decimal(p,s). Booleans accept the reference's lexicons.
+    Spark 4 runs with ANSI mode ON by default, where a plain .cast()
+    THROWS on malformed input and kills the job — every branch here
+    must be a try_* form. int targets go through double first
+    (reference does int(float(x)), so '3.0' -> 3); booleans use the
+    loader lexicon (truthy set, else False); dates are the loader's
+    strict yyyy-MM-dd.
     """
     c = null_normalize_expr(col.cast("string"))
-    if target in ("boolean", "bool"):
-        return boolean_expr(c)
-    if target == "date":
-        return registration_year_expr(c, normalize_to_jan1=False)
-    return c.cast(target)
+    t = target.lower()
+    if t in ("boolean", "bool"):
+        return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.lower(c).isin(LOADER_TRUE_VALUES)
+        )
+    if t == "date":
+        return F.try_to_date(c, "yyyy-MM-dd")
+    if "timestamp" in t:
+        return F.try_to_timestamp(c)
+    if "int" in t:  # int/bigint/smallint/tinyint: int(float(x))
+        return c.try_cast("double").try_cast(target)
+    if t in ("float", "double", "real", "numeric") or t.startswith("decimal"):
+        return c.try_cast(target)
+    return c.cast(target)  # string-family targets: cast is total
 
 
 def extract_year_expr(col: Column) -> Column:
-    """'YYYY-MM-DD...' -> int year (data_processor.py:74-78)."""
-    return F.substring(F.trim(col.cast("string")), 1, 4).cast("int")
+    """First '-'-segment (or the whole value) as an int year, NULL on
+    junk (data_processor.py:74-78: value.split('-')[0] if '-' in value
+    else value; try_cast = the tolerant int conversion downstream)."""
+    s = F.trim(col.cast("string"))
+    base = F.when(s.contains("-"), F.split(s, "-")[0]).otherwise(s)
+    return base.try_cast("int")
 
 
 def boolean_expr(col: Column, true_values=None, false_values=None) -> Column:
-    """Configured truthy/falsy lexicons -> boolean, else NULL."""
+    """Configured truthy/falsy lexicons -> boolean, else NULL
+    (the REDCap transform dialect, data_processor.py:79-84)."""
     tv = [v.lower() for v in (true_values or TRUE_VALUES)]
     fv = [v.lower() for v in (false_values or FALSE_VALUES)]
     low = F.lower(F.trim(col.cast("string")))
@@ -64,41 +91,49 @@ def boolean_expr(col: Column, true_values=None, false_values=None) -> Column:
     )
 
 
-# control-status is the same lexicon parse restricted to truthy-or-false
-# (data_processor.py:169-197)
-control_status_expr = boolean_expr
+def control_status_expr(col: Column) -> Column:
+    """Control-status parse (data_processor.py:169-197): truthy set
+    {'1','true','yes','y'} — note NO 't' — and EVERYTHING else
+    (unrecognized, missing, NULL) is False, never NULL."""
+    low = F.lower(F.trim(col.cast("string")))
+    return F.coalesce(low.isin(["1", "true", "yes", "y"]), F.lit(False))
 
-def registration_year_expr(col: Column, *, normalize_to_jan1: bool = True) -> Column:
-    """Multi-format date parse, validated to 1900-2100, optionally
-    normalized to Jan-1 (data_processor.py:88-167).
 
-    Tries the reference's four formats in order, then a bare YYYY.
-    `try_to_date`-style semantics via coalesce over strict parses.
+def registration_year_expr(col: Column) -> Column:
+    """Registration date -> Jan-1 of the year, 1900-2100 validated,
+    NULL otherwise — the reference's exact branch ORDER
+    (data_processor.py:125-167):
+
+    1. len >= 10 AND contains '-'  -> int(first '-' segment)
+       (a trailing time part or even an invalid month/day does NOT
+       invalidate the year — '2021-01-02 10:30' and '2021-13-99'
+       both yield 2021, exactly like the reference);
+    2. bare 4-digit year;
+    3. otherwise strptime-style formats in order: yyyy-M-d, M/d/yyyy,
+       d/M/yyyy, yyyy/M/d (single-letter patterns = the non-padded
+       tolerance of Python strptime, so '1/2/2021' parses).
+
+    Branches are CASE arms, so each row pays only its own branch
+    (Catalyst evaluates CaseWhen lazily per row); every parse is a
+    try_* form — ANSI-safe, junk comes out NULL.
     """
-    # Shape-dispatch BEFORE parsing: blindly coalescing all four
-    # formats costs ~4 exception-driven failed parses per row. The
-    # dispatch keys are substring/length probes (not regexes) and the
-    # null-sentinel strip is just trim — 'NA'/'NULL'/etc. fail every
-    # parse branch and come out NULL anyway. Catalyst's subexpression
-    # elimination does not reliably dedupe a repeated trim-cascade
-    # across when-branches, so every repeated input here is cheap by
-    # construction (measured 10s -> 1.3s at sf0.1 end-to-end).
-    # Equivalent to the reference's try-in-order loop because a shape
-    # admits only the formats its probe selects.
     s = F.trim(col.cast("string"))
     n = F.length(s)
-    parsed = (
-        F.when((n == 10) & (F.substring(s, 5, 1) == "-"), F.try_to_date(s, "yyyy-MM-dd"))
-        .when(
-            (n == 10) & (F.substring(s, 3, 1) == "/"),
-            F.coalesce(F.try_to_date(s, "MM/dd/yyyy"), F.try_to_date(s, "dd/MM/yyyy")),
+    fmt_year = F.year(
+        F.coalesce(
+            F.try_to_date(s, "yyyy-M-d"),
+            F.try_to_date(s, "M/d/yyyy"),
+            F.try_to_date(s, "d/M/yyyy"),
+            F.try_to_date(s, "yyyy/M/d"),
         )
-        .when((n == 10) & (F.substring(s, 5, 1) == "/"), F.try_to_date(s, "yyyy/MM/dd"))
-        .when(s.rlike(r"^\d{4}$"), F.try_to_date(F.concat(s, F.lit("-01-01"))))
     )
-    valid = (F.year(parsed) >= 1900) & (F.year(parsed) <= 2100)
-    parsed = F.when(valid, parsed)
-    return F.trunc(parsed, "year") if normalize_to_jan1 else parsed
+    year = (
+        F.when((n >= 10) & s.contains("-"), F.split(s, "-")[0].try_cast("int"))
+        .when(s.rlike(r"^\d{4}$"), s.try_cast("int"))
+        .otherwise(fmt_year)
+    )
+    year = F.when((year >= 1900) & (year <= 2100), year)
+    return F.make_date(year, F.lit(1), F.lit(1))
 
 
 def normalize_name_expr(col: Column) -> Column:
@@ -108,45 +143,62 @@ def normalize_name_expr(col: Column) -> Column:
 
 # --- ID validation (id_validator.py:13-111) --------------------------------
 
-# error patterns: obviously-bogus identifiers
+# error patterns: EXACTLY the reference's six (id_validator.py:13-20,
+# applied with re.IGNORECASE)
 _ERROR_PATTERNS = [
     r"(?i)^test",
     r"(?i)^demo",
-    r"(?i)^sample",
-    r"^0+$",
+    r"(?i)^example",
+    r"(?i)^0+$",
+    r"(?i)^9+$",
     r"(?i)^x+$",
-    r"(?i)^unknown",
-    r"(?i)^n/?a$",
 ]
-# warning patterns
-_W_SHORT = r"^.{1,2}$"
+# warning patterns (id_validator.py:23-28, case-sensitive like the
+# reference's re.search without IGNORECASE)
+_W_SHORT_NUM = r"^\d{1,3}$"
+_W_SHORT_ALPHA = r"^[a-z]{1,2}$"
 _W_WHITESPACE = r"\s"
-_W_SPECIAL = r"[^A-Za-z0-9_\-\s]"
+_W_SPECIAL = r"[^a-zA-Z0-9_-]"
 _W_NUMERIC = r"^\d+$"
 
 
 def id_validation_expr(col: Column, *, numeric_ok: bool = False) -> Column:
     """struct<valid boolean, severity string, warnings array<string>>.
 
-    Mirrors IDValidator: error patterns -> invalid; warning patterns
-    collected; purely-numeric warns unless the identifier type allows.
-    """
+    Mirrors IDValidator exactly (id_validator.py:38-111): an empty or
+    NULL id is invalid/error (not silently valid); the six error
+    patterns invalidate with a single-warning payload; otherwise the
+    warning checks accumulate (short-numeric, short-alpha, whitespace,
+    special chars — which INCLUDE whitespace, so a spaced id gets
+    both, like the reference — purely-numeric unless the identifier
+    type allows it, and the generic <3-chars check); clean ids are
+    severity 'info' (the reference's label, not 'ok')."""
     s = F.trim(col.cast("string"))
-    is_error = F.lit(False)
+    empty = col.isNull() | (s == "")
+    is_error = empty
     for pat in _ERROR_PATTERNS:
         is_error = is_error | s.rlike(pat)
-    warnings = F.array_compact(
+    collected = F.array_compact(
         F.array(
-            F.when(s.rlike(_W_SHORT), F.lit("too_short")),
+            F.when(s.rlike(_W_SHORT_NUM), F.lit("short_numeric")),
+            F.when(s.rlike(_W_SHORT_ALPHA), F.lit("short_alpha")),
             F.when(s.rlike(_W_WHITESPACE), F.lit("contains_whitespace")),
             F.when(s.rlike(_W_SPECIAL), F.lit("special_characters")),
-            F.lit(None) if numeric_ok else F.when(s.rlike(_W_NUMERIC), F.lit("purely_numeric")),
+            F.lit(None).cast("string")
+            if numeric_ok
+            else F.when(s.rlike(_W_NUMERIC), F.lit("purely_numeric")),
+            F.when(F.length(s) < 3, F.lit("too_short")),
         )
+    )
+    warnings = (
+        F.when(empty, F.array(F.lit("empty")))
+        .when(is_error, F.array(F.lit("error_pattern")))
+        .otherwise(collected)
     )
     severity = (
         F.when(is_error, F.lit("error"))
         .when(F.size(warnings) > 0, F.lit("warning"))
-        .otherwise(F.lit("ok"))
+        .otherwise(F.lit("info"))
     )
     return F.struct(
         (~is_error).alias("valid"), severity.alias("severity"), warnings.alias("warnings")

@@ -60,7 +60,7 @@ def field_mapping(spark, sf_dir):
     r"""
     SELECT event_id,
            CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS prop_k,
-           CASE WHEN trim(event_type) IN ('', 'NULL', 'null', 'NA', 'N/A', 'nan', 'NaN', 'None')
+           CASE WHEN upper(trim(event_type)) IN ('', 'NULL', 'NA', 'N/A', 'NAN', 'NONE')
                 THEN NULL ELSE trim(event_type) END AS event_type_clean,
            CAST(round(value * 100) AS BIGINT) AS value_cents
     FROM events
@@ -88,12 +88,14 @@ def type_coercion(spark, sf_dir):
 @query(
     "extract_year",
     """
-    SELECT CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INTEGER) AS order_year,
+    SELECT TRY_CAST(string_split(CAST(o_orderdate AS VARCHAR), '-')[1] AS INTEGER) AS order_year,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY order_year
     """,
-    doc="P6: 'YYYY-MM-DD'->year (redcap data_processor.py:74-78).",
+    doc="P6: first '-'-segment as tolerant int year (redcap "
+    "data_processor.py:74-78 value.split('-')[0]; try_cast = the "
+    "per-value None of the reference, ANSI-safe).",
 )
 def extract_year(spark, sf_dir):
     t = tables(spark, sf_dir, "orders")
@@ -110,45 +112,63 @@ def extract_year(spark, sf_dir):
     """
     WITH formatted AS (
       SELECT o_orderkey,
-             CASE o_orderkey % 4
+             CASE o_orderkey % 6
                WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
                WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
                WHEN 2 THEN strftime(o_orderdate, '%Y/%m/%d')
+               WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d') || ' 10:30:00'
+               WHEN 4 THEN CAST(month(o_orderdate) AS VARCHAR) || '/' ||
+                           CAST(day(o_orderdate) AS VARCHAR) || '/' ||
+                           strftime(o_orderdate, '%Y')
                ELSE strftime(o_orderdate, '%Y')
              END AS raw_date
       FROM orders
-    ), parsed AS (
+    ), years AS (
       SELECT o_orderkey,
-             COALESCE(
-               CAST(try_strptime(raw_date, '%Y-%m-%d') AS DATE),
-               CAST(try_strptime(raw_date, '%m/%d/%Y') AS DATE),
-               CAST(try_strptime(raw_date, '%d/%m/%Y') AS DATE),
-               CAST(try_strptime(raw_date, '%Y/%m/%d') AS DATE),
-               CASE WHEN regexp_matches(raw_date, '^\\d{4}$')
-                    THEN CAST(try_strptime(raw_date || '-01-01', '%Y-%m-%d') AS DATE) END
-             ) AS d
+             CASE WHEN len(raw_date) >= 10 AND contains(raw_date, '-')
+                    THEN TRY_CAST(string_split(raw_date, '-')[1] AS INTEGER)
+                  WHEN regexp_matches(raw_date, '^\\d{4}$')
+                    THEN TRY_CAST(raw_date AS INTEGER)
+                  ELSE year(COALESCE(
+                    CAST(try_strptime(raw_date, '%Y-%m-%d') AS DATE),
+                    CAST(try_strptime(raw_date, '%m/%d/%Y') AS DATE),
+                    CAST(try_strptime(raw_date, '%d/%m/%Y') AS DATE),
+                    CAST(try_strptime(raw_date, '%Y/%m/%d') AS DATE)))
+             END AS y
       FROM formatted
     )
-    SELECT CAST(CAST(date_trunc('year', d) AS DATE) AS TIMESTAMP) AS registration_year, COUNT(*) AS n
-    FROM parsed
-    WHERE d IS NOT NULL AND year(d) BETWEEN 1900 AND 2100
+    SELECT CAST(make_date(y, 1, 1) AS TIMESTAMP) AS registration_year, COUNT(*) AS n
+    FROM years
+    WHERE y BETWEEN 1900 AND 2100
     GROUP BY registration_year
     """,
-    doc="P8: multi-format date parse -> Jan-1 normalize, 1900-2100 "
-    "validated (data_processor.py:88-167). Round-trips through "
-    "formatted strings to exercise every format branch.",
+    doc="P8: the reference's exact branch ORDER "
+    "(data_processor.py:125-167): len>=10 with '-' takes the first "
+    "segment as the year (so 'YYYY-MM-DD hh:mm:ss' datetime exports "
+    "parse — branch %3 of the fixture), bare YYYY, then the four "
+    "strptime formats with non-padded tolerance ('M/D/YYYY', branch "
+    "%4). Jan-1 normalize, 1900-2100 validated.",
 )
 def registration_year_normalize(spark, sf_dir):
     t = tables(spark, sf_dir, "orders")
     # fixture strings built with lpad-concat, not date_format: the
     # DateTimeFormatter path costs more than the parse under test
     y = F.year("o_orderdate").cast("string")
-    m2 = F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
-    d2 = F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0")
+    m1 = F.month("o_orderdate").cast("string")
+    d1 = F.dayofmonth("o_orderdate").cast("string")
+    m2 = F.lpad(m1, 2, "0")
+    d2 = F.lpad(d1, 2, "0")
     raw = (
-        F.when(F.col("o_orderkey") % 4 == 0, F.concat_ws("-", y, m2, d2))
-        .when(F.col("o_orderkey") % 4 == 1, F.concat_ws("/", m2, d2, y))
-        .when(F.col("o_orderkey") % 4 == 2, F.concat_ws("/", y, m2, d2))
+        F.when(F.col("o_orderkey") % 6 == 0, F.concat_ws("-", y, m2, d2))
+        .when(F.col("o_orderkey") % 6 == 1, F.concat_ws("/", m2, d2, y))
+        .when(F.col("o_orderkey") % 6 == 2, F.concat_ws("/", y, m2, d2))
+        # datetime export: year taken from the first '-' segment
+        .when(
+            F.col("o_orderkey") % 6 == 3,
+            F.concat(F.concat_ws("-", y, m2, d2), F.lit(" 10:30:00")),
+        )
+        # non-padded US date: the strptime-tolerance branch
+        .when(F.col("o_orderkey") % 6 == 4, F.concat_ws("/", m1, d1, y))
         .otherwise(y)
     )
     # DuckDB %d/%m/%Y can mis-parse an MM/dd date as dd/mm when both
@@ -208,39 +228,59 @@ def boolean_parse(spark, sf_dir):
     r"""
     WITH ids AS (
       SELECT c_custkey,
-             CASE c_custkey % 5
+             CASE c_custkey % 8
                WHEN 0 THEN 'TEST' || CAST(c_custkey AS VARCHAR)
                WHEN 1 THEN CAST(c_custkey AS VARCHAR)
                WHEN 2 THEN 'id ' || CAST(c_custkey AS VARCHAR)
                WHEN 3 THEN 'OK-' || CAST(c_custkey AS VARCHAR)
-               ELSE 'ab'
+               WHEN 4 THEN 'ab'
+               WHEN 5 THEN 'Example' || CAST(c_custkey AS VARCHAR)
+               WHEN 6 THEN repeat('9', 1 + c_custkey % 5)
+               ELSE '  '
              END AS raw_id
-      FROM customer)
-    SELECT c_custkey, raw_id,
-           NOT (regexp_matches(raw_id, '(?i)^test') OR regexp_matches(raw_id, '(?i)^demo')
-                OR regexp_matches(raw_id, '(?i)^sample') OR regexp_matches(raw_id, '^0+$')
-                OR regexp_matches(raw_id, '(?i)^x+$') OR regexp_matches(raw_id, '(?i)^unknown')
-                OR regexp_matches(raw_id, '(?i)^n/?a$')) AS valid,
-           concat_ws(',',
-             CASE WHEN regexp_matches(raw_id, '^.{1,2}$') THEN 'too_short' END,
-             CASE WHEN regexp_matches(raw_id, '\s') THEN 'contains_whitespace' END,
-             CASE WHEN regexp_matches(raw_id, '[^A-Za-z0-9_\-\s]') THEN 'special_characters' END,
-             CASE WHEN regexp_matches(raw_id, '^\d+$') THEN 'purely_numeric' END
-           ) AS warnings
-    FROM ids
+      FROM customer),
+    checked AS (
+      SELECT c_custkey, raw_id, trim(raw_id) AS s,
+             (trim(raw_id) = '') OR regexp_matches(trim(raw_id), '(?i)^test')
+               OR regexp_matches(trim(raw_id), '(?i)^demo')
+               OR regexp_matches(trim(raw_id), '(?i)^example')
+               OR regexp_matches(trim(raw_id), '(?i)^0+$')
+               OR regexp_matches(trim(raw_id), '(?i)^9+$')
+               OR regexp_matches(trim(raw_id), '(?i)^x+$') AS is_error
+      FROM ids)
+    SELECT c_custkey, raw_id, NOT is_error AS valid,
+           CASE WHEN s = '' THEN 'empty'
+                WHEN is_error THEN 'error_pattern'
+                ELSE concat_ws(',',
+                  CASE WHEN regexp_matches(s, '^\d{1,3}$') THEN 'short_numeric' END,
+                  CASE WHEN regexp_matches(s, '^[a-z]{1,2}$') THEN 'short_alpha' END,
+                  CASE WHEN regexp_matches(s, '\s') THEN 'contains_whitespace' END,
+                  CASE WHEN regexp_matches(s, '[^a-zA-Z0-9_-]') THEN 'special_characters' END,
+                  CASE WHEN regexp_matches(s, '^\d+$') THEN 'purely_numeric' END,
+                  CASE WHEN len(s) < 3 THEN 'too_short' END)
+           END AS warnings
+    FROM checked
     """,
-    doc="P12: error/warning regex patterns over identifiers "
-    "(gsid-service/services/id_validator.py:13-111).",
+    doc="P12: the reference's EXACT validator contract "
+    "(gsid-service/services/id_validator.py:13-111): six error "
+    "patterns incl. ^example and ^9+$, empty/whitespace-only ids are "
+    "invalid errors (never silently valid), warning checks accumulate "
+    "(short-numeric/short-alpha/whitespace/special/purely-numeric/"
+    "len<3). Fixture branches plant every class incl. all-9s and "
+    "whitespace-only ids.",
 )
 def id_validation(spark, sf_dir):
     t = tables(spark, sf_dir, "customer")
     key = F.col("c_custkey")
     raw = (
-        F.when(key % 5 == 0, F.concat(F.lit("TEST"), key.cast("string")))
-        .when(key % 5 == 1, key.cast("string"))
-        .when(key % 5 == 2, F.concat(F.lit("id "), key.cast("string")))
-        .when(key % 5 == 3, F.concat(F.lit("OK-"), key.cast("string")))
-        .otherwise(F.lit("ab"))
+        F.when(key % 8 == 0, F.concat(F.lit("TEST"), key.cast("string")))
+        .when(key % 8 == 1, key.cast("string"))
+        .when(key % 8 == 2, F.concat(F.lit("id "), key.cast("string")))
+        .when(key % 8 == 3, F.concat(F.lit("OK-"), key.cast("string")))
+        .when(key % 8 == 4, F.lit("ab"))
+        .when(key % 8 == 5, F.concat(F.lit("Example"), key.cast("string")))
+        .when(key % 8 == 6, F.repeat(F.lit("9"), (F.lit(1) + key % 5).cast("int")))
+        .otherwise(F.lit("  "))
     )
     v = id_validation_expr(F.col("raw_id"))
     return (
@@ -291,7 +331,7 @@ def name_normalization(spark, sf_dir):
                   WHEN c_custkey % 3 = 1 THEN 'NA' END),
              'alt' FROM customer
     ) WHERE local_subject_id IS NOT NULL
-        AND local_subject_id NOT IN ('', 'NULL', 'null', 'NA', 'N/A', 'nan', 'NaN', 'None')
+        AND upper(local_subject_id) NOT IN ('', 'NULL', 'NA', 'N/A', 'NAN', 'NONE')
     """,
     doc="P10: wide->long subject-ID candidate extraction with sentinel "
     "filtering (data_processor.py:199-211) — array+explode, one scan.",

@@ -78,14 +78,20 @@ def test_registration_year_range_validation(spark):
 
 def test_id_validation(spark):
     df = spark.createDataFrame(
-        [("TEST123",), ("ok_id-77",), ("ab",), ("12345",), ("has space",)], ["i"]
+        [("TEST123",), ("ok_id-77",), ("ab",), ("12345",), ("has space",),
+         ("Example9",), ("99999",), ("",), (None,)], ["i"]
     )
     rows = df.select(id_validation_expr(F.col("i")).alias("v")).collect()
     assert rows[0].v.valid is False and rows[0].v.severity == "error"
-    assert rows[1].v.valid and rows[1].v.severity == "ok"
-    assert "too_short" in rows[2].v.warnings
+    assert rows[1].v.valid and rows[1].v.severity == "info"
+    assert "too_short" in rows[2].v.warnings and "short_alpha" in rows[2].v.warnings
     assert "purely_numeric" in rows[3].v.warnings
     assert "contains_whitespace" in rows[4].v.warnings
+    # reference error patterns ^example and ^9+$ (id_validator.py:13-20)
+    assert rows[5].v.valid is False and rows[6].v.valid is False
+    # empty/NULL ids are invalid errors, never silently valid
+    assert rows[7].v.valid is False and rows[7].v.severity == "error"
+    assert rows[8].v.valid is False and rows[8].v.warnings == ["empty"]
 
 
 # --- identity resolution ---------------------------------------------------
@@ -633,30 +639,25 @@ def test_registration_year_differential(spark):
     from datetime import datetime
 
     def py_parse(s: str):
+        # the REFERENCE's branch order (data_processor.py:125-167)
         s = s.strip()
-        if s.isdigit() and len(s) == 4:
-            y = int(s)
-            return f"{y}-01-01" if 1900 <= y <= 2100 else None
-        # shape dispatch mirrors the operator: a 10-char string admits
-        # only the formats its separator position selects
-        if len(s) != 10:
-            return None
-        if s[4] == "-":
-            fmts = ["%Y-%m-%d"]
-        elif s[2] == "/":
-            fmts = ["%m/%d/%Y", "%d/%m/%Y"]
-        elif s[4] == "/":
-            fmts = ["%Y/%m/%d"]
-        else:
-            return None
-        for f in fmts:
+        year = None
+        if len(s) >= 10 and "-" in s:
             try:
-                d = datetime.strptime(s, f)
-                if 1900 <= d.year <= 2100:
-                    return f"{d.year}-01-01"
-                return None
+                year = int(s.split("-")[0])
             except ValueError:
-                continue
+                return None
+        elif s.isdigit() and len(s) == 4:
+            year = int(s)
+        else:
+            for f in ["%Y-%m-%d", "%m/%d/%Y", "%d/%m/%Y", "%Y/%m/%d"]:
+                try:
+                    year = datetime.strptime(s, f).year
+                    break
+                except ValueError:
+                    continue
+        if year is not None and 1900 <= year <= 2100:
+            return f"{year}-01-01"
         return None
 
     samples = set()
@@ -678,7 +679,14 @@ def test_registration_year_differential(spark):
             samples.add(f"{y:04d}/{m:02d}/{day:02d}")
         else:
             samples.add(str(y))
-    samples |= {"NA", "", "13/13/2000", "00/00/2000", "2000-13-01", "garbage!!"}
+    samples |= {
+        "NA", "", "13/13/2000", "00/00/2000", "garbage!!",
+        # reference-order specials: len>=10 with '-' takes the leading
+        # year even when the rest is junk or a datetime suffix
+        "2000-13-01", "2021-01-02 10:30:00", "not-a-date-x",
+        # non-padded strptime tolerance
+        "1/2/2021", "2021/1/2",
+    }
     rows = [(s,) for s in sorted(samples)]
     df = spark.createDataFrame(rows, ["d"])
     got = {
@@ -764,3 +772,44 @@ def test_merge_immutable_column_not_in_fragment(spark):
     assert merged[2].s == "b2" and merged[2].created_at == "2021-01-01"
     assert merged[1].created_at == "2020-01-01"
     assert merged[3].created_at is None
+
+
+def test_tolerant_coercion_under_ansi(spark):
+    """Spark 4 defaults to ANSI mode, where a plain cast() THROWS on
+    malformed input; every tolerant path must be a try_* form yielding
+    NULL instead (data_transformer.py: per-value None, never an
+    error). '3.0' -> 3 pins the reference's int(float(x)) route."""
+    from idhub_spark.config import TRANSFORMS
+    from idhub_spark.functions.expressions import type_coerce
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [("3.0",), ("abc",), ("7",), (" NA ",), ("2020-05-06",), ("n/a",)], ["v"]
+    )
+    out = df.select(
+        type_coerce(F.col("v"), "int").alias("i"),
+        type_coerce(F.col("v"), "double").alias("d"),
+        type_coerce(F.col("v"), "date").alias("dt"),
+        type_coerce(F.col("v"), "boolean").alias("b"),
+        TRANSFORMS["integer"](F.col("v")).alias("ti"),
+    ).collect()
+    assert [r.i for r in out] == [3, None, 7, None, None, None]
+    assert [r.d for r in out] == [3.0, None, 7.0, None, None, None]
+    assert [str(r.dt) if r.dt else None for r in out] == [
+        None, None, None, None, "2020-05-06", None]
+    # loader boolean: truthy lexicon else False; sentinels stay NULL
+    assert [r.b for r in out] == [False, False, False, None, False, None]
+    assert [r.ti for r in out] == [3, None, 7, None, None, None]
+
+
+def test_control_status_reference_lexicon(spark):
+    """control parse (data_processor.py:169-197): truthy set has NO
+    't', and everything unrecognized — including NULL — is False."""
+    from idhub_spark.functions.expressions import control_status_expr
+
+    df = spark.createDataFrame(
+        [("1",), ("Yes",), ("y",), ("true",), ("t",), ("unknown",), ("0",), (None,)],
+        ["v"],
+    )
+    got = [r.c for r in df.select(control_status_expr(F.col("v")).alias("c")).collect()]
+    assert got == [True, True, True, True, False, False, False, False]
