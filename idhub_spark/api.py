@@ -41,14 +41,26 @@ def register_subjects(
     linked = ids_long.groupBy("record_key").agg(
         F.count(F.lit(1)).alias("identifiers_linked")
     )
+    # one row per REQUEST, not per resolvable request: a request whose
+    # candidate columns are all null/sentinel has no ids_long rows and
+    # would silently vanish from an inner join — the route contract
+    # returns an explicit error response instead (routes.py:18-96
+    # responds per request; an empty candidate set is a 4xx, not a
+    # missing row)
     return (
-        resolved.join(linked, "record_key")
+        requests.select(F.col(key_col).alias("record_key"))
+        .join(resolved, "record_key", "left")
+        .join(linked, "record_key", "left")
         .select(
             F.col("record_key").alias(key_col),
             "global_subject_id",
-            "action",
-            "identifiers_linked",
-            F.col("requires_review").alias("conflicts"),
+            F.coalesce(F.col("action"), F.lit("error_no_identifiers")).alias(
+                "action"
+            ),
+            F.coalesce(F.col("identifiers_linked"), F.lit(0)).alias(
+                "identifiers_linked"
+            ),
+            F.coalesce(F.col("requires_review"), F.lit(False)).alias("conflicts"),
             "matched_gsids",
         )
     )
@@ -63,13 +75,30 @@ def get_subject(
     """GET /subjects/{gsid}: subject row enriched with center and the
     oldest-first list of local identifiers (routes.py:98-156,
     ORDER BY created_at ASC at 121-130)."""
+    # a pre-aggregation .sort() does NOT survive the aggregation
+    # exchange (partial buffers merge in shuffle-read order) — the
+    # ORDER BY created_at contract needs an explicit array_sort over
+    # structs whose FIRST fields are the sort key
     ids = (
         local_ids.filter(F.col("global_subject_id") == gsid)
-        .sort("created_at", "local_subject_id")
         .groupBy("global_subject_id")
         .agg(
-            F.collect_list(
-                F.struct("local_subject_id", "identifier_type", "center_id")
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "created_at",
+                            "local_subject_id",
+                            "identifier_type",
+                            "center_id",
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["local_subject_id"].alias("local_subject_id"),
+                    s["identifier_type"].alias("identifier_type"),
+                    s["center_id"].alias("center_id"),
+                ),
             ).alias("identifiers")
         )
     )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from idhub_spark.functions.expressions import (
     boolean_expr,
+    control_status_expr,
     extract_year_expr,
     null_normalize_expr,
     registration_year_expr,
@@ -42,6 +43,7 @@ from idhub_spark.functions.expressions import (
 TRANSFORMS = {
     "extract_year": extract_year_expr,
     "boolean": boolean_expr,
+    "control": control_status_expr,
     "registration_year": registration_year_expr,
     # tolerant numeric parses: Spark 4's default ANSI mode makes a
     # plain .cast() THROW on malformed input; the reference nulls the
@@ -129,8 +131,19 @@ def enabled_projects(projects: dict[str, dict]) -> dict[str, dict]:
 
 
 def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
-    """Flatten the record-list dialect; entries for different target
-    tables are grouped by the caller (one FragmentMapping per table)."""
+    """Flatten a SINGLE-TABLE record-list dialect. A config whose
+    mappings span several target_tables (the real
+    gap_field_mappings.json shape: 5 tables, 46 specimen sample
+    columns all targeting 'sample_id') must go through
+    load_mappings_by_table — flattening it here would silently keep
+    one of the 46 sample_id entries (last-writer-wins) and mix five
+    tables' fields, so that is an error, not a quiet guess."""
+    tables = {m["target_table"] for m in cfg["mappings"] if m.get("target_table")}
+    if len(tables) > 1:
+        raise ValueError(
+            f"mapping config targets {len(tables)} tables {sorted(tables)}; "
+            "use load_mappings_by_table() for multi-table REDCap configs"
+        )
     field_mapping: dict[str, str] = {}
     transforms: dict[str, str] = {}
     candidates: dict[str, str] = {}
@@ -149,3 +162,74 @@ def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
         center_id_field=cfg.get("center_id_field"),
         default_center_id=cfg.get("default_center_id", 0),
     )
+
+
+# target_fields whose transform is implied by name in the REDCap
+# dialect (the reference hard-wires these in data_processor.py:
+# extract_registration_year / extract_control_status)
+_IMPLIED_TRANSFORMS = {"registration_year": "registration_year", "control": "control"}
+
+
+def load_mappings_by_table(path_or_dict) -> dict[str, FragmentMapping]:
+    """Compile a MULTI-TABLE REDCap record-list config (the real
+    redcap-pipeline/config/gap_field_mappings.json shape) into one
+    FragmentMapping per target table:
+
+    - `local_subject_ids` entries are the subject-ID candidate
+      columns (identifier type = the source field name, exactly how
+      the reference's extract_subject_ids labels them);
+    - `specimen` entries carrying `sample_type` are the sample
+      fan-out columns — exposed via `sample_columns()` below, NOT
+      collapsed into one last-writer-wins field_mapping;
+    - everything else maps target_field <- source_field with implied
+      transforms for registration_year/control.
+    """
+    cfg = (
+        path_or_dict
+        if isinstance(path_or_dict, dict)
+        else json.load(open(path_or_dict))
+    )
+    out: dict[str, FragmentMapping] = {}
+    ms = cfg["mappings"]
+    candidates = {
+        m["source_field"]: m["source_field"]
+        for m in ms
+        if m.get("target_table") == "local_subject_ids"
+    }
+    for table in sorted({m["target_table"] for m in ms}):
+        sub = [m for m in ms if m["target_table"] == table]
+        field_mapping: dict[str, str] = {}
+        transforms: dict[str, str] = {}
+        for m in sub:
+            if m.get("sample_type"):
+                continue  # sample fan-out column, see sample_columns()
+            tgt = m["target_field"]
+            field_mapping[tgt] = m["source_field"]
+            t = m.get("transform") or _IMPLIED_TRANSFORMS.get(tgt)
+            if t:
+                transforms[tgt] = t
+        out[table] = FragmentMapping(
+            table_name=table,
+            field_mapping=field_mapping,
+            transforms=transforms,
+            subject_id_candidates=candidates if table == "local_subject_ids" else {},
+            center_id_field=cfg.get("center_id_field"),
+            default_center_id=cfg.get("default_center_id", 0),
+        )
+    return out
+
+
+def sample_columns(path_or_dict) -> dict[str, str]:
+    """source_field -> sample_type for the specimen fan-out columns
+    (redcap_sync's `sample_columns` parameter; data_processor.py:
+    416-552 emits one specimen/sequence row per non-null column)."""
+    cfg = (
+        path_or_dict
+        if isinstance(path_or_dict, dict)
+        else json.load(open(path_or_dict))
+    )
+    return {
+        m["source_field"]: m["sample_type"]
+        for m in cfg["mappings"]
+        if m.get("sample_type")
+    }

@@ -435,11 +435,20 @@ def link_back(resolved: DataFrame, ids_long: DataFrame) -> DataFrame:
     ).select("local_subject_id", "identifier_type", "global_subject_id").distinct()
 
 
-def resolution_log(resolved: DataFrame, *, batch_id: str = "?") -> DataFrame:
+def resolution_log(
+    resolved: DataFrame,
+    *,
+    batch_id: str = "?",
+    input_centers: DataFrame | None = None,
+) -> DataFrame:
     """Decision log rows shaped like `identity_resolutions`
     (01-schema.sql:58-113): every resolution records its action,
     match strategy, confidence, chosen GSID, and the full candidate
     set (JSONB array in the reference; a JSON string here).
+    `input_centers` ((record_key, input_center_id), optional) attaches
+    the resolving request's center — the column the per-center
+    summary view groups on (01-schema.sql:689-701); absent, it logs
+    NULL.
 
     Strategy/confidence mapping mirrors the reference's semantics
     (identity_resolution.py:107-211): an unambiguous match is
@@ -447,6 +456,16 @@ def resolution_log(resolved: DataFrame, *, batch_id: str = "?") -> DataFrame:
     evidence), a multi-match resolution is oldest_wins @0.5 and
     flagged for review.
     """
+    if input_centers is not None:
+        resolved = resolved.join(
+            F.broadcast(
+                input_centers.select("record_key", "input_center_id").distinct()
+            ),
+            "record_key",
+            "left",
+        )
+    elif "input_center_id" not in resolved.columns:
+        resolved = resolved.withColumn("input_center_id", F.lit(None).cast("int"))
     return resolved.select(
         F.col("record_key").cast("string").alias("record_key"),
         "action",
@@ -460,6 +479,7 @@ def resolution_log(resolved: DataFrame, *, batch_id: str = "?") -> DataFrame:
         "global_subject_id",
         F.to_json(F.col("matched_gsids")).alias("matched_gsids"),
         "requires_review",
+        F.col("input_center_id").cast("int").alias("input_center_id"),
         F.lit(batch_id).alias("batch_id"),
         F.current_timestamp().alias("created_at"),
     )

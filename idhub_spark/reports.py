@@ -46,9 +46,12 @@ def find_duplicate_subjects(local_ids: DataFrame) -> DataFrame:
 
 
 def per_center_summary(resolutions: DataFrame, centers: DataFrame) -> DataFrame:
-    """A5 view (01-schema.sql:689-701)."""
+    """A5 view (01-schema.sql:689-701): groups identity_resolutions on
+    input_center_id — the column the canonical schema and
+    resolution_log actually carry (a bare center_id does not exist on
+    resolution rows)."""
     return (
-        resolutions.groupBy("center_id")
+        resolutions.groupBy(F.col("input_center_id").alias("center_id"))
         .agg(
             F.count(F.lit(1)).alias("n_resolutions"),
             F.avg(F.col("confidence").cast("double")).alias("avg_confidence"),

@@ -53,6 +53,8 @@ LOCAL_SUBJECT_IDS = _s(
 )
 
 IDENTITY_RESOLUTIONS = _s(
+    # resolution_id is the sink's serial PK (01-schema.sql:59) —
+    # assigned at write time, not carried by the in-flight log rows
     ("resolution_id", LongType(), False),
     ("record_key", StringType(), True),
     ("action", StringType(), False),  # create_new|link_existing|conflict_resolved
@@ -61,6 +63,10 @@ IDENTITY_RESOLUTIONS = _s(
     ("global_subject_id", StringType(), True),
     ("matched_gsids", StringType(), True),  # JSON array image
     ("requires_review", BooleanType(), True),
+    # the resolving request's center (01-schema.sql input_center_id;
+    # the per-center summary view groups on it)
+    ("input_center_id", IntegerType(), True),
+    ("batch_id", StringType(), True),
     ("created_at", TimestampType(), True),
 )
 

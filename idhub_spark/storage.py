@@ -96,7 +96,20 @@ def salted_join(
     Use when AQE skew-split is insufficient (single-key hotspots);
     costs a `salt`-fold replication of the small side, so keep it for
     dimension-sized right sides.
+
+    `how` admits only join types where an unmatched SMALL-side row
+    never reaches the output: under right/full outer, every replicated
+    copy of an unmatched small row would survive — `salt` duplicates
+    per missing key. Flip the sides (or de-salt) for those shapes.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            f"emit `salt` copies of every unmatched small-side row; "
+            f"use one of {sorted(allowed)}"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
     small_s = small.select("*", salts)

@@ -18,7 +18,8 @@ def test_register_subjects_contract(spark):
         ["local_subject_id", "global_subject_id", "created_at"],
     )
     reqs = spark.createDataFrame(
-        [("r1", "known-1", None), ("r2", "FRESH-9", "FRESH-ALT")],
+        [("r1", "known-1", None), ("r2", "FRESH-9", "FRESH-ALT"),
+         ("r3", None, " NA ")],  # no usable candidate at all
         ["request_id", "consortium_id", "site_id"],
     )
     out = {
@@ -34,6 +35,12 @@ def test_register_subjects_contract(spark):
     assert out["r2"].action == "create_new"
     assert out["r2"].identifiers_linked == 2
     assert out["r2"].conflicts is False
+    # one row per REQUEST: an all-null/sentinel candidate set comes
+    # back as an explicit error response, not a silently missing row
+    assert len(out) == 3
+    assert out["r3"].action == "error_no_identifiers"
+    assert out["r3"].global_subject_id is None
+    assert out["r3"].identifiers_linked == 0
 
 
 def test_get_and_withdraw_subject(spark):
@@ -42,14 +49,17 @@ def test_get_and_withdraw_subject(spark):
         "global_subject_id string, center_id int, withdrawn boolean, updated_at timestamp",
     )
     local_ids = spark.createDataFrame(
-        [(1, "A", "t", "G1", "2020-01-02"), (1, "B", "t", "G1", "2020-01-01")],
+        [(1, "A", "t", "G1", "2020-01-02"), (1, "B", "t", "G1", "2020-01-01"),
+         (1, "C", "t", "G1", "2019-06-01"), (1, "D", "t", "G1", "2021-03-01")],
         ["center_id", "local_subject_id", "identifier_type", "global_subject_id", "created_at"],
     )
     centers = spark.createDataFrame([(1, "Mount Sinai")], ["center_id", "center_name"])
-    row = get_subject(subjects, local_ids, centers, "G1").collect()[0]
+    # repartition to many partitions: a pre-aggregation .sort() would
+    # NOT survive the shuffle; ordering must come from array_sort
+    row = get_subject(subjects, local_ids.repartition(8), centers, "G1").collect()[0]
     assert row.center_name == "Mount Sinai"
     # oldest-first identifier ordering (routes.py:121-130)
-    assert [i.local_subject_id for i in row.identifiers] == ["B", "A"]
+    assert [i.local_subject_id for i in row.identifiers] == ["C", "B", "A", "D"]
 
     after = {r.global_subject_id: r for r in withdraw_subject(subjects, "G2").collect()}
     assert after["G2"].withdrawn is True and after["G1"].withdrawn is False
@@ -85,3 +95,37 @@ def test_reports(spark):
     ).withColumn("changed_at", F.col("changed_at").cast("timestamp"))
     top = change_history(audit, limit=2).collect()
     assert [r.field for r in top] == ["f2", "f3"]
+
+
+def test_per_center_summary_from_resolution_log(spark):
+    """The canonical chain: resolve -> resolution_log (with
+    input_center_id attached per record) -> per_center_summary — the
+    three pieces agree on the row shape (01-schema.sql:689-701 groups
+    on input_center_id)."""
+    from idhub_spark.operators.identity import resolution_log, resolve_identities
+    from idhub_spark.reports import per_center_summary
+
+    registry = spark.createDataFrame(
+        [("KNOWN-1", "GSID-K1", "2020-01-01")],
+        ["local_subject_id", "global_subject_id", "created_at"],
+    )
+    ids = spark.createDataFrame(
+        [(1, "KNOWN-1", "t"), (2, "FRESH-2", "t")],
+        ["record_key", "local_subject_id", "identifier_type"],
+    )
+    resolved = resolve_identities(ids, registry)
+    input_centers = spark.createDataFrame(
+        [(1, 5), (2, 7)], ["record_key", "input_center_id"]
+    )
+    log = resolution_log(resolved, batch_id="b9", input_centers=input_centers)
+    centers = spark.createDataFrame(
+        [(5, "Mount Sinai"), (7, "Cedars")], ["center_id", "center_name"]
+    )
+    out = {r.center_id: r for r in per_center_summary(log, centers).collect()}
+    assert out[5].center_name == "Mount Sinai" and out[5].n_resolutions == 1
+    assert out[7].center_name == "Cedars" and out[7].n_resolutions == 1
+    # without input_centers the column still exists (NULL), so the
+    # report never raises UNRESOLVED_COLUMN on canonical log rows
+    bare = resolution_log(resolved, batch_id="b9")
+    assert "input_center_id" in bare.columns
+    assert per_center_summary(bare, centers).count() == 1  # one NULL group

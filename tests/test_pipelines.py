@@ -452,3 +452,54 @@ def test_mint_consistent_across_sinks(spark):
     g2 = res.mapped.collect()[0].global_subject_id
     g3 = res.local_id_records.collect()[0].global_subject_id
     assert g1 == g2 == g3
+
+
+def test_load_mappings_by_table_multi_table_config():
+    """The REAL gap_field_mappings.json shape: five target tables, 46
+    specimen sample columns all targeting 'sample_id'. Grouped
+    loading keeps every sample column (via sample_columns), labels
+    local_subject_ids entries as candidates, and implies the
+    registration_year/control transforms; the single-table loader
+    REFUSES to flatten it silently."""
+    import pytest
+
+    from idhub_spark.config import (
+        load_mapping,
+        load_mappings_by_table,
+        sample_columns,
+    )
+
+    cfg = {
+        "mappings": [
+            {"source_field": "local_id", "target_table": "local_subject_ids",
+             "target_field": "local_subject_id"},
+            {"source_field": "consortium_id", "target_table": "local_subject_ids",
+             "target_field": "local_subject_id"},
+            {"source_field": "registration_date", "target_table": "subjects",
+             "target_field": "registration_year"},
+            {"source_field": "control___1", "target_table": "subjects",
+             "target_field": "control"},
+            {"source_field": "center_name", "target_table": "centers",
+             "target_field": "name"},
+            {"source_field": "blood_id", "target_table": "specimen",
+             "target_field": "sample_id", "sample_type": "blood"},
+            {"source_field": "dna_id", "target_table": "specimen",
+             "target_field": "sample_id", "sample_type": "dna"},
+            {"source_field": "wes_id", "target_table": "specimen",
+             "target_field": "sample_id", "sample_type": "wes"},
+        ]
+    }
+    by_table = load_mappings_by_table(cfg)
+    assert set(by_table) == {"local_subject_ids", "subjects", "centers", "specimen"}
+    assert by_table["subjects"].field_mapping == {
+        "registration_year": "registration_date", "control": "control___1"}
+    assert by_table["subjects"].transforms == {
+        "registration_year": "registration_year", "control": "control"}
+    assert by_table["local_subject_ids"].subject_id_candidates == {
+        "local_id": "local_id", "consortium_id": "consortium_id"}
+    # every sample column survives — nothing last-writer-wins
+    assert sample_columns(cfg) == {
+        "blood_id": "blood", "dna_id": "dna", "wes_id": "wes"}
+    assert by_table["specimen"].field_mapping == {}  # all fan-out cols
+    with pytest.raises(ValueError, match="load_mappings_by_table"):
+        load_mapping(cfg)

@@ -24,6 +24,18 @@ def test_salted_left_join(spark):
     assert out == {0: "a", 9: None}
 
 
+def test_salted_join_rejects_outer_shapes(spark):
+    """right/full outer would emit `salt` copies of every unmatched
+    replicated small-side row — refused with a clear error."""
+    import pytest
+
+    big = spark.createDataFrame([(0, 1)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (5, "b")], ["k", "name"])
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="unmatched small-side"):
+            salted_join(big, small, "k", how=how)
+
+
 def test_size_bucketed_repartition(spark):
     df = spark.createDataFrame([(i, "x" * (i % 50)) for i in range(200)], ["id", "payload"])
     out = size_bucketed_repartition(
