@@ -144,6 +144,16 @@ def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
             f"mapping config targets {len(tables)} tables {sorted(tables)}; "
             "use load_mappings_by_table() for multi-table REDCap configs"
         )
+    # A SINGLE-table specimen config with several sample_type columns
+    # all targeting 'sample_id' hits the same last-writer-wins collapse
+    # the multi-table guard exists for — refuse it too.
+    fan_out = sorted(m["source_field"] for m in cfg["mappings"] if m.get("sample_type"))
+    if fan_out:
+        raise ValueError(
+            f"mapping config has sample_type fan-out columns {fan_out}; "
+            "use load_mappings_by_table() + sample_columns() so every "
+            "sample column survives"
+        )
     field_mapping: dict[str, str] = {}
     transforms: dict[str, str] = {}
     candidates: dict[str, str] = {}

@@ -52,7 +52,7 @@ def type_coerce(col: Column, target: str) -> Column:
     must be a try_* form. int targets go through double first
     (reference does int(float(x)), so '3.0' -> 3); booleans use the
     loader lexicon (truthy set, else False); dates are the loader's
-    strict yyyy-MM-dd.
+    yyyy-M-d (strptime '%Y-%m-%d' with its non-padded tolerance).
     """
     c = null_normalize_expr(col.cast("string"))
     t = target.lower()
@@ -61,7 +61,10 @@ def type_coerce(col: Column, target: str) -> Column:
             F.lower(c).isin(LOADER_TRUE_VALUES)
         )
     if t == "date":
-        return F.try_to_date(c, "yyyy-MM-dd")
+        # single-letter pattern = Python strptime's non-padded
+        # tolerance (data_transformer.py:187 strptime('%Y-%m-%d')
+        # accepts '2021-3-5'); 'yyyy-M-d' parses both padded and not
+        return F.try_to_date(c, "yyyy-M-d")
     if "timestamp" in t:
         return F.try_to_timestamp(c)
     if "int" in t:  # int/bigint/smallint/tinyint: int(float(x))

@@ -86,3 +86,87 @@ def running_user_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """CUSTOM stateful sessionizer via applyInPandasWithState — the
+    §2.12 escape hatch for session semantics session_window can't
+    express (the built-in twin is streaming/incremental.py:
+    session_agg_plan, the production path).
+
+    Emission contract (append-mode, each session exactly once):
+    - a session CLOSES when a later event for the same key arrives
+      more than `gap_seconds` after the session's last event (emitted
+      immediately, within the batch), or
+    - when the EVENT-TIME TIMEOUT fires: the watermark passes
+      last_event + gap, so no in-order event can extend the session
+      (GroupStateTimeout.EventTimeTimeout; requires a watermark on
+      `ts_col`).
+    Keys whose final session is still within the gap horizon of the
+    watermark stay in state — exactly the rows append-mode
+    session_window would also withhold.
+
+    Determinism/ordering: events are sorted by event time WITHIN each
+    function invocation; across micro-batches, correctness relies on
+    the watermark contract (an event older than state's current
+    session end re-opens nothing — same guarantee surface as any
+    watermarked streaming sessionizer).
+
+    Output session_start/session_end are epoch MICROS bigints (exact,
+    tz-proof through Arrow on both engines).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def _update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            closed.append((uid, s, e, n))
+        else:
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            us = (
+                pd.concat(chunks, ignore_index=True)[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .sort_values()
+                if chunks
+                else pd.Series([], dtype="int64")
+            )
+            cur = tuple(state.get) if state.exists else None
+            for t in us:
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append((uid, *cur))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # fire once no in-order event can extend the session
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
+        yield pd.DataFrame(
+            closed, columns=[key_col, "session_start", "session_end", "n_events"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=(
+            f"{key_col} bigint, session_start bigint, "
+            "session_end bigint, n_events bigint"
+        ),
+        stateStructType="start_us bigint, end_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

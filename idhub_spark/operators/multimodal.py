@@ -124,20 +124,37 @@ def resize_image(
     *,
     width: int = 224,
     height: int = 224,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Resize: (id, binary) -> (id, binary, width, height).
 
-    Two kernels behind one contract:
-    - PIL, when importable: decodes encoded formats (PNG/JPEG/...) and
-      resamples real pixels.
-    - pure-numpy fallback (this container): treats the payload as a
-      row-major uint8 grayscale RASTER (side = isqrt(len)) and
-      nearest-neighbor resamples it — a real, deterministic resize for
-      already-decoded rasters (the shape a prior decode stage emits),
-      not a stub. out[r, c] = img[(r*side)//height, (c*side)//width];
-      an empty payload yields width*height zero bytes.
+    Two kernels behind one contract, chosen EXPLICITLY via `kernel`
+    ('raster' | 'pil' | 'auto' = pil-when-importable-else-raster):
+    - 'pil': decodes encoded formats (PNG/JPEG/...) and resamples real
+      pixels (re-encoding, so bytes are codec-dependent).
+    - 'raster' (deterministic everywhere, what the image_resize_check
+      oracle pins): treats the payload as a row-major uint8 grayscale
+      RASTER (side = isqrt(len)) and nearest-neighbor resamples it — a
+      real resize for already-decoded rasters (the shape a prior decode
+      stage emits), not a stub.
+      out[r, c] = img[(r*side)//height, (c*side)//width]; an empty
+      payload yields width*height zero bytes.
+
+    Oracle-facing callers must pass kernel='raster': under 'auto' the
+    output bytes depend on whether pillow happens to be installed.
     """
-    try:  # pragma: no cover - container has no PIL
+    if kernel not in ("auto", "raster", "pil"):
+        raise ValueError(f"unknown resize kernel {kernel!r}")
+    use_pil = kernel == "pil"
+    if kernel == "auto":
+        try:  # pragma: no cover - container has no PIL
+            from PIL import Image  # noqa: F401
+
+            use_pil = True
+        except ImportError:
+            use_pil = False
+
+    if use_pil:  # pragma: no cover - container has no PIL
         import io
 
         from PIL import Image
@@ -148,7 +165,7 @@ def resize_image(
             buf = io.BytesIO()
             img.resize((width, height)).save(buf, format=fmt)
             return buf.getvalue()
-    except ImportError:
+    else:
         import math
 
         import numpy as np

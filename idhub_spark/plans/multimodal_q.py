@@ -109,7 +109,9 @@ def image_resize_check(spark, sf_dir):
     with_payload = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    resized = resize_image(with_payload, width=8, height=8)
+    # kernel pinned: the oracle replays the raster arithmetic, so the
+    # PIL re-encode path must never take over even if pillow appears
+    resized = resize_image(with_payload, width=8, height=8, kernel="raster")
     checksum = F.expr(
         "aggregate(sequence(0, 63), cast(0 as long), (acc, i) -> "
         "acc + cast(conv(substr(hex(payload), i * 2 + 1, 2), 16, 10) as long))"

@@ -174,3 +174,57 @@ def downsample_majority_q(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "domain_mixture_weights",
+    """
+    WITH dom AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS dom_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(dom_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_domains
+      FROM dom)
+    SELECT source, n_docs, dom_tokens,
+           CAST(dom_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+           (1.0 / CAST(n_domains AS DOUBLE))
+             / (CAST(dom_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sample_weight
+    FROM dom CROSS JOIN tot
+    """,
+    doc="Training-mixture reweighting: per-domain (source) token "
+    "counts -> the per-document sampling weight that equalizes each "
+    "domain's token share toward the uniform target (the 'domain "
+    "mixing' step of LLM data pipelines; target vectors other than "
+    "uniform are a constant swap). Shape: one partial-aggregated "
+    "groupBy over the corpus (shuffle carries one row per domain), "
+    "then a 1-row totals aggregate broadcast back — the same "
+    "zero-single-partition-stage pattern as global_distinct_flag; "
+    "never a window over an empty partitioning. Double division "
+    "shape is identical on both engines (exact bigint inputs), so "
+    "the weights hash-match.",
+)
+def domain_mixture_weights(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    dom = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("dom_tokens"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("dom_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    share = F.col("dom_tokens").cast("double") / F.col("total_tokens").cast("double")
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "dom_tokens",
+        share.alias("actual_share"),
+        ((1.0 / F.col("n_domains").cast("double")) / share).alias("sample_weight"),
+    )

@@ -47,15 +47,17 @@ def _event_stream(spark, sf_dir):
     return stream
 
 
-def _drain_to_memory(plan_df, prefix: str):
-    """Trigger.AvailableNow -> complete-mode memory sink; returns the
-    sink table (see module docstring for why complete mode)."""
+def _drain_to_memory(plan_df, prefix: str, *, mode: str = "complete"):
+    """Trigger.AvailableNow -> memory sink; returns the sink table
+    (see module docstring for why aggregations use complete mode;
+    applyInPandasWithState drains in append mode — each closed
+    session is emitted exactly once)."""
     _QSEQ["n"] += 1
     qname = f"{prefix}_{os.getpid()}_{_QSEQ['n']}"
     q = (
         plan_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -134,6 +136,65 @@ def streaming_hourly_rollup(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@query(
+    "stateful_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gaps),
+    agg AS (
+      SELECT user_id, session_no,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_no),
+    lim AS (
+      SELECT a.*,
+             max(session_no) OVER (PARTITION BY user_id) AS last_no,
+             (SELECT CAST(epoch_us(max(ts)) AS BIGINT) FROM events) AS max_us
+      FROM agg a)
+    SELECT user_id, session_start, session_end, n_events
+    FROM lim
+    WHERE session_no < last_no
+       OR max_us // 1000 > (session_end + 1800000000) // 1000 + 1
+    """,
+    doc="§2.12 CUSTOM stateful streaming operator, driver-checked end "
+    "to end: events through a FileStreamSource with a 0-second "
+    "watermark into applyInPandasWithState "
+    "(operators/grouped.py:sessionize_stateful, "
+    "GroupStateTimeout.EventTimeTimeout), drained append-mode with "
+    "Trigger.AvailableNow. Sessions close on a successor event past "
+    "the 30-min gap (emitted in-batch) or on event-time timeout in "
+    "the trailing no-data micro-batch (watermark = max event time). "
+    "The oracle is the gap-island twin restricted to the emission "
+    "contract: every non-final session per user, plus final sessions "
+    "whose timeout (end+gap, ms-floored, +1ms, STRICTLY below the "
+    "watermark — boundary empirically pinned) fired. A hash match "
+    "proves the custom state machine (per-key state carry, in-batch "
+    "multi-session close, timeout eviction) against SQL semantics.",
+)
+def stateful_sessionize(spark, sf_dir):
+    from idhub_spark.operators.grouped import sessionize_stateful
+
+    tables(spark, sf_dir, "events")
+    stream = (
+        _event_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    sess = sessionize_stateful(stream, gap_seconds=1800)
+    return spark.table(_drain_to_memory(sess, "stateful_sessions", mode="append"))
 
 
 @query(

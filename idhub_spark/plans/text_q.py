@@ -279,3 +279,65 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "gopher_quality_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ellipsis
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_hash, n_ellipsis,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+               AS n_alpha_words
+      FROM w)
+    SELECT doc_id, n_words, word_chars, CAST(n_hash AS BIGINT) AS n_hash,
+           n_ellipsis, n_alpha_words,
+           (n_words BETWEEN 50 AND 100000
+             AND word_chars BETWEEN 3 * n_words AND 10 * n_words
+             AND 10 * (n_hash + n_ellipsis) <= n_words
+             AND 5 * n_alpha_words >= 4 * n_words) AS passes
+    FROM m
+    """,
+    doc="Gopher-style document quality rules (Rae et al. 2021, "
+    "'Scaling Language Models: ... Gopher', App. A1.1 — public "
+    "paper): word-count window [50, 100k], mean word length in "
+    "[3, 10], symbol-to-word ratio (# + ellipsis) <= 0.1, >= 80% of "
+    "words contain an alphabetic char. ALL rule arithmetic is "
+    "integer (ratio thresholds cross-multiplied), so the pass flag "
+    "is hash-exact across engines. Single-pass projection, no "
+    "shuffle, higher-order functions stay JVM-side.",
+)
+def gopher_quality_rules(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = F.size(F.expr(r"regexp_extract_all(text, '\\.\\.\\.', 0)")).cast("long")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    passes = (
+        n_words.between(50, 100000)
+        & word_chars.between(3 * n_words, 10 * n_words)
+        & (10 * (n_hash + n_ellipsis) <= n_words)
+        & (5 * n_alpha >= 4 * n_words)
+    )
+    return t["documents"].select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_alpha.alias("n_alpha_words"),
+        passes.alias("passes"),
+    )

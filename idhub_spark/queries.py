@@ -61,6 +61,7 @@ from idhub_spark.plans import (  # noqa: E402,F401
     identity_q,
     io_q,
     lifecycle_q,
+    merge_into_q,
     multimodal_q,
     parity_q,
     projections,
@@ -83,88 +84,70 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 6 front: (1) code changed since its last driver row —
-    # the three shingle consumers were rewritten in r5 (commit 77e4722,
-    # Generate-barrier _shingles) AFTER their r4/r1 driver rows
-    "minhash_lsh_dedup",
-    "ngram_jaccard_pairs",
-    "simhash_buckets",
-    # (2) new this round: F5 work-queue scan + the shape-check oracles
-    # that upgrade the two rows-only queries
-    "pending_resolutions_scan",
-    "gsid_mint_shape",
-    "sketch_profile_check",
-    "image_resize_check",
-    "streaming_sessionize",
-    "dedup_cluster_canonical",
-    "benchmark_contamination",
-    "sequence_packing",
-    "quality_percentile_filter",
-    "streaming_hourly_rollup",
-    "incremental_merge_state",
-    "salted_hot_key_join",
-    "bpe_pair_counts",
-    "lsh_recall_eval",
-    # (3) r6 code/fixture changes to previously-green queries: REST
-    # same-offset retry + fixture row cap, Derby stable path, ANN
-    # 2^53 envelope assert
-    "rest_paginated_scan",
-    "redcap_dictionary_scan",
-    "jdbc_partitioned_scan",
-    "ann_topk_ivf",
-    # (4) evidence refresh: queries whose only driver rows predate the
-    # post-r3 testdata regeneration (r1-r3 rows on old data; all are
-    # locally oracle-green on current data via tests/test_oracle.py)
-    "duplicate_subject_finder",
-    "subjects_by_source",
-    "change_classification",
-    "orphan_detection",
-    "exact_dedup",
-    "embedding_near_dup",
-    "duplicate_id_detection",
-    "keyed_lookup_semi",
-    "fragment_assembly",
-    "multimodal_decode",
-    "frame_sampling",
-    "field_mapping",
-    "extract_year",
-    "registration_year_normalize",
-    "boolean_parse",
-    "id_validation",
-    "name_normalization",
-    "unpivot_candidates",
-    "gsid_mint",
-    "acctbal_bucket_stats",
-    "train_test_split",
-    "stratified_sample",
-    "downsample_majority_class",
-    "ann_topk_bruteforce",
-    "ann_topk_bucketed",
-    "embedding_norm_stats",
-    "ann_recall_at_k",
-    # (5) r4-green queries without an r5 row (already post-regeneration
-    # evidence; re-checked here to keep every row at most 2 rounds old;
-    # the ones past the driver's ~50-entry window keep their r4 green)
-    "resolution_stats",
-    "multi_type_subjects",
-    "change_stats",
-    "per_center_summary",
-    "per_subject_review",
-    "data_type_counts",
-    "first_wins_dedup",
-    "flexible_timestamp_parse",
-    "gsid_filter",
-    "subject_enrichment",
-    "family_linkage",
+    # round 7 front: (1) NEW this round — the custom stateful
+    # sessionizer (applyInPandasWithState, the r6 missing item) and
+    # the lakehouse MERGE binding's partition-pruned upsert path
+    "stateful_sessionize",
+    "partition_pruned_upsert",
+    "partition_pruned_upsert_stats",
+    "gopher_quality_rules",
+    "domain_mixture_weights",
+    # (2) code/oracle changed AFTER each query's most recent driver
+    # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
+    # landed post-driver-pass for these consumers, and
+    # conflict_apply_state / labkey_sync_state got rewritten oracles
+    # in r6 that never reached the driver's check window
     "type_coercion",
+    "per_center_summary",
+    "flexible_timestamp_parse",
+    "identity_resolution",
+    "subject_enrichment",
+    "conflict_apply_state",
+    "labkey_sync_state",
+    # r7 code changes to previously-green queries: resize kernel now
+    # explicitly pinned to 'raster'
+    "image_resize_check",
+    # (3) evidence refresh — the r4-green rows not rechecked since
+    # (post-regeneration evidence, kept at most 3 rounds old)
     "ann_topk_multiprobe",
-    "priority_status_rollup",
-    "token_count",
-    "lang_id_heuristic",
-    "quality_score",
+    "change_stats",
+    "data_type_counts",
     "doc_fingerprint",
+    "family_linkage",
+    "first_wins_dedup",
+    "gsid_filter",
+    "lang_id_heuristic",
+    "per_subject_review",
+    "priority_status_rollup",
+    "quality_score",
     "repetition_filter",
+    "token_count",
     "vocabulary_topk",
+    # (4) rolling refresh of r5-green rows (oldest-first; the rest of
+    # the r5 cohort keeps its r5 evidence and rotates in r8)
+    "alias_resolution",
+    "asof_last_click",
+    "audit_trail",
+    "avg_yearly_small_qty",
+    "binary_features",
+    "conflict_detection",
+    "conflict_exclusion",
+    "conflict_summary",
+    "csv_roundtrip_staging",
+    "event_value_percentiles",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_center_match",
+    "global_distinct_flag",
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "hourly_rollup",
+    "identity_components",
+    "identity_link_back",
+    "idle_customers",
+    "interval_followup_purchases",
+    "json_roundtrip_report",
+    "large_orders",
 ]
 
 

@@ -94,11 +94,22 @@ def validate_mapping_against_dictionary(mapping, dictionary: DataFrame) -> Dicti
     data dictionary (sources.rest.redcap_metadata) BEFORE fetching
     records — the reference pulls the dictionary for exactly this
     mapping sanity pass (redcap_client.py:189-204 + data_processor's
-    field lookups). The dictionary is tiny; one collect."""
-    known = {
-        r.field_name: r.field_type
-        for r in dictionary.select("field_name", "field_type").collect()
-    }
+    field lookups). The dictionary is tiny (hundreds of rows); one
+    collect, CAPPED so a mis-wired call can never pull a data table
+    into the driver."""
+    _DICT_ROW_CAP = 100_000
+    rows = (
+        dictionary.select("field_name", "field_type")
+        .limit(_DICT_ROW_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _DICT_ROW_CAP:
+        raise ValueError(
+            f"data dictionary exceeds {_DICT_ROW_CAP} rows — this looks "
+            "like a data table, not a metadata dictionary; refusing to "
+            "collect it to the driver"
+        )
+    known = {r.field_name: r.field_type for r in rows}
     missing_sources = sorted(
         src for src in mapping.field_mapping.values() if src not in known
     )

@@ -119,19 +119,13 @@ def test_byte_histogram_features_exact(spark):
 
 
 def test_resize_image_raster_kernel(spark):
-    """Without PIL, resize_image runs the pure-numpy raster kernel:
-    nearest-neighbor out[r,c] = img[(r*side)//H, (c*side)//W] over the
-    isqrt-side grayscale interpretation; empty payload -> zero bytes.
-    (With PIL importable the encoded-format path takes over; this
-    container has no PIL, so the raster expectations below apply.)"""
+    """kernel='raster' runs the pure-numpy kernel REGARDLESS of PIL
+    importability: nearest-neighbor out[r,c] = img[(r*side)//H,
+    (c*side)//W] over the isqrt-side grayscale interpretation; empty
+    payload -> zero bytes. An unknown kernel name is rejected."""
+    import pytest
+
     from idhub_spark.operators.multimodal import resize_image
-
-    try:
-        import PIL  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
 
     rows = [
         (1, bytes(range(16))),  # 4x4 raster
@@ -139,10 +133,10 @@ def test_resize_image_raster_kernel(spark):
         (3, b""),  # empty -> zeros
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    out = resize_image(df, width=2, height=2)
+    with pytest.raises(ValueError, match="kernel"):
+        resize_image(df, width=2, height=2, kernel="bicubic")
+    out = resize_image(df, width=2, height=2, kernel="raster")
     assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
-    if have_pil:  # pragma: no cover - container has no PIL
-        return
     got = {r.doc_id: bytes(r.payload) for r in out.collect()}
     # rows/cols picked: (r*4)//2 -> [0, 2]; flat indices [0,2,8,10]
     assert got[1] == bytes([0, 2, 8, 10])

@@ -173,3 +173,170 @@ def test_snapshot_vacuum_keep_zero_and_rollback_budget(spark, tmp_path):
     assert store.vacuum(keep=0) == [3, 4]
     assert {e["version"] for e in store.versions()} == {1}
     assert store.read(spark).collect()[0].k == 1
+
+
+# --- lakehouse MERGE binding (operators/merge_into.py) -----------------
+
+
+def _seed_small_registry(spark, root):
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+
+    cur = spark.createDataFrame(
+        [(k, f"name{k}", float(k)) for k in range(16)], ["k", "name", "val"]
+    )
+    seed_bucketed_table(
+        cur, root, ["k"], n_buckets=8,
+        bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+    )
+    return cur
+
+
+def _partition_files(root):
+    import glob
+    import os
+
+    out = {}
+    for d in glob.glob(os.path.join(root, "_bucket=*")):
+        b = int(d.split("=")[-1])
+        out[b] = {
+            os.path.basename(p): os.path.getmtime(p)
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        }
+    return out
+
+
+def test_partition_pruned_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """File-level proof of the pruning contract: buckets with an
+    actual insert/update get new files; a bucket touched only by an
+    UNCHANGED incoming row — and every un-touched bucket — keeps its
+    original files byte-for-byte (same names, same mtimes)."""
+    import time
+
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    root = str(tmp_path / "reg")
+    _seed_small_registry(spark, root)
+    before = _partition_files(root)
+    time.sleep(1.1)  # mtime resolution guard
+
+    # k=0 -> bucket 0 update; k=1 -> bucket 1 unchanged; k=100 (100%8=4)
+    # -> bucket 4 insert
+    incoming = spark.createDataFrame(
+        [(0, "name0", 99.0), (1, "name1", 1.0), (100, "new", 0.0)],
+        ["k", "name", "val"],
+    )
+    stats = partition_pruned_upsert(
+        spark, root, incoming, ["k"], n_buckets=8,
+        bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+    )
+    assert stats.n_buckets_total == 8
+    assert stats.n_buckets_touched == 3
+    assert stats.n_buckets_rewritten == 2  # bucket 1 (unchanged) spared
+    # rewritten buckets 0 and 4 hold keys {0, 8} and {4, 12, 100}
+    assert stats.rows_rewritten == 5
+
+    after = _partition_files(root)
+    for b in range(8):
+        if b in (0, 4):
+            assert after[b] != before[b], f"bucket {b} should be rewritten"
+        else:
+            assert after[b] == before[b], f"bucket {b} must be untouched"
+
+    final = {r.k: r.val for r in spark.read.parquet(root).collect()}
+    assert final[0] == 99.0 and final[1] == 1.0 and final[100] == 0.0
+    assert len(final) == 17
+    # staging dir cleaned up
+    import os
+
+    assert not os.path.exists(root + "_staging")
+
+
+def test_partition_pruned_upsert_modes(spark, tmp_path):
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    bucket_of = lambda df: (F.col("k") % 8).cast("int")  # noqa: E731
+    incoming = spark.createDataFrame(
+        [(0, "name0", 99.0), (100, "new", 0.0)], ["k", "name", "val"]
+    )
+
+    root_i = str(tmp_path / "ins")
+    _seed_small_registry(spark, root_i)
+    s = partition_pruned_upsert(
+        spark, root_i, incoming, ["k"], n_buckets=8, bucket_of=bucket_of,
+        mode="insert_only",
+    )
+    fin = {r.k: r.val for r in spark.read.parquet(root_i).collect()}
+    assert fin[0] == 0.0 and fin[100] == 0.0  # update ignored, insert taken
+    assert s.n_buckets_rewritten == 1
+
+    root_u = str(tmp_path / "upd")
+    _seed_small_registry(spark, root_u)
+    s = partition_pruned_upsert(
+        spark, root_u, incoming, ["k"], n_buckets=8, bucket_of=bucket_of,
+        mode="update_only",
+    )
+    fin = {r.k: r.val for r in spark.read.parquet(root_u).collect()}
+    assert fin[0] == 99.0 and 100 not in fin  # insert ignored, update taken
+    assert s.n_buckets_rewritten == 1
+
+
+def test_merge_into_sql_shape_and_parses(spark):
+    """The emitted MERGE INTO must be valid Spark SQL (parser-checked
+    via the session's own sqlParser) and carry the change-set
+    semantics: null-safe change predicate, immutable columns excluded
+    from UPDATE SET but present in INSERT, mode-specific clauses."""
+    import pytest
+
+    from idhub_spark.operators.merge_into import merge_into_sql
+
+    stmt = merge_into_sql(
+        target="subjects", source="incoming", natural_key=["gsid"],
+        update_cols=["name", "center_id", "created_at"],
+        immutable=["created_at"],
+    )
+    assert "MERGE INTO subjects t" in stmt
+    assert "ON t.gsid = s.gsid" in stmt
+    assert "NOT (t.name <=> s.name)" in stmt
+    assert "t.created_at = s.created_at" not in stmt  # immutable
+    assert "NOT (t.created_at <=> s.created_at)" not in stmt
+    assert "INSERT (gsid, name, center_id, created_at)" in stmt  # inserts keep it
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(stmt)  # raises ParseException on bad syntax
+
+    ins = merge_into_sql(
+        target="t1", source="s1", natural_key=["k"], update_cols=["v"],
+        mode="insert_only",
+    )
+    assert "WHEN MATCHED" not in ins and "WHEN NOT MATCHED" in ins
+    parser.parsePlan(ins)
+
+    upd = merge_into_sql(
+        target="t1", source="s1", natural_key=["k"], update_cols=["v"],
+        mode="update_only",
+    )
+    assert "WHEN MATCHED" in upd and "WHEN NOT MATCHED" not in upd
+    parser.parsePlan(upd)
+
+    with pytest.raises(ValueError):
+        merge_into_sql(target="t", source="s", natural_key=["k"],
+                       update_cols=["v"], mode="replace")
+
+
+def test_apply_merge_falls_back_without_rowlevel_catalog(spark, tmp_path):
+    """On a catalog without row-level-operation support (this
+    sandbox's parquet tables), apply_merge must execute the
+    partition-pruned path instead of failing."""
+    from idhub_spark.operators.merge_into import apply_merge
+
+    root = str(tmp_path / "reg_fb")
+    _seed_small_registry(spark, root)
+    spark.read.parquet(root).createOrReplaceTempView("_fb_target")
+    incoming = spark.createDataFrame([(0, "name0", 42.0)], ["k", "name", "val"])
+    path = apply_merge(
+        spark, incoming, target_table="_fb_target", table_root=root,
+        natural_key=["k"], update_cols=["name", "val"], n_buckets=8,
+        bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+    )
+    assert path == "partition_pruned"
+    final = {r.k: r.val for r in spark.read.parquet(root).collect()}
+    assert final[0] == 42.0 and len(final) == 16

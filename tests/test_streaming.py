@@ -309,3 +309,61 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # batch parity
     batch = streaming_exact_dedup(df, key_cols=["text_hash"])
     assert batch.count() == 3
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
+    """sessionize_stateful (applyInPandasWithState + EventTimeTimeout)
+    closes a session when a later batch's event crosses the gap, and
+    per-key state survives the restart via the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from idhub_spark.operators.grouped import sessionize_stateful
+
+    src = str(tmp_path / "src_sess")
+    base = 1_700_000_000
+
+    def _emit(rows):
+        spark.createDataFrame(rows, "user_id long, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    collected: list = []
+
+    def _run():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, (r.session_start - base * 10**6) // 10**6,
+             (r.session_end - base * 10**6) // 10**6, r.n_events)
+            for r in collected
+        )
+
+    # batch 1: an open session for user 1 — nothing closes (watermark
+    # after the batch is its own max ts; timeout is 1800s past it)
+    _emit([(1, base), (1, base + 60)])
+    assert _run() == []
+
+    # batch 2 (same checkpoint => state restored): user 1's next event
+    # is 2h later — the gap closes session (0, 60); the new session
+    # plus user 2's stay open (within the gap horizon of max ts)
+    _emit([(1, base + 7800), (2, base + 7900)])
+    assert _run() == [(1, 0, 60, 2)]
+
+    # batch 3: a far-future tick advances the watermark past every
+    # open session's timeout — both flush via EventTimeTimeout
+    _emit([(9, base + 100_000)])
+    assert _run() == [(1, 0, 60, 2), (1, 7800, 7800, 1), (2, 7900, 7900, 1)]
