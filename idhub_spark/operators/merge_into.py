@@ -192,7 +192,16 @@ def partition_pruned_upsert(
         # table size — and the staged copy doubles as the crash-recovery
         # artifact (rerunning phase 2 is idempotent).
         staging = table_root.rstrip("/") + "_staging"
-        to_write.write.mode("overwrite").partitionBy(bucket_col).parquet(staging)
+        # co-partition on the bucket before writing: one task -> one
+        # bucket directory -> one file, instead of every shuffle task
+        # spraying a sliver into every touched bucket (small-files
+        # explosion: tasks x buckets files per batch)
+        (
+            to_write.repartition(len(rewrite), F.col(bucket_col))
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .parquet(staging)
+        )
         staged = spark.read.parquet(staging)
         rows_rewritten = staged.count()
         (
@@ -228,6 +237,9 @@ def seed_bucketed_table(
         bucket_of = lambda d: bucket_expr(natural_key, n_buckets)  # noqa: E731
     (
         df.withColumn(bucket_col, bucket_of(df))
+        # one writer task per bucket: n_buckets files total, and the
+        # write parallelism automatically scales with the layout
+        .repartition(n_buckets, F.col(bucket_col))
         .write.mode("overwrite")
         .partitionBy(bucket_col)
         .parquet(table_root)

@@ -222,6 +222,83 @@ def stateful_sessionize(spark, sf_dir):
     "atomic snapshot swap end to end. Fixture dirs are per-sf under "
     "tempdir, wiped at query start (fresh checkpoint each run).",
 )
+@query(
+    "incremental_pruned_merge_state",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 20.0
+                WHEN c_custkey % 2 = 0 THEN c_acctbal + 10.0
+                ELSE c_acctbal END AS final_acctbal,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2
+                     WHEN c_custkey % 2 = 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS ver,
+           CAST(c_custkey % 32 AS BIGINT) AS bucket
+    FROM customer
+    """,
+    doc="§2.12 incremental ingest INTO the bucket-partitioned layout, "
+    "driver-checked end to end: the same staged-fragment stream as "
+    "incremental_merge_state, but each foreachBatch applies "
+    "partition_pruned_upsert (streaming/incremental.py "
+    "layout='bucketed') — per-trigger write I/O bounded by the "
+    "batch's touched buckets instead of a full snapshot rewrite, the "
+    "shape that makes continuous ingest into a 100 TB registry "
+    "feasible. The oracle states the final table image incl. each "
+    "key's bucket; a hash match proves dedup-within-trigger, "
+    "classification, bucket routing, and the dynamic partition "
+    "overwrite composed correctly under the streaming runtime.",
+)
+def incremental_pruned_merge_state(spark, sf_dir):
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+    from idhub_spark.streaming.incremental import incremental_file_merge
+
+    t = tables(spark, sf_dir, "customer")
+    c = t["customer"].select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(0).cast("long").alias("ver")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"idhub_incr_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "staging")
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(staging, exist_ok=True)
+    bucket_of = lambda df: F.pmod(F.col("c_custkey"), F.lit(32)).cast("int")  # noqa: E731
+    seed_bucketed_table(c, table_dir, ["c_custkey"], n_buckets=32, bucket_of=bucket_of)
+    frag1 = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(10.0))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    frag2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(20.0))
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    frag1.coalesce(1).write.mode("append").parquet(staging)
+    frag2.coalesce(1).write.mode("append").parquet(staging)
+    incremental_file_merge(
+        spark,
+        staging_dir=staging,
+        table_dir=table_dir,
+        checkpoint_dir=ckpt,
+        schema="c_custkey bigint, c_name string, c_acctbal double, ver bigint",
+        natural_key=["c_custkey"],
+        order_col="ver",
+        layout="bucketed",
+        n_buckets=32,
+        bucket_of=bucket_of,
+    )
+    final = spark.read.parquet(table_dir)
+    return final.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("final_acctbal"),
+        F.col("ver").cast("long").alias("ver"),
+        F.col("_bucket").cast("long").alias("bucket"),
+    )
+
+
 def incremental_merge_state(spark, sf_dir):
     from idhub_spark.streaming.incremental import incremental_file_merge
 

@@ -341,3 +341,65 @@ def gopher_quality_rules(spark, sf_dir):
         n_alpha.alias("n_alpha_words"),
         passes.alias("passes"),
     )
+
+
+@query(
+    "pii_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-4567 now'
+                  ELSE text END AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id, n_emails, n_phones,
+           len(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+    doc="PII scrubbing — the redaction step every public training "
+    "pipeline runs before tokenization: email and US-phone patterns "
+    "replaced with typed placeholders, counted per document, and the "
+    "redacted CONTENT pinned by md5 so the oracle verifies the exact "
+    "output text, not just counts. Patterns are RE2-safe (no "
+    "backrefs/lookaround), so Java regex and DuckDB RE2 agree. "
+    "Single-pass projection, no shuffle; at 100 TB this is the same "
+    "embarrassingly-parallel scan as every text_q operator.",
+)
+def pii_redaction(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    # plant deterministic PII in a fifth of the corpus so the
+    # redaction path is exercised, not just the no-op path
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 now"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = t["documents"].select("doc_id", aug.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone), F.lit(0))).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

@@ -92,6 +92,8 @@ _DRIVER_ORDER = [
     "partition_pruned_upsert_stats",
     "gopher_quality_rules",
     "domain_mixture_weights",
+    "pii_redaction",
+    "incremental_pruned_merge_state",
     # (2) code/oracle changed AFTER each query's most recent driver
     # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
     # landed post-driver-pass for these consumers, and
@@ -146,8 +148,6 @@ _DRIVER_ORDER = [
     "identity_link_back",
     "idle_customers",
     "interval_followup_purchases",
-    "json_roundtrip_report",
-    "large_orders",
 ]
 
 

@@ -111,12 +111,26 @@ def incremental_file_merge(
     natural_key: list[str],
     table_name: str = "table",
     order_col: str | None = None,
+    layout: str = "snapshot",
+    n_buckets: int = 1024,
+    bucket_of=None,
 ) -> None:
     """Consume new parquet fragments from staging_dir and upsert them
-    into the snapshot at table_dir, exactly once per file, resumable
+    into the table at table_dir, exactly once per file, resumable
     via checkpoint (Trigger.AvailableNow: drain-and-stop semantics —
     the reference's cron batch, minus the offset bookkeeping code).
+
+    layout='snapshot' (default): each micro-batch rewrites the full
+    table image atomically (stage + swap) — registry-scale tables.
+    layout='bucketed': the table is bucket-partitioned and each
+    micro-batch goes through operators/merge_into.py:
+    partition_pruned_upsert — write I/O per trigger is bounded by the
+    batch's touched buckets, not table size, which is what makes
+    continuous ingest into a 100 TB registry feasible; the first
+    batch seeds the layout via seed_bucketed_table.
     """
+    if layout not in ("snapshot", "bucketed"):
+        raise ValueError(f"layout must be snapshot|bucketed, got {layout!r}")
 
     def _dedupe(batch_df: DataFrame) -> DataFrame:
         # two staged files in one AvailableNow trigger can carry the
@@ -144,6 +158,23 @@ def incremental_file_merge(
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         batch_df = _dedupe(batch_df)
+        if layout == "bucketed":
+            from idhub_spark.operators.merge_into import (
+                partition_pruned_upsert,
+                seed_bucketed_table,
+            )
+
+            if os.path.exists(table_dir):
+                partition_pruned_upsert(
+                    s, table_dir, batch_df, natural_key,
+                    n_buckets=n_buckets, bucket_of=bucket_of,
+                )
+            else:
+                seed_bucketed_table(
+                    batch_df, table_dir, natural_key,
+                    n_buckets=n_buckets, bucket_of=bucket_of,
+                )
+            return
         if os.path.exists(table_dir):
             current = s.read.parquet(table_dir)
             merged = merge_upsert(

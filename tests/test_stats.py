@@ -118,6 +118,10 @@ _SWEEP_SKIP = {
     "streaming_sessionize",
     "streaming_hourly_rollup",
     "incremental_merge_state",
+    "stateful_sessionize",
+    "incremental_pruned_merge_state",
+    "partition_pruned_upsert",
+    "partition_pruned_upsert_stats",
 }
 
 

@@ -367,3 +367,68 @@ def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
     # open session's timeout — both flush via EventTimeTimeout
     _emit([(9, base + 100_000)])
     assert _run() == [(1, 0, 60, 2), (1, 7800, 7800, 1), (2, 7900, 7900, 1)]
+
+
+def test_incremental_file_merge_bucketed_layout(spark, tmp_path):
+    """layout='bucketed': each micro-batch upserts through
+    partition_pruned_upsert — final image identical to the snapshot
+    path, table stays bucket-partitioned, replays are no-ops, and a
+    second trigger's untouched buckets keep their files."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from idhub_spark.streaming.incremental import incremental_file_merge
+
+    staging = str(tmp_path / "staging_b")
+    table = str(tmp_path / "table_b")
+    ckpt = str(tmp_path / "ckpt_b")
+    os.makedirs(staging)
+    bucket_of = lambda df: (F.col("k") % 4).cast("int")  # noqa: E731
+
+    def run():
+        incremental_file_merge(
+            spark, staging_dir=staging, table_dir=table, checkpoint_dir=ckpt,
+            schema="k bigint, v double, ver bigint", natural_key=["k"],
+            order_col="ver", layout="bucketed", n_buckets=4, bucket_of=bucket_of,
+        )
+
+    base = spark.createDataFrame(
+        [(k, float(k), 0) for k in range(8)], ["k", "v", "ver"]
+    )
+    base.coalesce(1).write.mode("append").parquet(staging)
+    run()  # first trigger seeds the bucketed layout
+    files = glob.glob(os.path.join(table, "_bucket=*", "*.parquet"))
+    assert len(files) > 0
+    assert {r.k: r.v for r in spark.read.parquet(table).collect()} == {
+        k: float(k) for k in range(8)
+    }
+
+    def _mtimes():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(table, "_bucket=*", "*.parquet"))
+        }
+
+    before = _mtimes()
+    time.sleep(1.1)
+    run()  # replay with no new files: must not rewrite anything
+    assert _mtimes() == before
+
+    # second fragment patches only k=1 (bucket 1) and inserts k=101
+    # (bucket 1): buckets 0/2/3 must keep their exact files
+    spark.createDataFrame([(1, 99.0, 1), (101, 1.0, 1)], ["k", "v", "ver"]).coalesce(
+        1
+    ).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    run()
+    after = _mtimes()
+    changed = {p for p in before if before[p] != after.get(p)}
+    assert all("_bucket=1" in p for p in changed) and changed
+    for p, m in before.items():
+        if "_bucket=1" not in p:
+            assert after[p] == m, p
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got[1] == 99.0 and got[101] == 1.0 and len(got) == 9
