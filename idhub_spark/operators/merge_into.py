@@ -198,6 +198,9 @@ def partition_pruned_upsert(
         # explosion: tasks x buckets files per batch)
         (
             to_write.repartition(len(rewrite), F.col(bucket_col))
+            # keep the seed's sorted-by-key property so row-group
+            # min/max pruning of keyed lookups survives rewrites
+            .sortWithinPartitions(*natural_key)
             .write.mode("overwrite")
             .partitionBy(bucket_col)
             .parquet(staging)
@@ -230,20 +233,25 @@ def seed_bucketed_table(
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_col: str = "_bucket",
     bucket_of=None,
+    sort_within: bool = True,
 ) -> None:
     """Lay down the bucket-partitioned registry table
-    partition_pruned_upsert operates on."""
+    partition_pruned_upsert operates on. sort_within (default) sorts
+    each bucket file by the natural key so parquet row-group min/max
+    stats prune keyed point lookups inside a bucket — the
+    Postgres-index equivalent the reference leans on (storage.py
+    module docstring)."""
     if bucket_of is None:
         bucket_of = lambda d: bucket_expr(natural_key, n_buckets)  # noqa: E731
-    (
-        df.withColumn(bucket_col, bucket_of(df))
+    out = df.withColumn(bucket_col, bucket_of(df)).repartition(
         # one writer task per bucket: n_buckets files total, and the
         # write parallelism automatically scales with the layout
-        .repartition(n_buckets, F.col(bucket_col))
-        .write.mode("overwrite")
-        .partitionBy(bucket_col)
-        .parquet(table_root)
+        n_buckets,
+        F.col(bucket_col),
     )
+    if sort_within:
+        out = out.sortWithinPartitions(*natural_key)
+    out.write.mode("overwrite").partitionBy(bucket_col).parquet(table_root)
 
 
 def apply_merge(

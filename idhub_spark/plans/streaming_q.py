@@ -198,31 +198,6 @@ def stateful_sessionize(spark, sf_dir):
 
 
 @query(
-    "incremental_merge_state",
-    """
-    SELECT c_custkey,
-           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 20.0
-                WHEN c_custkey % 2 = 0 THEN c_acctbal + 10.0
-                ELSE c_acctbal END AS final_acctbal,
-           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2
-                     WHEN c_custkey % 2 = 0 THEN 1
-                     ELSE 0 END AS BIGINT) AS ver
-    FROM customer
-    """,
-    doc="§2.12 incremental batch path END TO END, driver-checked: a "
-    "base snapshot of customer plus two staged fragment files (ver 1 "
-    "patches even keys +10, ver 2 patches %3 keys +20) drain through "
-    "the REAL file-source stream -> foreachBatch(merge_upsert) -> "
-    "snapshot-swap pipeline (streaming/incremental.py:"
-    "incremental_file_merge, Trigger.AvailableNow, checkpointed). "
-    "Both fragments land in ONE trigger, so the within-batch "
-    "order_col dedup decides overlapping keys (%6: ver 2 wins). The "
-    "oracle states the resulting table image directly; a hash match "
-    "proves source listing, dedup, upsert classification, and the "
-    "atomic snapshot swap end to end. Fixture dirs are per-sf under "
-    "tempdir, wiped at query start (fresh checkpoint each run).",
-)
-@query(
     "incremental_pruned_merge_state",
     """
     SELECT c_custkey,
@@ -299,6 +274,31 @@ def incremental_pruned_merge_state(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_merge_state",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 20.0
+                WHEN c_custkey % 2 = 0 THEN c_acctbal + 10.0
+                ELSE c_acctbal END AS final_acctbal,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2
+                     WHEN c_custkey % 2 = 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS ver
+    FROM customer
+    """,
+    doc="§2.12 incremental batch path END TO END, driver-checked: a "
+    "base snapshot of customer plus two staged fragment files (ver 1 "
+    "patches even keys +10, ver 2 patches %3 keys +20) drain through "
+    "the REAL file-source stream -> foreachBatch(merge_upsert) -> "
+    "snapshot-swap pipeline (streaming/incremental.py:"
+    "incremental_file_merge, Trigger.AvailableNow, checkpointed). "
+    "Both fragments land in ONE trigger, so the within-batch "
+    "order_col dedup decides overlapping keys (%6: ver 2 wins). The "
+    "oracle states the resulting table image directly; a hash match "
+    "proves source listing, dedup, upsert classification, and the "
+    "atomic snapshot swap end to end. Fixture dirs are per-sf under "
+    "tempdir, wiped at query start (fresh checkpoint each run).",
+)
 def incremental_merge_state(spark, sf_dir):
     from idhub_spark.streaming.incremental import incremental_file_merge
 

@@ -403,3 +403,114 @@ def pii_redaction(spark, sf_dir):
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+@query(
+    "doc_chunking",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((len(text) + 149) / 150) AS BIGINT))) AS chunk_no
+      FROM documents
+      WHERE len(text) > 0)
+    SELECT doc_id, chunk_no,
+           len(substr(text, CAST(chunk_no * 150 + 1 AS BIGINT), 200)) AS chunk_len,
+           md5(substr(text, CAST(chunk_no * 150 + 1 AS BIGINT), 200)) AS chunk_md5
+    FROM c
+    """,
+    doc="Fixed-window document chunking with overlap (window 200, "
+    "stride 150 — the RAG / long-context training prep step): one "
+    "explode(sequence) per doc, chunk CONTENT pinned by md5 so the "
+    "oracle verifies the exact byte ranges, not just counts. The "
+    "empty-text guard dodges Spark's descending sequence(0,-1) "
+    "gotcha (see sample_frames). Single explode + projection, no "
+    "shuffle; chunk count scales with corpus bytes / stride, "
+    "embarrassingly parallel at any sf.",
+)
+def doc_chunking(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "CASE WHEN length(text) > 0 "
+        "THEN sequence(0L, (length(text) + 149) div 150 - 1) "
+        "ELSE array() END"
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_no") * 150 + 1).cast("int"), 200
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "text", F.explode(chunks).alias("chunk_no"))
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_apply",
+    """
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE len(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(i AS BIGINT), 2) AS pair
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words)),
+    top1 AS (
+      SELECT pair FROM pairs GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair LIMIT 1),
+    merged AS (
+      SELECT replace(w, (SELECT pair FROM top1), chr(1)) AS w FROM words),
+    pairs2 AS (
+      SELECT substr(w, CAST(i AS BIGINT), 2) AS pair
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM merged WHERE len(w) >= 2))
+    SELECT hex(encode(pair)) AS pair_hex, n FROM (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs2 GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 20)
+    """,
+    doc="BPE training ROUND TWO — the merge-apply step that closes "
+    "the tokenizer-induction loop started by bpe_pair_counts: take "
+    "the deterministic top pair (count desc, pair asc tie-break), "
+    "fuse every non-overlapping occurrence left-to-right (plain "
+    "substring replace, identical semantics both engines) into a "
+    "single placeholder symbol (chr(1)), and recount adjacent pairs "
+    "over the re-tokenized corpus. Plan shape: the top-1 pair is a "
+    "1-row TakeOrdered broadcast back over the words (scalar "
+    "pattern, zero single-partition stages); the recount shuffle "
+    "stays bounded by (alphabet+1)^2. Pairs are emitted hex-encoded "
+    "so the placeholder byte round-trips every comparator.",
+)
+def bpe_merge_apply(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    win2 = F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    top1 = (
+        words.select(F.explode(win2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("w"), F.col("pair"), F.lit("\x01")).alias("w")
+    )
+    pairs2 = (
+        merged.filter(F.length("w") >= 2)
+        .select(F.explode(win2).alias("pair"))
+    )
+    return (
+        pairs2.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+        .select(F.hex(F.col("pair").cast("binary")).alias("pair_hex"), "n")
+    )

@@ -42,6 +42,19 @@ def query(name: str, oracle: str | None, doc: str = ""):
     """Register a query. `oracle` is DuckDB SQL over the same views."""
 
     def deco(fn):
+        # import-time guards: a duplicate name silently shadows a
+        # query, and STACKED @query decorators bind one function to
+        # two names — r7 shipped exactly that bug (a new @query block
+        # inserted between an existing decorator and its def), caught
+        # only by the sf0.1 oracle sim. Fail loudly at import instead.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        for spec in REGISTRY.values():
+            if spec.fn is fn:
+                raise ValueError(
+                    f"query {name!r}: function already registered as "
+                    f"{spec.name!r} — stacked @query decorators?"
+                )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -94,6 +107,8 @@ _DRIVER_ORDER = [
     "domain_mixture_weights",
     "pii_redaction",
     "incremental_pruned_merge_state",
+    "doc_chunking",
+    "bpe_merge_apply",
     # (2) code/oracle changed AFTER each query's most recent driver
     # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
     # landed post-driver-pass for these consumers, and
@@ -146,8 +161,6 @@ _DRIVER_ORDER = [
     "hourly_rollup",
     "identity_components",
     "identity_link_back",
-    "idle_customers",
-    "interval_followup_purchases",
 ]
 
 
