@@ -242,3 +242,55 @@ def test_pack_sequences_partitioning_invariant(spark):
     a = sorted(map(tuple, pack_sequences(df.repartition(16), **kw).collect()))
     b = sorted(map(tuple, pack_sequences(df.coalesce(1), **kw).collect()))
     assert a == b
+
+
+def test_partition_pruned_upsert_equals_full_merge_randomized(spark, tmp_path):
+    """Layout-independence invariant: for random registries and random
+    incoming batches (updates / inserts / unchanged / absent keys
+    mixed), the bucket-pruned physical upsert must produce EXACTLY the
+    logical full-outer merge image — pruning is an I/O optimization,
+    never a semantics change."""
+    from idhub_spark.operators.merge_into import (
+        partition_pruned_upsert,
+        seed_bucketed_table,
+    )
+
+    rng = random.Random(777)
+    for trial in range(3):
+        n_buckets = rng.choice([4, 8, 16])
+        keys = rng.sample(range(1000), rng.randint(20, 60))
+        cur = {k: (f"n{k}", float(rng.randint(0, 99))) for k in keys}
+        inc = {}
+        for k in keys:
+            r = rng.random()
+            if r < 0.3:  # update
+                inc[k] = (f"n{k}", cur[k][1] + 1.0)
+            elif r < 0.5:  # unchanged carry
+                inc[k] = cur[k]
+        for _ in range(rng.randint(1, 10)):  # inserts
+            k = rng.randint(2000, 3000)
+            inc[k] = (f"new{k}", 0.0)
+
+        root = str(tmp_path / f"prop_{trial}")
+        cur_df = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in cur.items()], ["k", "name", "val"]
+        )
+        bucket_of = lambda df, m=n_buckets: (F.col("k") % m).cast("int")  # noqa: E731
+        seed_bucketed_table(cur_df, root, ["k"], n_buckets=n_buckets, bucket_of=bucket_of)
+        inc_df = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in inc.items()], ["k", "name", "val"]
+        )
+        stats = partition_pruned_upsert(
+            spark, root, inc_df, ["k"], n_buckets=n_buckets, bucket_of=bucket_of
+        )
+        expected = {**cur, **inc}  # full-outer, incoming wins
+        got = {r.k: (r.name, r.val) for r in spark.read.parquet(root).collect()}
+        assert got == expected, f"trial {trial}"
+        # pruning sanity: rewritten buckets are exactly the buckets of
+        # keys whose value actually changed or is new
+        changed = {
+            k % n_buckets
+            for k, v in inc.items()
+            if k not in cur or cur[k] != v
+        }
+        assert stats.n_buckets_rewritten == len(changed), f"trial {trial}"
