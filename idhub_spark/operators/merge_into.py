@@ -118,10 +118,21 @@ def partition_pruned_upsert(
     bucket_of=None,
     mode: str = "upsert",
     immutable: list[str] | None = None,
+    evolve: str = "reject",
 ) -> PrunedUpsertStats:
     """Upsert `incoming` into the bucket-partitioned parquet table at
     `table_root`, rewriting only the bucket partitions that contain an
     actual insert or update.
+
+    Schema evolution: an incoming batch carrying columns the table
+    lacks would leave MIXED per-partition schemas (rewritten buckets
+    get the new column, untouched buckets keep the old file schema),
+    which a plain parquet read silently mis-serves. evolve='reject'
+    (default) raises up front; evolve='rewrite' widens the WHOLE
+    table in the same pass (every bucket rewrites, new columns NULL
+    where absent) — the one-time cost Delta pays for schema evolution
+    too, made explicit here. The snapshot path (incremental
+    layout='snapshot') evolves for free since it always rewrites.
 
     Scale shape (the whole point):
     - the current-table scan is PARTITION-PRUNED to the buckets
@@ -150,9 +161,27 @@ def partition_pruned_upsert(
     """
     if bucket_of is None:
         bucket_of = lambda df: bucket_expr(natural_key, n_buckets)  # noqa: E731
+    if evolve not in ("reject", "rewrite"):
+        raise ValueError(f"evolve must be reject|rewrite, got {evolve!r}")
     inc = incoming.withColumn(bucket_col, bucket_of(incoming))
     touched = [r[0] for r in inc.select(bucket_col).distinct().collect()]
     current = spark.read.parquet(table_root)
+    new_cols = [c for c in incoming.columns if c not in current.columns]
+    if new_cols and evolve == "reject":
+        raise ValueError(
+            f"incoming carries columns {new_cols} absent from the table at "
+            f"{table_root}; a pruned rewrite would leave mixed per-partition "
+            "schemas. Pass evolve='rewrite' to widen the whole table (full "
+            "rewrite), or drop the columns."
+        )
+    if new_cols:
+        # widen every bucket in this pass: pruning is disabled for the
+        # one evolving batch (touched := all buckets), so the table
+        # comes out schema-uniform
+        touched = [
+            r[0] for r in current.select(bucket_col).distinct().collect()
+        ] + [b for b in touched if b is not None]
+        touched = list(dict.fromkeys(touched))
     # bucket_col is a partition column: this distinct reads no data
     # columns (values come from directory names), it is listing-bound.
     # Computed BEFORE the overwrite — current's file index snapshot
@@ -171,12 +200,17 @@ def partition_pruned_upsert(
     # key through the SAME bucket function so a custom bucket_of stays
     # authoritative end to end
     cls = mr.classified
-    active = (
-        cls.filter(F.col("change_type").isin(take))
-        .select(bucket_of(cls).alias(bucket_col))
-        .distinct()
-    )
-    rewrite = [r[0] for r in active.collect()]
+    if new_cols:
+        # evolving batch: every bucket rewrites so the new columns
+        # exist uniformly, changes or not
+        rewrite = touched
+    else:
+        active = (
+            cls.filter(F.col("change_type").isin(take))
+            .select(bucket_of(cls).alias(bucket_col))
+            .distinct()
+        )
+        rewrite = [r[0] for r in active.collect()]
     merged = mr.merged.withColumn(
         bucket_col, F.coalesce(F.col(bucket_col), bucket_of(mr.merged))
     )

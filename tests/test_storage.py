@@ -340,3 +340,36 @@ def test_apply_merge_falls_back_without_rowlevel_catalog(spark, tmp_path):
     assert path == "partition_pruned"
     final = {r.k: r.val for r in spark.read.parquet(root).collect()}
     assert final[0] == 42.0 and len(final) == 16
+
+
+def test_partition_pruned_upsert_schema_evolution(spark, tmp_path):
+    """An incoming batch carrying a NEW column is rejected by default
+    (a pruned rewrite would leave mixed per-partition schemas);
+    evolve='rewrite' widens the whole table in one pass — every
+    bucket rewritten, new column NULL where absent, plain read
+    schema-uniform afterwards."""
+    import pytest
+
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    bucket_of = lambda df: (F.col("k") % 8).cast("int")  # noqa: E731
+    root = str(tmp_path / "reg_evo")
+    _seed_small_registry(spark, root)
+    incoming = spark.createDataFrame(
+        [(0, "name0", 99.0, "s1")], ["k", "name", "val", "src"]
+    )
+    with pytest.raises(ValueError, match="mixed per-partition schemas"):
+        partition_pruned_upsert(
+            spark, root, incoming, ["k"], n_buckets=8, bucket_of=bucket_of
+        )
+
+    stats = partition_pruned_upsert(
+        spark, root, incoming, ["k"], n_buckets=8, bucket_of=bucket_of,
+        evolve="rewrite",
+    )
+    assert stats.n_buckets_rewritten == 8  # whole table widened
+    final = spark.read.parquet(root)  # plain read, no mergeSchema
+    assert "src" in final.columns
+    rows = {r.k: (r.val, r.src) for r in final.collect()}
+    assert rows[0] == (99.0, "s1")
+    assert rows[1] == (1.0, None) and len(rows) == 16
