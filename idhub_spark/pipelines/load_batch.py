@@ -9,6 +9,12 @@ TableLoader.load_batch, services/loader.py:68-254).
 Dry-run (the reference's transaction-rollback default,
 loader.py:213-234) = compute everything, skip the write: all outputs
 are lazy DataFrames; `execute=False` returns them unexecuted.
+
+Persisting the result is the caller's binding choice
+(operators/merge_into.py): apply_merge executes the emitted
+MERGE INTO on a Delta/Iceberg catalog, partition_pruned_upsert
+rewrites only the touched key-buckets on plain parquet, and
+snapshots.SnapshotStore gives the fully-atomic snapshot swap.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from idhub_spark.plans._util import savg, sql_savg, sql_ssum, ssum
+from idhub_spark.plans._util import _sql_scaled, savg, sql_savg, sql_ssum, ssum
 from idhub_spark.queries import query, tables
 
 
@@ -472,4 +472,162 @@ def salted_hot_key_join(spark, sf_dir):
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_items"),
         ssum(F.col("l_extendedprice"), "total_price"),
+    )
+
+
+_Q8_NAT = _sql_scaled("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END")
+_Q8_TOT = _sql_scaled("volume")
+
+
+@query(
+    "nation_market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+    SELECT o_year,
+           {sql_ssum("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END", "nation_volume")},
+           {sql_ssum("volume", "total_volume")},
+           ({_Q8_NAT} / 1000000.0) / ({_Q8_TOT} / 1000000.0) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): the 6-way "
+    "fact-to-dims join — lineitem joins orders (fact-fact, shuffle "
+    "on orderkey), every dim side (customer/supplier/nation/region) "
+    "broadcasts, the region predicate prunes INSIDE the join, and "
+    "the share is a conditional scaled-int sum over the same rows as "
+    "the total (one pass, no self-join). mkt_share division of two "
+    "exact int64-derived doubles — identical expression shape both "
+    "engines.",
+)
+def nation_market_share(spark, sf_dir):
+    t = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(t["region"]),
+            (F.col("n1.n_regionkey") == F.col("r_regionkey"))
+            & (F.col("r_name") == "ASIA"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("o_year").agg(
+        ssum(nat, "nation_volume"),
+        ssum(F.col("volume"), "total_volume"),
+        (
+            (
+                F.sum(F.round(nat * F.lit(1000000.0), 0).cast("bigint")).cast("double")
+                / F.lit(1000000.0)
+            )
+            / (
+                F.sum(
+                    F.round(F.col("volume") * F.lit(1000000.0), 0).cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+            )
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "OUTER join with an extra non-key join predicate (pushed into "
+    "the join, filtering matches without dropping customers), "
+    "per-customer count including the zero bucket, then the "
+    "histogram-of-counts second aggregate. Two shuffles total "
+    "(custkey, then c_count) — the double-groupBy shape A10's "
+    "data_type_counts can't exercise.",
+)
+def customer_order_distribution(spark, sf_dir):
+    t = tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_ssum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue aggregate, "
+    "then selection of the maximum-revenue supplier(s) via a 1-row "
+    "scalar-max broadcast back over the aggregate (the "
+    "global_distinct_flag scalar pattern — no unpartitioned window, "
+    "no second scan of lineitem). The equality filter on an EXACT "
+    "scaled-int64-derived double is tie-stable across engines, so "
+    "multi-supplier ties hash identically.",
+)
+def top_revenue_supplier(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )

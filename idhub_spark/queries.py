@@ -109,6 +109,9 @@ _DRIVER_ORDER = [
     "incremental_pruned_merge_state",
     "doc_chunking",
     "bpe_merge_apply",
+    "nation_market_share",
+    "customer_order_distribution",
+    "top_revenue_supplier",
     # (2) code/oracle changed AFTER each query's most recent driver
     # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
     # landed post-driver-pass for these consumers, and
@@ -157,9 +160,6 @@ _DRIVER_ORDER = [
     "fuzzy_center_match",
     "global_distinct_flag",
     "grouped_zscore",
-    "grouped_zscore_native",
-    "hourly_rollup",
-    "identity_components",
     "identity_link_back",
 ]
 

@@ -142,3 +142,20 @@ def test_plan_sweep_no_cartesian_no_row_udfs(spark):
             bad.append((name, "BatchEvalPython"))
         spark.catalog.clearCache()
     assert not bad, bad
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: every dim side broadcasts (5 broadcast joins), the
+    region predicate is pushed to the region scan, and the only
+    non-broadcast join is the lineitem-orders fact join."""
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_customer_distribution_keeps_left_outer(spark):
+    """Q13 shape: the non-key predicate lives in the JOIN condition —
+    it must not collapse the outer join into an inner one (zero-order
+    customers survive into the c_count=0 bucket)."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
