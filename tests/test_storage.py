@@ -373,3 +373,31 @@ def test_partition_pruned_upsert_schema_evolution(spark, tmp_path):
     rows = {r.k: (r.val, r.src) for r in final.collect()}
     assert rows[0] == (99.0, "s1")
     assert rows[1] == (1.0, None) and len(rows) == 16
+
+
+def test_partition_pruned_upsert_empty_and_noop_batches(spark, tmp_path):
+    """Degenerate batches: an EMPTY incoming frame and an all-unchanged
+    batch must both rewrite zero buckets and leave the table files
+    untouched."""
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    bucket_of = lambda df: (F.col("k") % 8).cast("int")  # noqa: E731
+    root = str(tmp_path / "reg_noop")
+    _seed_small_registry(spark, root)
+    before = _partition_files(root)
+
+    empty = spark.createDataFrame([], "k bigint, name string, val double")
+    s = partition_pruned_upsert(
+        spark, root, empty, ["k"], n_buckets=8, bucket_of=bucket_of
+    )
+    assert (s.n_buckets_touched, s.n_buckets_rewritten, s.rows_rewritten) == (0, 0, 0)
+
+    unchanged = spark.createDataFrame(
+        [(k, f"name{k}", float(k)) for k in range(4)], ["k", "name", "val"]
+    )
+    s = partition_pruned_upsert(
+        spark, root, unchanged, ["k"], n_buckets=8, bucket_of=bucket_of
+    )
+    assert s.n_buckets_touched == 4 and s.n_buckets_rewritten == 0
+    assert _partition_files(root) == before
+    assert spark.read.parquet(root).count() == 16
