@@ -6,6 +6,9 @@ service; here one CLI fronts the pipelines).
       --out staging/
   python -m idhub_spark.cli load-batch --fragment staged.parquet \
       --current table.parquet --table specimen --batch-id b --out table.parquet
+  python -m idhub_spark.cli load-batch --fragment staged.parquet \
+      --current bucketed_table/ --table specimen --batch-id b \
+      --layout bucketed --n-buckets 1024 --approve   # in-place pruned rewrite
   python -m idhub_spark.cli bench
 
 Dry-run is the default for load-batch (the reference's
@@ -60,22 +63,46 @@ def _cmd_validate_fragment(args) -> int:
 
 def _cmd_load_batch(args) -> int:
     from idhub_spark.pipelines.load_batch import load_batch
+    from idhub_spark.schema import IMMUTABLE_FIELDS, NATURAL_KEYS, UPDATE_STRATEGIES
     from idhub_spark.sources.files import parquet_scan
 
     spark = get_spark("load_batch")
     fragment = parquet_scan(spark, args.fragment)
     current = parquet_scan(spark, args.current)
+    if args.layout == "bucketed":
+        # the logical layer never sees the physical bucket column
+        current = current.drop("_bucket")
+    elif args.approve and not args.out:
+        print("--out is required for --approve with layout=snapshot", file=sys.stderr)
+        return 2
     res = load_batch(
         fragment, current, table_name=args.table, batch_id=args.batch_id
     )
     stats = {r["change_type"]: r["n"] for r in
              (row.asDict() for row in res.merge.stats().collect())}
     print(json.dumps({"batch_id": args.batch_id, "table": args.table,
-                      "dry_run": not args.approve, "stats": stats}))
+                      "dry_run": not args.approve, "layout": args.layout,
+                      "stats": stats}))
     if args.approve:
-        tmp = args.out + ".staged"
-        res.merge.merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(args.out)
+        if args.layout == "bucketed":
+            # in-place pruned rewrite of the bucketed table at
+            # --current (only the touched key-buckets); --out is
+            # ignored in this layout
+            from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+            partition_pruned_upsert(
+                spark,
+                args.current,
+                res.incoming,
+                NATURAL_KEYS.get(args.table, [res.incoming.columns[0]]),
+                n_buckets=args.n_buckets,
+                mode=UPDATE_STRATEGIES.get(args.table, "upsert"),
+                immutable=IMMUTABLE_FIELDS.get(args.table, []),
+            )
+        else:
+            tmp = args.out + ".staged"
+            res.merge.merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(args.out)
         if args.audit_out:
             res.merge.audit.write.mode("append").parquet(args.audit_out)
     return 0
@@ -98,9 +125,18 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--current", required=True)
     l.add_argument("--table", required=True)
     l.add_argument("--batch-id", required=True)
-    l.add_argument("--out", required=True)
+    l.add_argument("--out")
     l.add_argument("--audit-out")
     l.add_argument("--approve", action="store_true")
+    l.add_argument(
+        "--layout",
+        choices=["snapshot", "bucketed"],
+        default="snapshot",
+        help="snapshot: full-image rewrite to --out; bucketed: "
+        "in-place pruned rewrite of the bucketed table at --current "
+        "(seed it with operators.merge_into.seed_bucketed_table)",
+    )
+    l.add_argument("--n-buckets", type=int, default=1024)
     l.set_defaults(fn=_cmd_load_batch)
 
     b = sub.add_parser("bench")

@@ -41,6 +41,12 @@ from idhub_spark.schema import (
 class LoadResult:
     merge: MergeResult
     bookkeeping: DataFrame  # one fragment_resolutions row
+    # the fragment AFTER exclusions / conflict-resolution filtering /
+    # invalid-GSID filter / schema intersection — what a physical
+    # binding (merge_into.apply_merge / partition_pruned_upsert)
+    # should persist when the caller writes bucketed instead of
+    # snapshot
+    incoming: DataFrame = None
 
 
 def load_batch(
@@ -135,4 +141,4 @@ def load_batch(
         "rows_updated",
         "rows_unchanged",
     )
-    return LoadResult(merge=merge, bookkeeping=bookkeeping)
+    return LoadResult(merge=merge, bookkeeping=bookkeeping, incoming=incoming)

@@ -102,3 +102,46 @@ def test_cli_rejects_bad_batch_id(tmp_path, capsys):
         ]
     )
     assert rc == 2
+
+
+def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
+    """--layout bucketed: dry-run stats come from the logical merge
+    (bucket column invisible), --approve rewrites the bucketed table
+    at --current in place through partition_pruned_upsert."""
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+    from idhub_spark.schema import NATURAL_KEYS
+
+    key = NATURAL_KEYS["specimen"]
+    base = spark.createDataFrame(
+        [(f"S{i}", "blood", f"GSID-{i}") for i in range(8)],
+        ["sample_id", "sample_type", "global_subject_id"],
+    )
+    root = str(tmp_path / "specimen_bucketed")
+    seed_bucketed_table(base, root, key, n_buckets=4)
+
+    frag = tmp_path / "frag.parquet"
+    spark.createDataFrame(
+        [("S1", "dna", "GSID-1"), ("S99", "blood", "GSID-99")],
+        ["sample_id", "sample_type", "global_subject_id"],
+    ).write.parquet(str(frag))
+
+    rc = cli.main(
+        [
+            "load-batch",
+            "--fragment", str(frag),
+            "--current", root,
+            "--table", "specimen",
+            "--batch-id", "batch_20260814_b1",
+            "--layout", "bucketed",
+            "--n-buckets", "4",
+            "--approve",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["layout"] == "bucketed"
+    final = spark.read.parquet(root)
+    assert "_bucket" in final.columns  # layout preserved
+    rows = {r.sample_id: r.sample_type for r in final.collect()}
+    assert out["stats"] == {"new": 1, "updated": 1, "orphan": 7}
+    assert rows["S1"] == "dna" and rows["S99"] == "blood" and len(rows) == 9
