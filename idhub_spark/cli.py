@@ -69,9 +69,29 @@ def _cmd_load_batch(args) -> int:
     spark = get_spark("load_batch")
     fragment = parquet_scan(spark, args.fragment)
     current = parquet_scan(spark, args.current)
+    natural_key = NATURAL_KEYS.get(args.table, [fragment.columns[0]])
     if args.layout == "bucketed":
-        # the logical layer never sees the physical bucket column
-        current = current.drop("_bucket")
+        from pyspark.sql import functions as F
+
+        from idhub_spark.operators.merge_into import bucket_expr
+
+        # Prune the stats/audit merge to the fragment's touched
+        # buckets: classification against the FULL registry would make
+        # every bucketed load O(table) instead of O(batch), defeating
+        # the layout. Keys outside these buckets cannot match fragment
+        # keys (same bucket function), so new/updated/unchanged tallies
+        # are identical; 'orphan' becomes slice-bounded (it was never a
+        # batch statistic — classify_changes counts the whole registry
+        # as orphans for any small fragment).
+        inc_buckets = [
+            r[0]
+            for r in fragment.select(
+                bucket_expr(natural_key, args.n_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        current = current.filter(F.col("_bucket").isin(inc_buckets)).drop("_bucket")
     elif args.approve and not args.out:
         print("--out is required for --approve with layout=snapshot", file=sys.stderr)
         return 2
@@ -84,6 +104,11 @@ def _cmd_load_batch(args) -> int:
                       "dry_run": not args.approve, "layout": args.layout,
                       "stats": stats}))
     if args.approve:
+        if args.audit_out:
+            # BEFORE any in-place rewrite: the audit lineage reads the
+            # pre-write registry files (self-overwrite hazard,
+            # operators/merge_into.py two-phase-write note)
+            res.merge.audit.write.mode("append").parquet(args.audit_out)
         if args.layout == "bucketed":
             # in-place pruned rewrite of the bucketed table at
             # --current (only the touched key-buckets); --out is
@@ -94,7 +119,7 @@ def _cmd_load_batch(args) -> int:
                 spark,
                 args.current,
                 res.incoming,
-                NATURAL_KEYS.get(args.table, [res.incoming.columns[0]]),
+                natural_key,
                 n_buckets=args.n_buckets,
                 mode=UPDATE_STRATEGIES.get(args.table, "upsert"),
                 immutable=IMMUTABLE_FIELDS.get(args.table, []),
@@ -103,8 +128,6 @@ def _cmd_load_batch(args) -> int:
             tmp = args.out + ".staged"
             res.merge.merged.write.mode("overwrite").parquet(tmp)
             spark.read.parquet(tmp).write.mode("overwrite").parquet(args.out)
-        if args.audit_out:
-            res.merge.audit.write.mode("append").parquet(args.audit_out)
     return 0
 
 

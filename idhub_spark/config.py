@@ -154,6 +154,16 @@ def _from_redcap_dialect(cfg: dict) -> FragmentMapping:
             "use load_mappings_by_table() + sample_columns() so every "
             "sample column survives"
         )
+    # the general form of the same hazard: ANY repeated target_field
+    # (sample_type or not) would collapse last-writer-wins below
+    targets = [m["target_field"] for m in cfg["mappings"]]
+    dupes = sorted({t for t in targets if targets.count(t) > 1})
+    if dupes:
+        raise ValueError(
+            f"mapping config maps multiple source fields onto {dupes}; "
+            "flattening would silently keep only the last source per "
+            "target — make targets unique or use load_mappings_by_table()"
+        )
     field_mapping: dict[str, str] = {}
     transforms: dict[str, str] = {}
     candidates: dict[str, str] = {}

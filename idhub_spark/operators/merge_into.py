@@ -32,6 +32,8 @@ snapshots.SnapshotStore when full atomicity matters more than I/O.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +43,42 @@ from pyspark.errors import AnalysisException, UnsupportedOperationException
 from idhub_spark.operators.merge import MODES, merge_upsert
 
 DEFAULT_BUCKETS = 1024
+_LAYOUT_FILE = "_layout.json"
+
+
+def _layout_path(table_root: str) -> str:
+    return os.path.join(table_root, _LAYOUT_FILE)
+
+
+def _write_layout(table_root: str, meta: dict) -> None:
+    """Persist the bucket-layout contract next to the data (local FS
+    and fuse mounts; on object stores this is one small PUT — failure
+    to write it only disables the mismatch guard, so best-effort)."""
+    try:
+        with open(_layout_path(table_root), "w") as f:
+            json.dump(meta, f)
+    except OSError:
+        pass
+
+
+def _check_layout(table_root: str, *, n_buckets: int, natural_key: list[str]) -> None:
+    """Refuse an upsert whose bucket parameters disagree with the
+    seeded layout — a mismatched n_buckets/key silently duplicates
+    keys into partitions the pruned scan never looks at (the failure
+    the module docstring calls undetectable after the fact)."""
+    try:
+        with open(_layout_path(table_root)) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return  # pre-sidecar table or object store without the PUT
+    if meta.get("n_buckets") != n_buckets or meta.get("natural_key") != list(natural_key):
+        raise ValueError(
+            f"bucket-layout mismatch at {table_root}: table seeded with "
+            f"n_buckets={meta.get('n_buckets')} key={meta.get('natural_key')}, "
+            f"upsert called with n_buckets={n_buckets} key={list(natural_key)}. "
+            "A mismatched layout duplicates keys into unscanned buckets; "
+            "reseed with seed_bucketed_table or fix the parameters."
+        )
 
 
 def bucket_expr(natural_key: list[str], n_buckets: int):
@@ -85,7 +123,9 @@ def merge_into_sql(
         raise ValueError(f"mode must be one of {MODES}")
     immutable = list(immutable or [])
     upd = [c for c in update_cols if c not in immutable and c not in natural_key]
-    ins = insert_cols or list(natural_key) + list(update_cols)
+    # dedupe while keeping order: update_cols overlapping the key (or
+    # repeated) must not yield INSERT (k, k, ...)
+    ins = list(dict.fromkeys(insert_cols or list(natural_key) + list(update_cols)))
     on = " AND ".join(f"t.{k} = s.{k}" for k in natural_key)
     parts = [f"MERGE INTO {target} t", f"USING {source} s", f"ON {on}"]
     if mode in ("upsert", "update_only") and upd:
@@ -96,6 +136,13 @@ def merge_into_sql(
         cols = ", ".join(ins)
         vals = ", ".join(f"s.{c}" for c in ins)
         parts.append(f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})")
+    if len(parts) == 3:
+        # zero WHEN clauses (update_only with every update_col immutable
+        # or a key) is a parse error downstream; fail with the real cause
+        raise ValueError(
+            f"mode={mode!r} with update_cols={update_cols!r} and "
+            f"immutable={immutable!r} emits no WHEN clause — nothing to do"
+        )
     return "\n".join(parts)
 
 
@@ -163,6 +210,7 @@ def partition_pruned_upsert(
         bucket_of = lambda df: bucket_expr(natural_key, n_buckets)  # noqa: E731
     if evolve not in ("reject", "rewrite"):
         raise ValueError(f"evolve must be reject|rewrite, got {evolve!r}")
+    _check_layout(table_root, n_buckets=n_buckets, natural_key=natural_key)
     inc = incoming.withColumn(bucket_col, bucket_of(incoming))
     touched = [r[0] for r in inc.select(bucket_col).distinct().collect()]
     current = spark.read.parquet(table_root)
@@ -286,6 +334,15 @@ def seed_bucketed_table(
     if sort_within:
         out = out.sortWithinPartitions(*natural_key)
     out.write.mode("overwrite").partitionBy(bucket_col).parquet(table_root)
+    _write_layout(
+        table_root,
+        {
+            "n_buckets": n_buckets,
+            "natural_key": list(natural_key),
+            "bucket_col": bucket_col,
+            "sorted": sort_within,
+        },
+    )
 
 
 def apply_merge(
@@ -324,12 +381,23 @@ def apply_merge(
         try:
             spark.sql(stmt)
             return "merge_into"
-        except (AnalysisException, UnsupportedOperationException):
-            # catalog has no row-level-operation support (plain
-            # parquet/v1 tables raise UNSUPPORTED_FEATURE or
-            # unresolved-MERGE analysis errors): fall through to the
-            # pruned path
-            if table_root is None:
+        except (AnalysisException, UnsupportedOperationException) as e:
+            # Fall back ONLY for "this catalog/table can't do row-level
+            # ops" — a typo'd table or column is a caller error and
+            # must surface, not silently reroute the write to a second
+            # copy of the registry at table_root.
+            get_cls = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", lambda: None
+            )
+            cls = (get_cls() or "").upper()
+            msg = str(e).upper()
+            unsupported = (
+                "UNSUPPORTED" in cls
+                or "NOT_SUPPORTED" in cls
+                or "MERGE INTO TABLE IS NOT SUPPORTED" in msg
+                or "DOES NOT SUPPORT" in msg
+            )
+            if not unsupported or table_root is None:
                 raise
     if table_root is None:
         raise ValueError("apply_merge needs target_table or table_root")

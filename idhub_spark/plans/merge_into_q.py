@@ -51,20 +51,22 @@ def _incoming(cust):
     return updated.unionByName(unchanged).unionByName(fresh)
 
 
-# Both driver queries replay the SAME deterministic seed+upsert; the
-# memo serves the second one from the first's on-disk result within a
-# process (each query stays self-contained when run alone — the memo
-# is per sf_dir and the whole fixture is wiped and rebuilt on miss).
+# Both driver queries replay the SAME deterministic seed+upsert. The
+# STATE query always recomputes (it is the benchmark of the upsert —
+# serving a bench pass from a memo would turn min-of-2 into a no-work
+# replay and hide regressions); the derived STATS query reuses the
+# state query's result when one exists in-process, and is
+# self-contained when run alone.
 _MEMO: dict[str, tuple] = {}
 
 
-def _run_upsert(spark, sf_dir):
+def _run_upsert(spark, sf_dir, *, force: bool):
     from idhub_spark.operators.merge_into import (
         partition_pruned_upsert,
         seed_bucketed_table,
     )
 
-    if sf_dir in _MEMO:
+    if not force and sf_dir in _MEMO:
         return _MEMO[sf_dir]
     t = tables(spark, sf_dir, "customer")
     cust = t["customer"].select("c_custkey", "c_name", "c_acctbal")
@@ -120,7 +122,7 @@ def _run_upsert(spark, sf_dir):
     "table-loader/services/load_strategies.py:707-776.",
 )
 def partition_pruned_upsert_q(spark, sf_dir):
-    root, _ = _run_upsert(spark, sf_dir)
+    root, _ = _run_upsert(spark, sf_dir, force=True)
     final = spark.read.parquet(root)
     return final.select(
         "c_custkey",
@@ -161,7 +163,7 @@ def partition_pruned_upsert_q(spark, sf_dir):
     "hash.",
 )
 def partition_pruned_upsert_stats_q(spark, sf_dir):
-    _, stats = _run_upsert(spark, sf_dir)
+    _, stats = _run_upsert(spark, sf_dir, force=False)
     return (
         spark.range(1)
         .select(

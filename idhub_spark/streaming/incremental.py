@@ -114,6 +114,7 @@ def incremental_file_merge(
     layout: str = "snapshot",
     n_buckets: int = 1024,
     bucket_of=None,
+    evolve: str = "reject",
 ) -> None:
     """Consume new parquet fragments from staging_dir and upsert them
     into the table at table_dir, exactly once per file, resumable
@@ -128,6 +129,12 @@ def incremental_file_merge(
     batch's touched buckets, not table size, which is what makes
     continuous ingest into a 100 TB registry feasible; the first
     batch seeds the layout via seed_bucketed_table.
+
+    `evolve` passes through to partition_pruned_upsert: with the
+    default 'reject', a staged fragment carrying a NEW column fails
+    the trigger AND every checkpoint-driven replay of it (a poison
+    pill); pass evolve='rewrite' to let the evolving batch widen the
+    whole table once and the stream proceed.
     """
     if layout not in ("snapshot", "bucketed"):
         raise ValueError(f"layout must be snapshot|bucketed, got {layout!r}")
@@ -167,7 +174,7 @@ def incremental_file_merge(
             if os.path.exists(table_dir):
                 partition_pruned_upsert(
                     s, table_dir, batch_df, natural_key,
-                    n_buckets=n_buckets, bucket_of=bucket_of,
+                    n_buckets=n_buckets, bucket_of=bucket_of, evolve=evolve,
                 )
             else:
                 seed_bucketed_table(

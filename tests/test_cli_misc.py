@@ -125,6 +125,7 @@ def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
         ["sample_id", "sample_type", "global_subject_id"],
     ).write.parquet(str(frag))
 
+    audit_out = str(tmp_path / "audit")
     rc = cli.main(
         [
             "load-batch",
@@ -135,6 +136,7 @@ def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
             "--layout", "bucketed",
             "--n-buckets", "4",
             "--approve",
+            "--audit-out", audit_out,
         ]
     )
     assert rc == 0
@@ -143,5 +145,12 @@ def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
     final = spark.read.parquet(root)
     assert "_bucket" in final.columns  # layout preserved
     rows = {r.sample_id: r.sample_type for r in final.collect()}
-    assert out["stats"] == {"new": 1, "updated": 1, "orphan": 7}
+    # stats are computed against the PRUNED slice: new/updated tallies
+    # are exact; orphan is slice-bounded (untouched buckets never scan)
+    assert out["stats"]["new"] == 1 and out["stats"]["updated"] == 1
+    assert out["stats"].get("orphan", 0) <= 7
     assert rows["S1"] == "dna" and rows["S99"] == "blood" and len(rows) == 9
+    # audit landed (written BEFORE the in-place rewrite — the
+    # self-overwrite ordering the CLI must preserve)
+    audit = spark.read.parquet(audit_out)
+    assert audit.filter(audit.field == "sample_type").count() == 1

@@ -401,3 +401,48 @@ def test_partition_pruned_upsert_empty_and_noop_batches(spark, tmp_path):
     assert s.n_buckets_touched == 4 and s.n_buckets_rewritten == 0
     assert _partition_files(root) == before
     assert spark.read.parquet(root).count() == 16
+
+
+def test_apply_merge_surfaces_caller_errors(spark, tmp_path):
+    """A typo'd target table is a caller error (TABLE_OR_VIEW_NOT_FOUND),
+    NOT missing row-level support — it must raise, never silently
+    reroute the write to table_root."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from idhub_spark.operators.merge_into import apply_merge, merge_into_sql
+
+    root = str(tmp_path / "reg_err")
+    _seed_small_registry(spark, root)
+    incoming = spark.createDataFrame([(0, "n", 1.0)], ["k", "name", "val"])
+    with pytest.raises(AnalysisException):
+        apply_merge(
+            spark, incoming, target_table="no_such_table_xyz", table_root=root,
+            natural_key=["k"], update_cols=["name", "val"], n_buckets=8,
+            bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+        )
+    # degenerate MERGE shapes fail loudly at emission
+    with pytest.raises(ValueError, match="no WHEN clause"):
+        merge_into_sql(target="t", source="s", natural_key=["k"],
+                       update_cols=["created_at"], immutable=["created_at"],
+                       mode="update_only")
+    stmt = merge_into_sql(target="t", source="s", natural_key=["k"],
+                          update_cols=["k", "v", "v"])
+    assert "INSERT (k, v)" in stmt  # deduped
+
+
+def test_partition_pruned_upsert_rejects_layout_mismatch(spark, tmp_path):
+    """The seeded layout sidecar pins n_buckets/key: an upsert with a
+    different bucket count (the forgotten-flag corruption) is refused
+    up front instead of silently duplicating keys."""
+    import pytest
+
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    root = str(tmp_path / "reg_layout")
+    _seed_small_registry(spark, root)  # n_buckets=8, key=[k]
+    incoming = spark.createDataFrame([(0, "n", 1.0)], ["k", "name", "val"])
+    with pytest.raises(ValueError, match="bucket-layout mismatch"):
+        partition_pruned_upsert(spark, root, incoming, ["k"], n_buckets=1024)
+    with pytest.raises(ValueError, match="bucket-layout mismatch"):
+        partition_pruned_upsert(spark, root, incoming, ["name"], n_buckets=8)
