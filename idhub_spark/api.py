@@ -1,8 +1,9 @@
 """Subject-registry API facade (reference §3.4: gsid-service FastAPI
 routes re-expressed as batch DataFrame functions).
 
-The reference exposes POST /register/subject, GET /subjects/{gsid},
-POST /subjects/{gsid}/withdraw (gsid-service/api/routes.py:18-185).
+The reference exposes POST /register/subject, GET /health,
+GET /subjects/{gsid}, POST /subjects/{gsid}/withdraw
+(gsid-service/api/routes.py:18-185).
 In the Spark rebuild these are library calls over the registry
 tables; a single-record HTTP call is just a 1-row DataFrame through
 the same batch path, preserving one code path for both shapes.
@@ -123,3 +124,20 @@ def withdraw_subject(subjects: DataFrame, gsid: str) -> DataFrame:
             F.col("global_subject_id") == gsid, F.current_timestamp()
         ).otherwise(F.col("updated_at")),
     )
+
+
+def health(spark: SparkSession, registry: DataFrame | None = None) -> dict:
+    """GET /health (routes.py:82-96): the reference answers 'healthy'
+    iff SELECT 1 succeeds against Postgres. The Spark equivalents of
+    'is my backend reachable': the session's JVM answers a trivial
+    job, and (when a registry is supplied) the registry table is
+    readable end to end. Returns the same shape as HealthResponse
+    (api/models.py:64) — status + backend state — raising nothing:
+    health checks report, they don't crash."""
+    try:
+        spark.range(1).count()  # SELECT 1
+        if registry is not None:
+            registry.limit(1).count()  # table reachable + schema sane
+        return {"status": "healthy", "database": "connected"}
+    except Exception as e:  # noqa: BLE001 - any failure is 'unhealthy'
+        return {"status": "unhealthy", "database": f"error: {type(e).__name__}"}

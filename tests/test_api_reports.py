@@ -129,3 +129,25 @@ def test_per_center_summary_from_resolution_log(spark):
     bare = resolution_log(resolved, batch_id="b9")
     assert "input_center_id" in bare.columns
     assert per_center_summary(bare, centers).count() == 1  # one NULL group
+
+
+def test_health_endpoint(spark, tmp_path):
+    """GET /health parity: healthy session + readable registry ->
+    'connected'; a registry whose files vanished reports unhealthy
+    instead of raising (routes.py:82-96 returns 503, never crashes)."""
+    import shutil
+
+    from idhub_spark.api import health
+
+    reg = spark.createDataFrame([("GSID-1",)], ["global_subject_id"])
+    assert health(spark, reg) == {"status": "healthy", "database": "connected"}
+    assert health(spark) == {"status": "healthy", "database": "connected"}
+
+    # a registry that resolved at plan time but whose files are gone at
+    # execution time (the mid-flight outage a health check exists for)
+    root = str(tmp_path / "reg")
+    reg.write.parquet(root)
+    broken = spark.read.parquet(root)
+    shutil.rmtree(root)
+    out = health(spark, broken)
+    assert out["status"] == "unhealthy"
