@@ -73,8 +73,16 @@ def _cmd_load_batch(args) -> int:
     if args.layout == "bucketed":
         from pyspark.sql import functions as F
 
-        from idhub_spark.operators.merge_into import bucket_expr
+        from idhub_spark.operators.merge_into import bucket_expr, check_layout
 
+        # Validate the layout FIRST: a mismatched --n-buckets would
+        # make the pruned stats below silently wrong (existing keys
+        # classify 'new') long before the upsert's own guard fires —
+        # and before any audit rows land.
+        check_layout(
+            spark, args.current, n_buckets=args.n_buckets,
+            natural_key=natural_key, custom_bucket_of=False,
+        )
         # Prune the stats/audit merge to the fragment's touched
         # buckets: classification against the FULL registry would make
         # every bucketed load O(table) instead of O(batch), defeating
@@ -107,8 +115,16 @@ def _cmd_load_batch(args) -> int:
         if args.audit_out:
             # BEFORE any in-place rewrite: the audit lineage reads the
             # pre-write registry files (self-overwrite hazard,
-            # operators/merge_into.py two-phase-write note)
-            res.merge.audit.write.mode("append").parquet(args.audit_out)
+            # operators/merge_into.py two-phase-write note). One
+            # OVERWRITTEN subdir per batch id, so a retry after a
+            # failed rewrite replaces its own audit rows instead of
+            # appending phantom duplicates.
+            # subdir key deliberately NOT batch_id= : the audit rows
+            # already carry a batch_id data column, and partition
+            # inference would collide with it
+            res.merge.audit.write.mode("overwrite").parquet(
+                f"{args.audit_out.rstrip('/')}/batch={args.batch_id}"
+            )
         if args.layout == "bucketed":
             # in-place pruned rewrite of the bucketed table at
             # --current (only the touched key-buckets); --out is

@@ -46,36 +46,82 @@ DEFAULT_BUCKETS = 1024
 _LAYOUT_FILE = "_layout.json"
 
 
-def _layout_path(table_root: str) -> str:
-    return os.path.join(table_root, _LAYOUT_FILE)
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
 
 
-def _write_layout(table_root: str, meta: dict) -> None:
-    """Persist the bucket-layout contract next to the data (local FS
-    and fuse mounts; on object stores this is one small PUT — failure
-    to write it only disables the mismatch guard, so best-effort)."""
+def _write_layout(spark: SparkSession, table_root: str, meta: dict) -> None:
+    """Persist the bucket-layout contract next to the data, through the
+    Hadoop FileSystem API so it lands on s3a://-style roots too (one
+    small PUT). Failure to write only disables the mismatch guard, so
+    best-effort."""
     try:
-        with open(_layout_path(table_root), "w") as f:
-            json.dump(meta, f)
-    except OSError:
+        fs, jpath = _hadoop_fs(spark, os.path.join(table_root, _LAYOUT_FILE))
+        out = fs.create(jpath, True)
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+        out.close()
+    except Exception:  # noqa: BLE001 - guard metadata, never load-fatal
         pass
 
 
-def _check_layout(table_root: str, *, n_buckets: int, natural_key: list[str]) -> None:
-    """Refuse an upsert whose bucket parameters disagree with the
-    seeded layout — a mismatched n_buckets/key silently duplicates
-    keys into partitions the pruned scan never looks at (the failure
-    the module docstring calls undetectable after the fact)."""
+def read_layout(spark: SparkSession, table_root: str) -> dict | None:
+    """The seeded layout contract, or None for a pre-sidecar table."""
     try:
-        with open(_layout_path(table_root)) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
-        return  # pre-sidecar table or object store without the PUT
-    if meta.get("n_buckets") != n_buckets or meta.get("natural_key") != list(natural_key):
+        fs, jpath = _hadoop_fs(spark, os.path.join(table_root, _LAYOUT_FILE))
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        data = spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        stream.close()
+        return json.loads(data)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def check_layout(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    n_buckets: int,
+    natural_key: list[str],
+    custom_bucket_of: bool,
+) -> None:
+    """Refuse an upsert whose bucket parameters disagree with the
+    seeded layout — a mismatch silently duplicates keys into
+    partitions the pruned scan never looks at (the failure the module
+    docstring calls undetectable after the fact).
+
+    Checks: natural_key always; custom-vs-default bucket function
+    provenance always (the function itself can't be fingerprinted, but
+    a default upsert against a custom-seeded table — or vice versa —
+    is certainly wrong); n_buckets only when BOTH sides use the
+    default bucket_expr (a custom function owns its own modulus and
+    ignores the n_buckets parameter)."""
+    meta = read_layout(spark, table_root)
+    if meta is None:
+        return  # pre-sidecar table or store without the PUT
+    problems = []
+    if meta.get("natural_key") != list(natural_key):
+        problems.append(
+            f"key: seeded {meta.get('natural_key')}, upsert {list(natural_key)}"
+        )
+    seeded_custom = bool(meta.get("custom_bucket_of"))
+    if seeded_custom != custom_bucket_of:
+        problems.append(
+            f"bucket function: seeded {'custom' if seeded_custom else 'default'}, "
+            f"upsert {'custom' if custom_bucket_of else 'default'}"
+        )
+    elif not custom_bucket_of and meta.get("n_buckets") != n_buckets:
+        problems.append(
+            f"n_buckets: seeded {meta.get('n_buckets')}, upsert {n_buckets}"
+        )
+    if problems:
         raise ValueError(
-            f"bucket-layout mismatch at {table_root}: table seeded with "
-            f"n_buckets={meta.get('n_buckets')} key={meta.get('natural_key')}, "
-            f"upsert called with n_buckets={n_buckets} key={list(natural_key)}. "
+            f"bucket-layout mismatch at {table_root}: {'; '.join(problems)}. "
             "A mismatched layout duplicates keys into unscanned buckets; "
             "reseed with seed_bucketed_table or fix the parameters."
         )
@@ -206,11 +252,15 @@ def partition_pruned_upsert(
     buckets (undetectable in general, since a previously-unseen
     bucket is also what a legitimate new-key insert creates).
     """
+    custom = bucket_of is not None
     if bucket_of is None:
         bucket_of = lambda df: bucket_expr(natural_key, n_buckets)  # noqa: E731
     if evolve not in ("reject", "rewrite"):
         raise ValueError(f"evolve must be reject|rewrite, got {evolve!r}")
-    _check_layout(table_root, n_buckets=n_buckets, natural_key=natural_key)
+    check_layout(
+        spark, table_root, n_buckets=n_buckets, natural_key=natural_key,
+        custom_bucket_of=custom,
+    )
     inc = incoming.withColumn(bucket_col, bucket_of(incoming))
     touched = [r[0] for r in inc.select(bucket_col).distinct().collect()]
     current = spark.read.parquet(table_root)
@@ -323,6 +373,7 @@ def seed_bucketed_table(
     stats prune keyed point lookups inside a bucket — the
     Postgres-index equivalent the reference leans on (storage.py
     module docstring)."""
+    custom = bucket_of is not None
     if bucket_of is None:
         bucket_of = lambda d: bucket_expr(natural_key, n_buckets)  # noqa: E731
     out = df.withColumn(bucket_col, bucket_of(df)).repartition(
@@ -335,12 +386,14 @@ def seed_bucketed_table(
         out = out.sortWithinPartitions(*natural_key)
     out.write.mode("overwrite").partitionBy(bucket_col).parquet(table_root)
     _write_layout(
+        df.sparkSession,
         table_root,
         {
             "n_buckets": n_buckets,
             "natural_key": list(natural_key),
             "bucket_col": bucket_col,
             "sorted": sort_within,
+            "custom_bucket_of": custom,
         },
     )
 
@@ -390,13 +443,18 @@ def apply_merge(
                 e, "getErrorClass", lambda: None
             )
             cls = (get_cls() or "").upper()
-            msg = str(e).upper()
-            unsupported = (
-                "UNSUPPORTED" in cls
-                or "NOT_SUPPORTED" in cls
-                or "MERGE INTO TABLE IS NOT SUPPORTED" in msg
-                or "DOES NOT SUPPORT" in msg
-            )
+            if cls:
+                # class-bearing exceptions: match unsupported-operation
+                # classes exactly-ish; UNRESOLVED_*/TABLE_OR_VIEW_* and
+                # other caller errors re-raise
+                unsupported = "UNSUPPORTED" in cls or "NOT_SUPPORTED" in cls
+            else:
+                # legacy class-less exceptions: message is all we have
+                msg = str(e).upper()
+                unsupported = (
+                    "MERGE INTO TABLE IS NOT SUPPORTED" in msg
+                    or "DOES NOT SUPPORT" in msg
+                )
             if not unsupported or table_root is None:
                 raise
     if table_root is None:
