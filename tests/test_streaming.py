@@ -432,3 +432,59 @@ def test_incremental_file_merge_bucketed_layout(spark, tmp_path):
             assert after[p] == m, p
     got = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert got[1] == 99.0 and got[101] == 1.0 and len(got) == 9
+
+
+def test_stateful_sessionize_batch_slicing_invariance(spark, tmp_path):
+    """The emitted session set must not depend on micro-batch slicing:
+    one trigger over all files vs one trigger PER file (state carried
+    across triggers, some sessions closing by successor in a later
+    batch instead of within one) yields the identical set — each
+    session exactly once with the same (start, end, n)."""
+    from pyspark.sql import functions as F
+
+    from idhub_spark.operators.grouped import sessionize_stateful
+
+    base = 1_700_000_000
+    # 3 users x interleaved events spanning several sessions, plus a
+    # far-future tick so every session flushes in both arrangements
+    rows = []
+    for u in (1, 2, 3):
+        for s in range(3):
+            for i in range(2 + u % 2):
+                rows.append((u, base + s * 10_000 + u * 37 + i * 60))
+    rows.append((9, base + 1_000_000))
+    rows.sort(key=lambda r: r[1])  # files below are event-time-ordered
+
+    def _run(tag, files):
+        src = str(tmp_path / f"src_{tag}")
+        for i, chunk in enumerate(files):
+            spark.createDataFrame(chunk, "user_id long, sec long").select(
+                "user_id", F.timestamp_seconds("sec").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(src)
+        collected = []
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in collected
+        )
+
+    one_batch = _run("single", [rows])
+    third = len(rows) // 3
+    sliced = _run("sliced", [rows[:third], rows[third : 2 * third], rows[2 * third :]])
+    assert one_batch == sliced and len(one_batch) >= 9
