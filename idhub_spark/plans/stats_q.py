@@ -277,3 +277,69 @@ def table_profile(spark, sf_dir):
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "returnflag_status_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_ssum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all four grouping sets — "
+    "both margins, the cross, and the grand total — in ONE shuffle "
+    "via Catalyst's grouping-set Expand (never four scans). The "
+    "ROLLUP twin is priority_status_rollup; together they pin the "
+    "full grouping-set surface.",
+)
+def returnflag_status_cube(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "order_priority_pivot",
+    """
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS high,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS medium,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS low
+    FROM (SELECT year(o_orderdate) AS o_year, o_orderpriority FROM orders)
+    GROUP BY o_year
+    """,
+    doc="PIVOT (long -> wide): order counts by year x priority through "
+    "Spark's native groupBy().pivot() with an EXPLICIT value list — "
+    "the two-pass distinct-discovery variant is an extra shuffle and "
+    "non-deterministic column order, so production pivots should "
+    "always pin values. Compiles to one pivot_first aggregate, one "
+    "shuffle. Oracle: the equivalent conditional aggregation "
+    "(COALESCE 0 matches Spark's count-of-empty-partition-is-0 "
+    "convention... pinned by the hash either way).",
+)
+def order_priority_pivot(spark, sf_dir):
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("o_year"), "o_orderpriority")
+        .groupBy("o_year")
+        .pivot(
+            "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]
+        )
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_year",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).cast("long").alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).cast("long").alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).cast("long").alias("medium"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).cast("long").alias("low"),
+        )
+    )

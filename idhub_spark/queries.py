@@ -112,6 +112,8 @@ _DRIVER_ORDER = [
     "nation_market_share",
     "customer_order_distribution",
     "top_revenue_supplier",
+    "returnflag_status_cube",
+    "order_priority_pivot",
     # (2) code/oracle changed AFTER each query's most recent driver
     # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
     # landed post-driver-pass for these consumers, and
@@ -158,8 +160,6 @@ _DRIVER_ORDER = [
     "forecast_revenue_change",
     "funnel_conversion",
     "fuzzy_center_match",
-    "global_distinct_flag",
-    "grouped_zscore",
     "identity_link_back",
 ]
 
