@@ -104,7 +104,13 @@ def _cmd_load_batch(args) -> int:
         print("--out is required for --approve with layout=snapshot", file=sys.stderr)
         return 2
     res = load_batch(
-        fragment, current, table_name=args.table, batch_id=args.batch_id
+        fragment,
+        current,
+        table_name=args.table,
+        batch_id=args.batch_id,
+        # evolution is a bucketed-binding capability: P4's drop-unknown
+        # default stays unless the operator explicitly asked to widen
+        keep_new_columns=(args.layout == "bucketed" and args.evolve == "rewrite"),
     )
     stats = {r["change_type"]: r["n"] for r in
              (row.asDict() for row in res.merge.stats().collect())}
@@ -139,6 +145,7 @@ def _cmd_load_batch(args) -> int:
                 n_buckets=args.n_buckets,
                 mode=UPDATE_STRATEGIES.get(args.table, "upsert"),
                 immutable=IMMUTABLE_FIELDS.get(args.table, []),
+                evolve=args.evolve,
             )
         else:
             tmp = args.out + ".staged"
@@ -176,6 +183,16 @@ def main(argv: list[str] | None = None) -> int:
         "(seed it with operators.merge_into.seed_bucketed_table)",
     )
     l.add_argument("--n-buckets", type=int, default=1024)
+    l.add_argument(
+        "--evolve",
+        choices=["reject", "rewrite"],
+        default="reject",
+        help="bucketed layout only: fragment columns the table lacks "
+        "are DROPPED by default (the loader's P4 schema-intersection "
+        "parity; 'reject' is what the binding would do if they got "
+        "through); 'rewrite' keeps them and widens the whole table "
+        "once",
+    )
     l.set_defaults(fn=_cmd_load_batch)
 
     b = sub.add_parser("bench")

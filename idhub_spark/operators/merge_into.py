@@ -286,6 +286,16 @@ def partition_pruned_upsert(
     # predates the rewrite, so any action on it must run first.
     n_total = current.select(bucket_col).distinct().count()
     cur_sub = current.filter(F.col(bucket_col).isin(touched))
+    if new_cols:
+        # widen CURRENT with the new columns as typed NULLs before
+        # classification: the table "has" the column now, all existing
+        # values NULL — so a row whose only delta is a value in a new
+        # column classifies 'updated' (and audits NULL -> value)
+        # instead of silently 'unchanged'
+        for c in new_cols:
+            cur_sub = cur_sub.withColumn(
+                c, F.lit(None).cast(incoming.schema[c].dataType)
+            )
     mr = merge_upsert(
         inc, cur_sub, natural_key, mode=mode, immutable=list(immutable or []) + [bucket_col]
     )

@@ -57,6 +57,7 @@ def load_batch(
     batch_id: str,
     report: dict | None = None,
     resolutions: DataFrame | None = None,
+    keep_new_columns: bool = False,
 ) -> LoadResult:
     report = report or {}
     natural_key = NATURAL_KEYS.get(table_name, [fragment.columns[0]])
@@ -101,7 +102,13 @@ def load_batch(
         )
 
     # schema-intersection projection (P4): only columns the target has
-    incoming = incoming.select(*[c for c in incoming.columns if c in current.columns])
+    # (loader.py drops unknown columns by design). keep_new_columns is
+    # the schema-EVOLUTION variant: fragment-only columns survive into
+    # the merge so an evolve='rewrite' binding can widen the table.
+    if not keep_new_columns:
+        incoming = incoming.select(
+            *[c for c in incoming.columns if c in current.columns]
+        )
 
     merge = merge_upsert(
         incoming,

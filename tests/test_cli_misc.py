@@ -154,3 +154,40 @@ def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
     # self-overwrite ordering the CLI must preserve)
     audit = spark.read.parquet(audit_out)
     assert audit.filter(audit.field == "sample_type").count() == 1
+
+
+def test_cli_load_batch_bucketed_evolve(spark, tmp_path, capsys):
+    """--layout bucketed --evolve rewrite: a fragment carrying a NEW
+    column widens the whole table once (P4's drop-unknown default is
+    explicitly overridden); by default the unknown column is DROPPED
+    (loader P4 parity) and the table's schema never changes."""
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+
+    base = spark.createDataFrame(
+        [(f"S{i}", "blood", f"GSID-{i}") for i in range(4)],
+        ["sample_id", "sample_type", "global_subject_id"],
+    )
+    root = str(tmp_path / "specimen_evo")
+    seed_bucketed_table(base, root, ["sample_id"], n_buckets=4)
+    frag = tmp_path / "frag_evo.parquet"
+    spark.createDataFrame(
+        [("S1", "blood", "GSID-1", "lab9")],
+        ["sample_id", "sample_type", "global_subject_id", "lab_source"],
+    ).write.parquet(str(frag))
+
+    common = [
+        "load-batch", "--fragment", str(frag), "--current", root,
+        "--table", "specimen", "--batch-id", "batch_20260814_e1",
+        "--layout", "bucketed", "--n-buckets", "4", "--approve",
+    ]
+    # default: P4 drops the unknown column — load succeeds, schema
+    # untouched (the reference loader's drop-unknown contract)
+    assert cli.main(common) == 0
+    capsys.readouterr()
+    assert "lab_source" not in spark.read.parquet(root).columns
+
+    assert cli.main(common + ["--evolve", "rewrite"]) == 0
+    final = spark.read.parquet(root)  # plain read: schema-uniform
+    rows = {r.sample_id: r.lab_source for r in final.collect()}
+    assert rows["S1"] == "lab9"
+    assert rows["S2"] is None and len(rows) == 4
