@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from idhub_spark.config import load_mapping
@@ -70,6 +71,9 @@ def _cmd_load_batch(args) -> int:
     fragment = parquet_scan(spark, args.fragment)
     current = parquet_scan(spark, args.current)
     natural_key = NATURAL_KEYS.get(args.table, [fragment.columns[0]])
+    resolutions = (
+        parquet_scan(spark, args.resolutions) if args.resolutions else None
+    )
     if args.layout == "bucketed":
         from pyspark.sql import functions as F
 
@@ -91,15 +95,24 @@ def _cmd_load_batch(args) -> int:
         # are identical; 'orphan' becomes slice-bounded (it was never a
         # batch statistic — classify_changes counts the whole registry
         # as orphans for any small fragment).
-        inc_buckets = [
-            r[0]
-            for r in fragment.select(
-                bucket_expr(natural_key, args.n_buckets).alias("_b")
+        if resolutions is None:
+            inc_buckets = [
+                r[0]
+                for r in fragment.select(
+                    bucket_expr(natural_key, args.n_buckets).alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            current = current.filter(F.col("_bucket").isin(inc_buckets)).drop(
+                "_bucket"
             )
-            .distinct()
-            .collect()
-        ]
-        current = current.filter(F.col("_bucket").isin(inc_buckets)).drop("_bucket")
+        else:
+            # resolution-driven deletes can hit buckets the fragment
+            # doesn't touch: classification must see the full registry
+            # for this (rare, human-curated) path, and the physical
+            # delete keys flow to partition_pruned_upsert below
+            current = current.drop("_bucket")
     elif args.approve and not args.out:
         print("--out is required for --approve with layout=snapshot", file=sys.stderr)
         return 2
@@ -108,6 +121,7 @@ def _cmd_load_batch(args) -> int:
         current,
         table_name=args.table,
         batch_id=args.batch_id,
+        resolutions=resolutions,
         # evolution is a bucketed-binding capability: P4's drop-unknown
         # default stays unless the operator explicitly asked to widen
         keep_new_columns=(args.layout == "bucketed" and args.evolve == "rewrite"),
@@ -119,6 +133,29 @@ def _cmd_load_batch(args) -> int:
                       "stats": stats}))
     if args.approve:
         if args.audit_out:
+            # layout guard (r7 ADVICE): audit stores written by the
+            # pre-batch-subdir CLI hold flat parquet files at the
+            # root; mixing them with batch=<id> subdirs makes
+            # spark.read.parquet(audit_out) fail on conflicting
+            # directory structures. Refuse with a migration hint
+            # (local-path best-effort; object stores skip the check).
+            try:
+                legacy = [
+                    f
+                    for f in os.listdir(args.audit_out)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                ]
+            except OSError:
+                legacy = []
+            if legacy:
+                print(
+                    f"audit store at {args.audit_out} holds legacy flat "
+                    f"files ({legacy[:3]}...): move them into a "
+                    "batch=<id> subdir (their rows carry batch_id) "
+                    "before writing new audits here",
+                    file=sys.stderr,
+                )
+                return 2
             # BEFORE any in-place rewrite: the audit lineage reads the
             # pre-write registry files (self-overwrite hazard,
             # operators/merge_into.py two-phase-write note). One
@@ -146,6 +183,9 @@ def _cmd_load_batch(args) -> int:
                 mode=UPDATE_STRATEGIES.get(args.table, "upsert"),
                 immutable=IMMUTABLE_FIELDS.get(args.table, []),
                 evolve=args.evolve,
+                # resolution-driven deletes reach the disk too — the
+                # pruned path only ever inserted/updated before
+                delete_keys=res.deleted_keys,
             )
         else:
             tmp = args.out + ".staged"
@@ -173,6 +213,12 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--batch-id", required=True)
     l.add_argument("--out")
     l.add_argument("--audit-out")
+    l.add_argument(
+        "--resolutions",
+        help="parquet of conflict resolutions; use_incoming/delete_both "
+        "rows delete their existing-side match (bucketed layout "
+        "deletes on disk via delete_keys)",
+    )
     l.add_argument("--approve", action="store_true")
     l.add_argument(
         "--layout",

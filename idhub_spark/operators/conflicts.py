@@ -196,6 +196,32 @@ def apply_resolutions_existing(
     return _ci_anti_join(existing, excl, key)
 
 
+def resolution_deleted_rows(
+    existing: DataFrame, resolutions: DataFrame, key: list[str]
+) -> DataFrame:
+    """The complement of apply_resolutions_existing: the existing rows
+    a use_incoming/delete_both resolution REMOVES (same case-
+    insensitive matching). A physical binding needs these as exact
+    rows — the logical anti-join only drops them from the in-memory
+    frame, and a pruned on-disk rewrite that never learns their
+    natural keys would leave them alive in untouched buckets
+    (operators/merge_into.py delete_keys)."""
+    excl = resolutions.filter(
+        F.col("resolution_action").isin("use_incoming", "delete_both")
+    ).select(*key).distinct()
+    if "local_subject_id" not in key:
+        return existing.join(F.broadcast(excl), key, "left_semi")
+    jkey = [("_lid" if k == "local_subject_id" else k) for k in key]
+    keys_ci = excl.withColumn("_lid", F.lower("local_subject_id")).drop(
+        "local_subject_id"
+    )
+    return (
+        existing.withColumn("_lid", F.lower("local_subject_id"))
+        .join(F.broadcast(keys_ci), jkey, "left_semi")
+        .drop("_lid")
+    )
+
+
 def apply_center_updates(
     subjects: DataFrame,
     local_ids: DataFrame,

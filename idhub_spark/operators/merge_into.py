@@ -32,6 +32,7 @@ snapshots.SnapshotStore when full atomicity matters more than I/O.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from dataclasses import dataclass
@@ -44,6 +45,7 @@ from idhub_spark.operators.merge import MODES, merge_upsert
 
 DEFAULT_BUCKETS = 1024
 _LAYOUT_FILE = "_layout.json"
+_MERGE_VIEW_SEQ = itertools.count()
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -138,6 +140,20 @@ def bucket_expr(natural_key: list[str], n_buckets: int):
     )
 
 
+def _q(col: str) -> str:
+    """Backtick-quote one identifier (embedded backticks doubled) — a
+    reserved-word or hyphenated column name must emit a parseable,
+    correct MERGE, not just the well-formed-name happy path."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def _qt(name: str) -> str:
+    """Quote a possibly multi-part table/view name part-by-part
+    (db.tbl -> `db`.`tbl`). A part with a literal dot in it must be
+    pre-quoted by the caller."""
+    return ".".join(_q(p) for p in name.split("."))
+
+
 def merge_into_sql(
     *,
     target: str,
@@ -172,15 +188,15 @@ def merge_into_sql(
     # dedupe while keeping order: update_cols overlapping the key (or
     # repeated) must not yield INSERT (k, k, ...)
     ins = list(dict.fromkeys(insert_cols or list(natural_key) + list(update_cols)))
-    on = " AND ".join(f"t.{k} = s.{k}" for k in natural_key)
-    parts = [f"MERGE INTO {target} t", f"USING {source} s", f"ON {on}"]
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in natural_key)
+    parts = [f"MERGE INTO {_qt(target)} t", f"USING {_qt(source)} s", f"ON {on}"]
     if mode in ("upsert", "update_only") and upd:
-        changed = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in upd)
-        sets = ", ".join(f"t.{c} = s.{c}" for c in upd)
+        changed = " OR ".join(f"NOT (t.{_q(c)} <=> s.{_q(c)})" for c in upd)
+        sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in upd)
         parts.append(f"WHEN MATCHED AND ({changed}) THEN UPDATE SET {sets}")
     if mode in ("upsert", "insert_only"):
-        cols = ", ".join(ins)
-        vals = ", ".join(f"s.{c}" for c in ins)
+        cols = ", ".join(_q(c) for c in ins)
+        vals = ", ".join(f"s.{_q(c)}" for c in ins)
         parts.append(f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})")
     if len(parts) == 3:
         # zero WHEN clauses (update_only with every update_col immutable
@@ -198,6 +214,7 @@ class PrunedUpsertStats:
     n_buckets_touched: int  # buckets containing any incoming key
     n_buckets_rewritten: int  # buckets with >=1 actual insert/update
     rows_rewritten: int  # final row count of the rewritten buckets
+    rows_deleted: int = 0  # existing rows removed via delete_keys
 
 
 def partition_pruned_upsert(
@@ -212,20 +229,38 @@ def partition_pruned_upsert(
     mode: str = "upsert",
     immutable: list[str] | None = None,
     evolve: str = "reject",
+    delete_keys: DataFrame | None = None,
 ) -> PrunedUpsertStats:
     """Upsert `incoming` into the bucket-partitioned parquet table at
     `table_root`, rewriting only the bucket partitions that contain an
     actual insert or update.
 
     Schema evolution: an incoming batch carrying columns the table
-    lacks would leave MIXED per-partition schemas (rewritten buckets
-    get the new column, untouched buckets keep the old file schema),
-    which a plain parquet read silently mis-serves. evolve='reject'
-    (default) raises up front; evolve='rewrite' widens the WHOLE
-    table in the same pass (every bucket rewrites, new columns NULL
-    where absent) — the one-time cost Delta pays for schema evolution
-    too, made explicit here. The snapshot path (incremental
-    layout='snapshot') evolves for free since it always rewrites.
+    lacks — or a SHARED column whose type differs (int widened to
+    bigint, decimal precision bump) — would leave MIXED per-partition
+    schemas/types (rewritten buckets get the new shape, untouched
+    buckets keep the old file schema), which a plain parquet read
+    silently mis-serves. evolve='reject' (default) raises up front on
+    both; evolve='rewrite' widens the WHOLE table in the same pass
+    (every bucket rewrites; new columns NULL where absent, type-
+    changed columns cast to the incoming type — ANSI cast, so a
+    narrowing that would lose data raises instead of corrupting) —
+    the one-time cost Delta pays for schema evolution too, made
+    explicit here. The reference instead coerces incoming to the
+    table schema up front (table-loader/services/
+    data_transformer.py:148-217); same invariant, opposite authority.
+    The snapshot path (incremental layout='snapshot') evolves for
+    free since it always rewrites.
+
+    Deletions: `delete_keys` (a frame carrying the natural-key
+    columns) removes matching existing rows in the same pass —
+    the physical binding for resolution-driven deletes
+    (use_incoming/delete_both, operators/conflicts.py
+    apply_resolutions_existing): deleted-then-reinserted keys
+    classify 'new' exactly like the reference's delete-then-insert.
+    Buckets whose only change is a deletion rewrite too. Without this
+    parameter a resolution-driven delete would silently survive on
+    disk — the pruned path only ever inserted/updated (r7 ADVICE).
 
     Scale shape (the whole point):
     - the current-table scan is PARTITION-PRUNED to the buckets
@@ -265,14 +300,35 @@ def partition_pruned_upsert(
     touched = [r[0] for r in inc.select(bucket_col).distinct().collect()]
     current = spark.read.parquet(table_root)
     new_cols = [c for c in incoming.columns if c not in current.columns]
-    if new_cols and evolve == "reject":
+    # dtype-evolution guard: a widened SHARED column slips past a
+    # name-only check, and unionByName's silent coercion would leave
+    # mixed per-file types between rewritten and untouched buckets —
+    # the same failure mode as a new column, via types
+    changed_types = [
+        (c, current.schema[c].dataType.simpleString(),
+         incoming.schema[c].dataType.simpleString())
+        for c in incoming.columns
+        if c in current.columns
+        and c != bucket_col
+        and incoming.schema[c].dataType != current.schema[c].dataType
+    ]
+    widen = bool(new_cols) or bool(changed_types)
+    if widen and evolve == "reject":
+        what = []
+        if new_cols:
+            what.append(f"new columns {new_cols}")
+        if changed_types:
+            what.append(
+                "type changes "
+                + ", ".join(f"{c}: {old} -> {new}" for c, old, new in changed_types)
+            )
         raise ValueError(
-            f"incoming carries columns {new_cols} absent from the table at "
+            f"incoming carries {' and '.join(what)} vs the table at "
             f"{table_root}; a pruned rewrite would leave mixed per-partition "
             "schemas. Pass evolve='rewrite' to widen the whole table (full "
-            "rewrite), or drop the columns."
+            "rewrite), or align the incoming schema."
         )
-    if new_cols:
+    if widen:
         # widen every bucket in this pass: pruning is disabled for the
         # one evolving batch (touched := all buckets), so the table
         # comes out schema-uniform
@@ -280,6 +336,16 @@ def partition_pruned_upsert(
             r[0] for r in current.select(bucket_col).distinct().collect()
         ] + [b for b in touched if b is not None]
         touched = list(dict.fromkeys(touched))
+    dk = None
+    if delete_keys is not None:
+        dk = delete_keys.select(*natural_key).distinct()
+        # deletions can touch buckets the incoming batch doesn't:
+        # widen the pruned scan to them before cur_sub is built
+        dk_buckets = [
+            r[0]
+            for r in dk.select(bucket_of(dk).alias(bucket_col)).distinct().collect()
+        ]
+        touched = touched + [b for b in dk_buckets if b not in set(touched)]
     # bucket_col is a partition column: this distinct reads no data
     # columns (values come from directory names), it is listing-bound.
     # Computed BEFORE the overwrite — current's file index snapshot
@@ -296,6 +362,27 @@ def partition_pruned_upsert(
             cur_sub = cur_sub.withColumn(
                 c, F.lit(None).cast(incoming.schema[c].dataType)
             )
+    for c, _, _ in changed_types:
+        # incoming's type is authoritative under evolve='rewrite';
+        # ANSI cast raises on a value the new type can't hold
+        cur_sub = cur_sub.withColumn(
+            c, F.col(c).cast(incoming.schema[c].dataType)
+        )
+    rows_deleted = 0
+    del_buckets: list = []
+    if dk is not None:
+        # count actual delete hits per bucket (driver-safe: bounded by
+        # n_buckets rows) BEFORE dropping them ahead of classification;
+        # a bucket whose only change is a deletion must rewrite too
+        per_bucket = (
+            cur_sub.join(dk, natural_key, "left_semi")
+            .groupBy(bucket_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        del_buckets = [r[0] for r in per_bucket]
+        rows_deleted = sum(r["n"] for r in per_bucket)
+        cur_sub = cur_sub.join(dk, natural_key, "left_anti")
     mr = merge_upsert(
         inc, cur_sub, natural_key, mode=mode, immutable=list(immutable or []) + [bucket_col]
     )
@@ -308,9 +395,9 @@ def partition_pruned_upsert(
     # key through the SAME bucket function so a custom bucket_of stays
     # authoritative end to end
     cls = mr.classified
-    if new_cols:
-        # evolving batch: every bucket rewrites so the new columns
-        # exist uniformly, changes or not
+    if widen:
+        # evolving batch: every bucket rewrites so the new columns /
+        # types exist uniformly, changes or not
         rewrite = touched
     else:
         active = (
@@ -319,6 +406,8 @@ def partition_pruned_upsert(
             .distinct()
         )
         rewrite = [r[0] for r in active.collect()]
+        # deletion-only buckets rewrite as well
+        rewrite = rewrite + [b for b in del_buckets if b not in set(rewrite)]
     merged = mr.merged.withColumn(
         bucket_col, F.coalesce(F.col(bucket_col), bucket_of(mr.merged))
     )
@@ -347,16 +436,40 @@ def partition_pruned_upsert(
             .partitionBy(bucket_col)
             .parquet(staging)
         )
-        staged = spark.read.parquet(staging)
-        rows_rewritten = staged.count()
-        (
-            staged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucket_col)
-            .parquet(table_root)
-        )
-        # hadoop fs delete (not shutil): table_root may be s3a://
+        present: set = set()
+        try:
+            staged = spark.read.parquet(staging)
+            rows_rewritten = staged.count()
+        except AnalysisException:
+            # every rewrite bucket emptied by deletions: the staged
+            # write produced no files at all (schema-less dir)
+            staged, rows_rewritten = None, 0
+        if staged is not None and rows_rewritten:
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(bucket_col)
+                .parquet(table_root)
+            )
+            if del_buckets:
+                present = {
+                    r[0] for r in staged.select(bucket_col).distinct().collect()
+                }
         jsc = spark.sparkContext
+        if del_buckets:
+            # dynamic partition overwrite replaces only partitions
+            # PRESENT in the written data — a bucket whose every row
+            # was deleted is absent from the staged image, so its old
+            # files would silently survive. Drop those partition
+            # directories explicitly (hadoop fs: s3a-safe).
+            for b in rewrite:
+                if b in present:
+                    continue
+                jdir = jsc._jvm.org.apache.hadoop.fs.Path(
+                    table_root.rstrip("/") + f"/{bucket_col}={b}"
+                )
+                jdir.getFileSystem(jsc._jsc.hadoopConfiguration()).delete(jdir, True)
+        # hadoop fs delete (not shutil): table_root may be s3a://
         jpath = jsc._jvm.org.apache.hadoop.fs.Path(staging)
         jpath.getFileSystem(jsc._jsc.hadoopConfiguration()).delete(jpath, True)
     return PrunedUpsertStats(
@@ -364,6 +477,7 @@ def partition_pruned_upsert(
         n_buckets_touched=len(touched),
         n_buckets_rewritten=len(rewrite),
         rows_rewritten=rows_rewritten,
+        rows_deleted=rows_deleted,
     )
 
 
@@ -431,42 +545,49 @@ def apply_merge(
     Returns which path ran ('merge_into' | 'partition_pruned').
     """
     if target_table:
-        view = "_incoming_merge_src"
+        # monotonic suffix: two interleaved apply_merge calls in one
+        # session must not clobber each other's source view (a fixed
+        # name would silently merge the wrong incoming batch); dropped
+        # in the finally below so no view leaks either way
+        view = f"_incoming_merge_src_{next(_MERGE_VIEW_SEQ)}"
         incoming.createOrReplaceTempView(view)
-        stmt = merge_into_sql(
-            target=target_table,
-            source=view,
-            natural_key=natural_key,
-            update_cols=update_cols,
-            mode=mode,
-            immutable=immutable,
-        )
         try:
-            spark.sql(stmt)
-            return "merge_into"
-        except (AnalysisException, UnsupportedOperationException) as e:
-            # Fall back ONLY for "this catalog/table can't do row-level
-            # ops" — a typo'd table or column is a caller error and
-            # must surface, not silently reroute the write to a second
-            # copy of the registry at table_root.
-            get_cls = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", lambda: None
+            stmt = merge_into_sql(
+                target=target_table,
+                source=view,
+                natural_key=natural_key,
+                update_cols=update_cols,
+                mode=mode,
+                immutable=immutable,
             )
-            cls = (get_cls() or "").upper()
-            if cls:
-                # class-bearing exceptions: match unsupported-operation
-                # classes exactly-ish; UNRESOLVED_*/TABLE_OR_VIEW_* and
-                # other caller errors re-raise
-                unsupported = "UNSUPPORTED" in cls or "NOT_SUPPORTED" in cls
-            else:
-                # legacy class-less exceptions: message is all we have
-                msg = str(e).upper()
-                unsupported = (
-                    "MERGE INTO TABLE IS NOT SUPPORTED" in msg
-                    or "DOES NOT SUPPORT" in msg
+            try:
+                spark.sql(stmt)
+                return "merge_into"
+            except (AnalysisException, UnsupportedOperationException) as e:
+                # Fall back ONLY for "this catalog/table can't do
+                # row-level ops" — a typo'd table or column is a caller
+                # error and must surface, not silently reroute the
+                # write to a second copy of the registry at table_root.
+                get_cls = getattr(e, "getCondition", None) or getattr(
+                    e, "getErrorClass", lambda: None
                 )
-            if not unsupported or table_root is None:
-                raise
+                cls = (get_cls() or "").upper()
+                if cls:
+                    # class-bearing exceptions: match unsupported-
+                    # operation classes exactly-ish; UNRESOLVED_* /
+                    # TABLE_OR_VIEW_* and other caller errors re-raise
+                    unsupported = "UNSUPPORTED" in cls or "NOT_SUPPORTED" in cls
+                else:
+                    # legacy class-less exceptions: message is all we have
+                    msg = str(e).upper()
+                    unsupported = (
+                        "MERGE INTO TABLE IS NOT SUPPORTED" in msg
+                        or "DOES NOT SUPPORT" in msg
+                    )
+                if not unsupported or table_root is None:
+                    raise
+        finally:
+            spark.catalog.dropTempView(view)
     if table_root is None:
         raise ValueError("apply_merge needs target_table or table_root")
     partition_pruned_upsert(

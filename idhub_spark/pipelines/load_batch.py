@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from idhub_spark.operators.conflicts import (
     apply_resolutions,
     apply_resolutions_existing,
+    resolution_deleted_rows,
 )
 from idhub_spark.operators.merge import MergeResult, merge_upsert
 from idhub_spark.schema import (
@@ -47,6 +48,13 @@ class LoadResult:
     # should persist when the caller writes bucketed instead of
     # snapshot
     incoming: DataFrame = None
+    # existing rows use_incoming/delete_both resolutions REMOVED from
+    # the logical current. The snapshot layout persists their absence
+    # for free (it writes the full merged image); the bucketed layout
+    # MUST pass their keys to partition_pruned_upsert(delete_keys=...)
+    # or the deletions silently survive on disk (r7 ADVICE). None when
+    # no resolutions were supplied.
+    deleted_keys: DataFrame | None = None
 
 
 def load_batch(
@@ -71,6 +79,7 @@ def load_batch(
     incoming = fragment.drop(*[c for c in exclude if c in fragment.columns])
 
     # resolved-conflict exclusion set (F3, loader.py:124-171)
+    deleted_keys = None
     if resolutions is not None:
         key = [k for k in ("local_subject_id", "identifier_type") if k in incoming.columns]
         if key:
@@ -92,6 +101,11 @@ def load_batch(
                     "center_id", F.col("existing_center_id")
                 )
                 ekey = ["center_id", *key]
+            # exact rows being removed, captured BEFORE the anti-join
+            # so a bucketed binding can delete them on disk too
+            deleted_keys = resolution_deleted_rows(current, res_e, ekey).select(
+                *[k for k in natural_key if k in current.columns]
+            )
             current = apply_resolutions_existing(current, res_e, ekey)
 
     # invalid-GSID row filter (F2, data_transformer.py:120-134)
@@ -148,4 +162,9 @@ def load_batch(
         "rows_updated",
         "rows_unchanged",
     )
-    return LoadResult(merge=merge, bookkeeping=bookkeeping, incoming=incoming)
+    return LoadResult(
+        merge=merge,
+        bookkeeping=bookkeeping,
+        incoming=incoming,
+        deleted_keys=deleted_keys,
+    )

@@ -72,7 +72,10 @@ def _run_upsert(spark, sf_dir, *, force: bool):
     cust = t["customer"].select("c_custkey", "c_name", "c_acctbal")
     root = os.path.join(
         tempfile.gettempdir(),
-        f"idhub_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+        # PID-scoped like the streaming memory-sink names: two
+        # concurrent driver/bench processes must not rmtree and
+        # rewrite each other's seeded table mid-run
+        f"idhub_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
     seed_bucketed_table(

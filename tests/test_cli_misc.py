@@ -156,6 +156,103 @@ def test_cli_load_batch_bucketed_layout(spark, tmp_path, capsys):
     assert audit.filter(audit.field == "sample_type").count() == 1
 
 
+def test_cli_load_batch_bucketed_resolutions_delete_on_disk(
+    spark, tmp_path, capsys
+):
+    """--resolutions on the bucketed layout: use_incoming deletes the
+    existing row then re-inserts the fragment's (case-insensitive
+    match), delete_both removes it from disk entirely — the pruned
+    path must receive the delete keys or the rows silently survive
+    (r7 ADVICE)."""
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+    from idhub_spark.schema import NATURAL_KEYS
+
+    key = NATURAL_KEYS["local_subject_ids"]
+    base = spark.createDataFrame(
+        [(f"l{i}", "mrn", f"GSID-{i}") for i in range(6)],
+        ["local_subject_id", "identifier_type", "global_subject_id"],
+    )
+    root = str(tmp_path / "lsid_bucketed")
+    seed_bucketed_table(base, root, key, n_buckets=4)
+
+    frag = tmp_path / "frag_res.parquet"
+    spark.createDataFrame(
+        [("l1", "mrn", "GSID-1-upd"), ("L3", "mrn", "GSID-3-new")],
+        ["local_subject_id", "identifier_type", "global_subject_id"],
+    ).write.parquet(str(frag))
+    res = tmp_path / "res.parquet"
+    spark.createDataFrame(
+        # resolution rows carry the INCOMING casing; existing rows are
+        # lowercase — matching must be case-insensitive
+        [("L3", "mrn", "use_incoming"), ("L5", "mrn", "delete_both")],
+        ["local_subject_id", "identifier_type", "resolution_action"],
+    ).write.parquet(str(res))
+
+    rc = cli.main(
+        [
+            "load-batch",
+            "--fragment", str(frag),
+            "--current", root,
+            "--table", "local_subject_ids",
+            "--batch-id", "batch_20260814_r1",
+            "--layout", "bucketed",
+            "--n-buckets", "4",
+            "--resolutions", str(res),
+            "--approve",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    final = {
+        r.local_subject_id: r.global_subject_id
+        for r in spark.read.parquet(root).collect()
+    }
+    assert "l5" not in final and "L5" not in final  # delete_both: gone from disk
+    assert final["L3"] == "GSID-3-new" and "l3" not in final  # delete+reinsert
+    assert final["l1"] == "GSID-1-upd"
+    assert len(final) == 5  # 6 - 2 deleted + 1 reinserted (l1 updates in place)
+
+
+def test_cli_audit_out_refuses_legacy_flat_layout(spark, tmp_path, capsys):
+    """An audit store written by the pre-batch-subdir CLI (flat
+    parquet at the root) must be refused, not silently mixed with
+    batch=<id> subdirs (conflicting directory structures break the
+    read)."""
+    from idhub_spark.operators.merge_into import seed_bucketed_table
+
+    base = spark.createDataFrame(
+        [("S1", "blood", "GSID-1")],
+        ["sample_id", "sample_type", "global_subject_id"],
+    )
+    root = str(tmp_path / "spec_legacy")
+    seed_bucketed_table(base, root, ["sample_id"], n_buckets=2)
+    frag = tmp_path / "frag_l.parquet"
+    spark.createDataFrame(
+        [("S1", "dna", "GSID-1")],
+        ["sample_id", "sample_type", "global_subject_id"],
+    ).write.parquet(str(frag))
+
+    audit_out = tmp_path / "audit_legacy"
+    audit_out.mkdir()
+    (audit_out / "part-0000.parquet").write_bytes(b"legacy")
+
+    rc = cli.main(
+        [
+            "load-batch",
+            "--fragment", str(frag),
+            "--current", root,
+            "--table", "specimen",
+            "--batch-id", "batch_20260814_l1",
+            "--layout", "bucketed",
+            "--n-buckets", "2",
+            "--approve",
+            "--audit-out", str(audit_out),
+        ]
+    )
+    assert rc == 2
+    assert "legacy flat" in capsys.readouterr().err
+
+
 def test_cli_load_batch_bucketed_evolve(spark, tmp_path, capsys):
     """--layout bucketed --evolve rewrite: a fragment carrying a NEW
     column widens the whole table once (P4's drop-unknown default is

@@ -294,14 +294,26 @@ def test_merge_into_sql_shape_and_parses(spark):
         update_cols=["name", "center_id", "created_at"],
         immutable=["created_at"],
     )
-    assert "MERGE INTO subjects t" in stmt
-    assert "ON t.gsid = s.gsid" in stmt
-    assert "NOT (t.name <=> s.name)" in stmt
-    assert "t.created_at = s.created_at" not in stmt  # immutable
-    assert "NOT (t.created_at <=> s.created_at)" not in stmt
-    assert "INSERT (gsid, name, center_id, created_at)" in stmt  # inserts keep it
+    assert "MERGE INTO `subjects` t" in stmt
+    assert "ON t.`gsid` = s.`gsid`" in stmt
+    assert "NOT (t.`name` <=> s.`name`)" in stmt
+    assert "created_at` = s.`created_at" not in stmt  # immutable
+    assert "NOT (t.`created_at` <=> s.`created_at`)" not in stmt
+    # inserts keep the immutable column
+    assert "INSERT (`gsid`, `name`, `center_id`, `created_at`)" in stmt
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(stmt)  # raises ParseException on bad syntax
+
+    # reserved-word / non-identifier names must still emit parseable
+    # SQL (identifiers are backtick-quoted)
+    ugly = merge_into_sql(
+        target="db.select", source="s 1", natural_key=["order-date"],
+        update_cols=["from", "a`b"],
+    )
+    assert "MERGE INTO `db`.`select` t" in ugly
+    assert "t.`order-date` = s.`order-date`" in ugly
+    assert "t.`from` = s.`from`" in ugly and "`a``b`" in ugly
+    parser.parsePlan(ugly)
 
     ins = merge_into_sql(
         target="t1", source="s1", natural_key=["k"], update_cols=["v"],
@@ -375,6 +387,126 @@ def test_partition_pruned_upsert_schema_evolution(spark, tmp_path):
     assert rows[1] == (1.0, None) and len(rows) == 16
 
 
+def test_partition_pruned_upsert_dtype_evolution(spark, tmp_path):
+    """A type-widened SHARED column (int -> bigint) must not slip past
+    evolve='reject' on a name-only check: mixed per-file column types
+    between rewritten and untouched buckets are the same silent
+    corruption as a half-added column. evolve='rewrite' adopts the
+    incoming type for the WHOLE table (reference coerces up front
+    instead: data_transformer.py:148-217)."""
+    import pytest
+
+    from idhub_spark.operators.merge_into import (
+        partition_pruned_upsert,
+        seed_bucketed_table,
+    )
+
+    bucket_of = lambda df: (F.col("k") % 8).cast("int")  # noqa: E731
+    root = str(tmp_path / "reg_dtype")
+    cur = spark.createDataFrame(
+        [(k, k * 10) for k in range(16)], "k bigint, val int"
+    )
+    seed_bucketed_table(cur, root, ["k"], n_buckets=8, bucket_of=bucket_of)
+
+    incoming = spark.createDataFrame([(0, 999)], "k bigint, val bigint")
+    with pytest.raises(ValueError, match="type changes val: int -> bigint"):
+        partition_pruned_upsert(
+            spark, root, incoming, ["k"], n_buckets=8, bucket_of=bucket_of
+        )
+
+    stats = partition_pruned_upsert(
+        spark, root, incoming, ["k"], n_buckets=8, bucket_of=bucket_of,
+        evolve="rewrite",
+    )
+    assert stats.n_buckets_rewritten == 8  # whole table re-typed
+    final = spark.read.parquet(root)  # plain read, no mergeSchema
+    assert dict(final.dtypes)["val"] == "bigint"
+    rows = {r.k: r.val for r in final.collect()}
+    assert rows[0] == 999 and rows[1] == 10 and len(rows) == 16
+    # every bucket file carries the new type, not just the updated one
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(f"{root}/_bucket=*/*.parquet"):
+        assert pq.read_schema(f).field("val").type == "int64", f
+
+
+def test_partition_pruned_upsert_delete_keys(spark, tmp_path):
+    """Resolution-driven deletions reach the disk: delete_keys rows
+    vanish from the table, a deletion-only bucket rewrites, untouched
+    buckets keep their files, and a deleted-then-reincoming key
+    classifies 'new' (the use_incoming delete-then-insert shape)."""
+    import time
+
+    from idhub_spark.operators.merge_into import partition_pruned_upsert
+
+    bucket_of = lambda df: (F.col("k") % 8).cast("int")  # noqa: E731
+    root = str(tmp_path / "reg_del")
+    _seed_small_registry(spark, root)
+    before = _partition_files(root)
+    time.sleep(1.1)
+
+    # delete k=1 and k=9 (bucket 1, no incoming there) and k=2
+    # (bucket 2, re-inserted by incoming with a new value)
+    deletes = spark.createDataFrame([(1,), (9,), (2,)], "k bigint")
+    incoming = spark.createDataFrame([(2, "reborn", 55.0)], ["k", "name", "val"])
+    stats = partition_pruned_upsert(
+        spark, root, incoming, ["k"], n_buckets=8, bucket_of=bucket_of,
+        delete_keys=deletes,
+    )
+    assert stats.rows_deleted == 3
+    # bucket 2 (delete+insert) and bucket 1 (deletion-only) rewrite
+    assert stats.n_buckets_rewritten == 2
+
+    final = {r.k: r.val for r in spark.read.parquet(root).collect()}
+    assert 1 not in final and 9 not in final
+    assert final[2] == 55.0  # delete-then-insert won
+    assert len(final) == 14  # 16 - 3 deleted + 1 reinserted
+    after = _partition_files(root)
+    assert 1 not in after  # fully-emptied bucket: directory dropped
+    for b in range(8):
+        if b in (1, 2):
+            assert after.get(b) != before[b], f"bucket {b} should be rewritten"
+        else:
+            assert after[b] == before[b], f"bucket {b} must be untouched"
+
+    # deleting a key that does not exist is a no-op
+    ghost = spark.createDataFrame([(999,)], "k bigint")
+    s2 = partition_pruned_upsert(
+        spark, root, spark.createDataFrame([], "k bigint, name string, val double"),
+        ["k"], n_buckets=8, bucket_of=bucket_of, delete_keys=ghost,
+    )
+    assert s2.rows_deleted == 0 and s2.n_buckets_rewritten == 0
+
+
+def test_apply_merge_view_hygiene(spark, tmp_path):
+    """apply_merge must not leak (or reuse) its temp source view: two
+    calls in one session get distinct names and both drop afterwards —
+    a fixed name would let interleaved merges clobber each other's
+    source (r7 ADVICE)."""
+    from idhub_spark.operators.merge_into import apply_merge
+
+    for i, (key, val) in enumerate([(0, 41.0), (1, 43.0)]):
+        root = str(tmp_path / f"reg_vh{i}")
+        _seed_small_registry(spark, root)
+        spark.read.parquet(root).createOrReplaceTempView(f"_vh_target{i}")
+        incoming = spark.createDataFrame([(key, f"n{key}", val)], ["k", "name", "val"])
+        path = apply_merge(
+            spark, incoming, target_table=f"_vh_target{i}", table_root=root,
+            natural_key=["k"], update_cols=["name", "val"], n_buckets=8,
+            bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+        )
+        assert path == "partition_pruned"
+        assert {r.k: r.val for r in spark.read.parquet(root).collect()}[key] == val
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("_incoming_merge_src")
+    ]
+    assert leftovers == []
+
+
 def test_partition_pruned_upsert_empty_and_noop_batches(spark, tmp_path):
     """Degenerate batches: an EMPTY incoming frame and an all-unchanged
     batch must both rewrite zero buckets and leave the table files
@@ -428,7 +560,7 @@ def test_apply_merge_surfaces_caller_errors(spark, tmp_path):
                        mode="update_only")
     stmt = merge_into_sql(target="t", source="s", natural_key=["k"],
                           update_cols=["k", "v", "v"])
-    assert "INSERT (k, v)" in stmt  # deduped
+    assert "INSERT (`k`, `v`)" in stmt  # deduped
 
 
 def test_partition_pruned_upsert_rejects_layout_mismatch(spark, tmp_path):
