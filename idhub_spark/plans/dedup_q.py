@@ -154,6 +154,36 @@ def _sql_minhash(i):
     return f"min(md5(CAST({i} AS VARCHAR) || ':' || sh))"
 
 
+def _lsh_candidates(sh, *, n_hashes: int, bands: int):
+    """Banded-minhash candidate pairs from a (doc_id, sh) shingle
+    frame: per-doc signature (one partial-aggregated groupBy) -> band
+    keys -> per-band bucket self-join. Split out of minhash_lsh_pairs
+    so lsh_param_sweep can count candidates (the COST axis of the
+    banding trade) before verification."""
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("n_hashes must be divisible by bands")
+    hashes = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*hashes)
+    bands_df = None
+    for bi in range(bands):
+        cols = [f"h{bi * rows + r}" for r in range(rows)]
+        part = sigs.select(
+            "doc_id", F.lit(bi).alias("band"), F.concat_ws("|", *cols).alias("bkey")
+        )
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     corpus,
     *,
@@ -176,9 +206,6 @@ def minhash_lsh_pairs(
     keys -> self-join per band bucket (|bucket|^2 per bucket, never
     |corpus|^2) -> exact-Jaccard verify on candidates only.
     """
-    rows = n_hashes // bands
-    if rows * bands != n_hashes:
-        raise ValueError("n_hashes must be divisible by bands")
     # NOTE: deliberately NOT persisted — the shingle distinct's
     # exchange is ReusedExchange'd across all four consumers
     # (signatures, both verify-join sides, sizes); persisting replaces
@@ -187,25 +214,7 @@ def minhash_lsh_pairs(
     # note; ngram_jaccard_pairs persists because its anti-join-filtered
     # index breaks exchange reuse.
     sh = _shingles(corpus)
-    hashes = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*hashes)
-    bands_df = None
-    for bi in range(bands):
-        cols = [f"h{bi * rows + r}" for r in range(rows)]
-        part = sigs.select(
-            "doc_id", F.lit(bi).alias("band"), F.concat_ws("|", *cols).alias("bkey")
-        )
-        bands_df = part if bands_df is None else bands_df.unionByName(part)
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sh, n_hashes=n_hashes, bands=bands)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
@@ -755,6 +764,143 @@ def lsh_recall_eval(spark, sf_dir):
                 "recall"
             ),
         )
+    )
+
+
+_SWEEP_CONFIGS = [(4, 2), (8, 4), (16, 8)]  # r = n/bands = 2; bands sweep the S-curve
+
+
+def _sweep_cte(n_hashes: int, bands: int) -> str:
+    """Per-config sigs/bands/cand/pairs CTEs, name-suffixed so all
+    sweep points combine into ONE oracle statement sharing the
+    corpus/shingles/ground-truth CTEs."""
+    rows = n_hashes // bands
+    sfx = f"_{n_hashes}_{bands}"
+    sig_cols = ", ".join(f"{_sql_minhash(i)} AS h{i}" for i in range(n_hashes))
+    band_selects = []
+    for bi in range(bands):
+        key = " || '|' || ".join(f"h{bi * rows + r}" for r in range(rows))
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {key} AS bkey FROM sigs{sfx}")
+    return f"""
+    sigs{sfx} AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands{sfx} AS ({' UNION ALL '.join(band_selects)}),
+    cand{sfx} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands{sfx} a JOIN bands{sfx} b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    ver{sfx} AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i,
+             any_value(sa_n.n_sh) AS na, any_value(sb_n.n_sh) AS nb
+      FROM cand{sfx} c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      JOIN gsizes sa_n ON sa_n.doc_id = c.doc_a
+      JOIN gsizes sb_n ON sb_n.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b),
+    lsh{sfx} AS (
+      SELECT doc_a, doc_b FROM ver{sfx}
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5),
+    row{sfx} AS (
+      SELECT {n_hashes} AS n_hashes, {bands} AS bands,
+             CAST((SELECT COUNT(*) FROM cand{sfx}) AS BIGINT) AS n_cand,
+             CAST((SELECT COUNT(*) FROM lsh{sfx}) AS BIGINT) AS n_lsh,
+             CAST((SELECT COUNT(*) FROM gt g
+                   WHERE EXISTS (SELECT 1 FROM lsh{sfx} p
+                                 WHERE p.doc_a = g.doc_a AND p.doc_b = g.doc_b))
+                  AS BIGINT) AS n_hit)
+    """
+
+
+_SWEEP_ORACLE = f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    gsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    ginter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    gt AS (
+      SELECT i.doc_a, i.doc_b
+      FROM ginter i
+      JOIN gsizes sa ON sa.doc_id = i.doc_a
+      JOIN gsizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.5),
+    ngt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt),
+    {','.join(_sweep_cte(h, b) for h, b in _SWEEP_CONFIGS)}
+    SELECT r.n_hashes, r.bands, r.n_cand, n.n_gt, r.n_lsh, r.n_hit,
+           CAST(r.n_hit AS DOUBLE) / CAST(n.n_gt AS DOUBLE) AS recall
+    FROM ({' UNION ALL '.join(f'SELECT * FROM row_{h}_{b}' for h, b in _SWEEP_CONFIGS)}) r
+    CROSS JOIN ngt n
+    """
+
+
+@query(
+    "lsh_param_sweep",
+    _SWEEP_ORACLE,
+    doc="The measured LSH recall-vs-cost curve the docs' banding "
+    "formula promises (scale_audit_r2.md): one row per "
+    "(n_hashes, bands) in {(4,2),(8,4),(16,8)} — r=2 rows/band "
+    "throughout, so candidate probability is 1-(1-j^2)^bands and "
+    "recall must be NON-DECREASING in bands while n_cand (the cost "
+    "axis: pairs the verify stage must intersect) grows. Ground "
+    "truth is the exact all-pairs >= 0.5 Jaccard arm (fixture-"
+    "bounded, like lsh_recall_eval); every sweep point shares the "
+    "one shingle scan via ReusedExchange. Use the measured curve to "
+    "pick cluster-scale parameters; the production default stays "
+    "4/2 until recall at the corpus's similarity profile demands "
+    "more bands.",
+)
+def lsh_param_sweep(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    gt = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_gt = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+    out = None
+    for h, bnd in _SWEEP_CONFIGS:
+        cand = _lsh_candidates(sh, n_hashes=h, bands=bnd)
+        pairs = minhash_lsh_pairs(corpus, n_hashes=h, bands=bnd).select("doc_a", "doc_b")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        n_lsh = pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
+        n_hit = gt.join(pairs, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_lsh))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(h).alias("n_hashes"),
+                F.lit(bnd).alias("bands"),
+                "n_cand",
+                "n_lsh",
+                "n_hit",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(n_gt)).select(
+        "n_hashes",
+        "bands",
+        "n_cand",
+        "n_gt",
+        "n_lsh",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_gt").cast("double")).alias("recall"),
     )
 
 
