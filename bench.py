@@ -104,6 +104,17 @@ def main() -> None:
                 # self-similar), so cross-round per-query deltas
                 # before/after r3 are not like-for-like.
                 "note": "min-of-2 per query; testdata regenerated post-r3",
+                # r7 VERDICT ask #5, measured r8 via Compilation/GC
+                # MXBeans: the recurring run-1 spikes (audit_trail
+                # 6.2s->1.2s, pricing_summary 1.8s->0.3s between
+                # passes) are HotSpot JIT + whole-stage-codegen
+                # compilation of each plan's first execution —
+                # audit_trail run-1 carries ~11s of compiler-THREAD
+                # time vs ~3s on run-2, while GC is 0.01-0.04s/run and
+                # page cache is pre-warmed. Not engine-attributable;
+                # min-of-2 is the correct steady-state statistic.
+                "spike_diagnosis": "run-1 spikes = JIT/codegen compile "
+                "(MXBean-measured); GC negligible",
             },
             f,
         )

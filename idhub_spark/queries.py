@@ -97,70 +97,65 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 7 front: (1) NEW this round — the custom stateful
-    # sessionizer (applyInPandasWithState, the r6 missing item) and
-    # the lakehouse MERGE binding's partition-pruned upsert path
-    "stateful_sessionize",
+    # round 8 front: (1) NEW or code-changed this round — the CC
+    # rewrite (probe fold + direct pair propagation), the LSH
+    # candidate-stage refactor + parameter sweep, and the hardened
+    # pruned-upsert (dtype guard / delete_keys / emptied-bucket drop)
+    "lsh_param_sweep",
+    "dedup_cluster_canonical",
+    "identity_components",
+    "minhash_lsh_dedup",
+    "lsh_recall_eval",
     "partition_pruned_upsert",
     "partition_pruned_upsert_stats",
-    "gopher_quality_rules",
-    "domain_mixture_weights",
-    "pii_redaction",
     "incremental_pruned_merge_state",
-    "doc_chunking",
-    "bpe_merge_apply",
-    "nation_market_share",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "returnflag_status_cube",
-    "order_priority_pivot",
-    # (2) code/oracle changed AFTER each query's most recent driver
-    # row (r6 VERDICT item 1 + ADVICE): commits c2b6e3e/c8aea28
-    # landed post-driver-pass for these consumers, and
-    # conflict_apply_state / labkey_sync_state got rewritten oracles
-    # in r6 that never reached the driver's check window
-    "type_coercion",
-    "per_center_summary",
-    "flexible_timestamp_parse",
-    "identity_resolution",
-    "subject_enrichment",
-    "conflict_apply_state",
-    "labkey_sync_state",
-    # r7 code changes to previously-green queries: resize kernel now
-    # explicitly pinned to 'raster'
-    "image_resize_check",
-    # (3) evidence refresh — the r4-green rows not rechecked since
-    # (post-regeneration evidence, kept at most 3 rounds old)
-    "ann_topk_multiprobe",
-    "change_stats",
-    "data_type_counts",
-    "doc_fingerprint",
-    "family_linkage",
-    "first_wins_dedup",
-    "gsid_filter",
-    "lang_id_heuristic",
-    "per_subject_review",
-    "priority_status_rollup",
-    "quality_score",
-    "repetition_filter",
-    "token_count",
-    "vocabulary_topk",
-    # (4) rolling refresh of r5-green rows (oldest-first; the rest of
-    # the r5 cohort keeps its r5 evidence and rotates in r8)
-    "alias_resolution",
-    "asof_last_click",
-    "audit_trail",
-    "avg_yearly_small_qty",
-    "binary_features",
-    "conflict_detection",
-    "conflict_exclusion",
-    "conflict_summary",
-    "csv_roundtrip_staging",
-    "event_value_percentiles",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "fuzzy_center_match",
-    "identity_link_back",
+    # (2) the full r5-evidence cohort (r7 VERDICT ask #2): every query
+    # whose newest driver row is r5 rotates in, so no evidence is
+    # older than 3 rounds after this pass
+    "json_roundtrip_report",
+    "merged_state",
+    "merge_upsert_stats",
+    "load_batch_state",
+    "load_stats",
+    "local_ids_merge",
+    "oldest_pick",
+    "global_distinct_flag",
+    "recent_changes_topk",
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "sessionize",
+    "hourly_rollup",
+    "discounted_brand_revenue",
+    "idle_customers",
+    "interval_followup_purchases",
+    "large_orders",
+    "local_supplier_volume",
+    "min_cost_supplier_rank",
+    "order_priority_check",
+    "pricing_summary",
+    "promo_revenue_share",
+    "resolution_log",
+    "returned_item_report",
+    "running_value_total",
+    "shipping_priority",
+    "sketch_profile",
+    "sketch_profile_check",
+    "table_profile",
+    # (3) oldest r6 evidence, refreshed with the remaining window
+    "acctbal_bucket_stats",
+    "ann_recall_at_k",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "benchmark_contamination",
+    "boolean_parse",
+    "bpe_pair_counts",
+    "change_classification",
+    "downsample_majority_class",
+    "duplicate_id_detection",
+    "duplicate_subject_finder",
+    "embedding_near_dup",
+    "exact_dedup",
 ]
 
 
