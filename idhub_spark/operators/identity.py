@@ -189,8 +189,20 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = e.groupBy("r").agg(F.min("r").alias("comp"))  # trivially comp=r
-    labels = labels.localCheckpoint(eager=True)
+    # First iteration folded into init: with identity labels
+    # (comp=r), the identifier hop needs no join at all — id adopts
+    # min incident record, record adopts min over its identifiers —
+    # so labels_1 materializes in ONE checkpoint job and the loop
+    # below starts with real propagation already done (star graphs,
+    # the common identity shape, then need only the confirmation
+    # pass). Same fold as connected_components_pairs' two-hop init.
+    id0 = e.groupBy("i").agg(F.min("r").alias("icomp"))
+    labels = (
+        e.join(id0, "i")
+        .groupBy("r")
+        .agg(F.min("icomp").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     try:
         for _ in range(max_iter):
             # identifier adopts min component of incident records
