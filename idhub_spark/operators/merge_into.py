@@ -534,6 +534,8 @@ def apply_merge(
     immutable: list[str] | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_of=None,
+    evolve: str = "reject",
+    delete_keys: DataFrame | None = None,
 ) -> str:
     """Bind the change-set to the best available physical merge.
 
@@ -542,8 +544,19 @@ def apply_merge(
     2. otherwise `table_root`: partition_pruned_upsert — I/O bounded
        by touched buckets, per-partition commit.
 
+    evolve/delete_keys apply to the pruned path; a catalog MERGE
+    handles schema evolution via the catalog's own policy and
+    deletions via WHEN MATCHED DELETE (not emitted here), so
+    delete_keys with target_table routes to the pruned path only.
+
     Returns which path ran ('merge_into' | 'partition_pruned').
     """
+    if delete_keys is not None and target_table:
+        raise ValueError(
+            "delete_keys requires the pruned path: pass table_root "
+            "without target_table (catalog-side deletes need a WHEN "
+            "MATCHED DELETE merge, not emitted by merge_into_sql)"
+        )
     if target_table:
         # monotonic suffix: two interleaved apply_merge calls in one
         # session must not clobber each other's source view (a fixed
@@ -599,5 +612,7 @@ def apply_merge(
         bucket_of=bucket_of,
         mode=mode,
         immutable=immutable,
+        evolve=evolve,
+        delete_keys=delete_keys,
     )
     return "partition_pruned"

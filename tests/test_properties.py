@@ -294,3 +294,44 @@ def test_partition_pruned_upsert_equals_full_merge_randomized(spark, tmp_path):
             if k not in cur or cur[k] != v
         }
         assert stats.n_buckets_rewritten == len(changed), f"trial {trial}"
+
+
+def test_connected_components_pairs_matches_union_find(spark):
+    """The direct pair-graph CC (explode edge build, lazy two-hop
+    init, folded probe) must agree with a plain union-find on random
+    pair sets — chains, stars, cycles, self-pairs, and singleton-free
+    coverage all arise across seeds. Both sides label a component by
+    its minimum node."""
+    from idhub_spark.operators.identity import connected_components_pairs
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        n = rng.randint(2, 30)
+        pairs = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(rng.randint(1, n * 2))
+            }
+        )
+        # reference: union-find with min-label canonicalization
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+        got = {
+            r.record_key: r.component
+            for r in connected_components_pairs(df).collect()
+        }
+        assert got == expected, f"seed {seed}: {got} != {expected}"
