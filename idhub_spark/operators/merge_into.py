@@ -423,12 +423,25 @@ def partition_pruned_upsert(
         # table size — and the staged copy doubles as the crash-recovery
         # artifact (rerunning phase 2 is idempotent).
         staging = table_root.rstrip("/") + "_staging"
+        # row count + present-bucket set are observed as side effects
+        # of the phase-1 write itself (aggregate metrics over the rows
+        # flowing through), replacing a full read-back count() of the
+        # staged data — one fewer scan of the touched buckets per
+        # upsert; collect_set is bounded by n_buckets values
+        from pyspark.sql import Observation
+
+        obs = Observation()
         # co-partition on the bucket before writing: one task -> one
         # bucket directory -> one file, instead of every shuffle task
         # spraying a sliver into every touched bucket (small-files
         # explosion: tasks x buckets files per batch)
         (
-            to_write.repartition(len(rewrite), F.col(bucket_col))
+            to_write.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.collect_set(F.col(bucket_col)).alias("bkts"),
+            )
+            .repartition(len(rewrite), F.col(bucket_col))
             # keep the seed's sorted-by-key property so row-group
             # min/max pruning of keyed lookups survives rewrites
             .sortWithinPartitions(*natural_key)
@@ -436,25 +449,16 @@ def partition_pruned_upsert(
             .partitionBy(bucket_col)
             .parquet(staging)
         )
-        present: set = set()
-        try:
-            staged = spark.read.parquet(staging)
-            rows_rewritten = staged.count()
-        except AnalysisException:
-            # every rewrite bucket emptied by deletions: the staged
-            # write produced no files at all (schema-less dir)
-            staged, rows_rewritten = None, 0
-        if staged is not None and rows_rewritten:
+        rows_rewritten = obs.get["rows"]
+        present: set = set(obs.get["bkts"])
+        if rows_rewritten:
             (
-                staged.write.mode("overwrite")
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(bucket_col)
                 .parquet(table_root)
             )
-            if del_buckets:
-                present = {
-                    r[0] for r in staged.select(bucket_col).distinct().collect()
-                }
         jsc = spark.sparkContext
         if del_buckets:
             # dynamic partition overwrite replaces only partitions
