@@ -289,16 +289,11 @@ def minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b", "jaccard")
 
 
-@query(
-    "simhash_buckets",
-    None,  # oracle below is registered after definition (long SQL built in code)
-    doc="SimHash near-dup: 16-bit signature from per-word md5-hex-digit "
-    "parity, one aggregate per doc; identical signatures = candidate "
-    "bucket. No pairwise work — O(n) total.",
-)
-def simhash_buckets(spark, sf_dir):
-    t = tables(spark, sf_dir, "documents")
-    corpus = _corpus(t)
+def _simhash_sigs(corpus):
+    """Per-doc 16-bit SimHash signature as a '0'/'1' string: per-word
+    md5-hex-digit parity votes, ONE aggregate per doc (no pairwise
+    work). Shared by the exact-bucket query and the hamming-probe
+    pair query."""
     words = corpus.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     h = F.md5("w")
     bit_cols = [
@@ -311,8 +306,21 @@ def simhash_buckets(spark, sf_dir):
     sig = F.concat(
         *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
     )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "simhash_buckets",
+    None,  # oracle below is registered after definition (long SQL built in code)
+    doc="SimHash near-dup: 16-bit signature from per-word md5-hex-digit "
+    "parity, one aggregate per doc; identical signatures = candidate "
+    "bucket. No pairwise work — O(n) total.",
+)
+def simhash_buckets(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
     return (
-        sums.select("doc_id", sig.alias("simhash"))
+        _simhash_sigs(corpus)
         .groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -339,6 +347,147 @@ _SIMHASH_ORACLE = f"""
            array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
     """
+
+
+# 64-bit signature for the PAIR query, as two 32-bit halves (bigint
+# arithmetic stays unsigned-safe, and both engines get integer
+# xor/bit_count). 16 bits — fine for exact-signature GROUPING — is
+# far too coarse for distance-1 pairing on a templated corpus:
+# measured 729k pairs / 30 s at sf0.1 vs 686 pairs at 64 bits.
+# one md5 per word yields all 64 votes: bit 3 of each hex nibble
+# (digit >= 8) feeds sig1, bit 2 (digit in 4-7 or c-f) feeds sig2
+_SIMHASH64_BITS_SQL = ", ".join(
+    f"SUM(CASE WHEN substr(md5(w), {j + 1}, 1) IN ({digits}) "
+    f"THEN 1 ELSE -1 END) AS {pfx}{j}"
+    for digits, pfx in (
+        ("'8','9','a','b','c','d','e','f'", "b"),
+        ("'4','5','6','7','c','d','e','f'", "c"),
+    )
+    for j in range(32)
+)
+_SIG1_SQL = " + ".join(
+    f"CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32)
+)
+_SIG2_SQL = " + ".join(
+    f"CASE WHEN c{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32)
+)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_CORPUS_SQL},
+    words AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM corpus),
+    sums AS (SELECT doc_id, {_SIMHASH64_BITS_SQL} FROM words GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {_SIG1_SQL} AS sig1, {_SIG2_SQL} AS sig2 FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig1, b.sig1))
+                + bit_count(xor(a.sig2, b.sig2)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) <= 1
+    """
+
+
+@query(
+    "simhash_hamming_pairs",
+    _SIMHASH_PAIRS_ORACLE,
+    doc="SimHash near-dup PAIRS at hamming distance <= 1 via "
+    "multi-probe bucketing (Manku et al., WWW'07 'Detecting "
+    "Near-Duplicates for Web Crawling' — public algorithm): each doc "
+    "emits its 64-bit signature (two 32-bit bigint halves; bit 3 and "
+    "bit 2 of each md5 hex nibble vote, so ONE hash per word) plus "
+    "all 64 one-bit xor flips "
+    "as integer probe keys; a bucket self-join on the probe pair "
+    "generates candidates (probe collisions reach distance 2, so "
+    "candidates are verified back to <= 1 with bit_count(xor)), "
+    "never all-pairs — the recall extension over simhash_buckets' "
+    "exact-signature groups. Scale: 65 integer probe rows per doc, "
+    "join bounded per probe bucket; the brute-force all-pairs arm "
+    "exists only in the ORACLE, where it is the deliberate ground "
+    "truth.",
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
+    h = F.md5("w")
+    # ONE md5 per word, parsed into four 32-bit integer chunks; the
+    # 64 parity votes are then integer shift/mask reads (bit 3 of
+    # each hex nibble -> sig1 votes, bit 2 -> sig2 votes) instead of
+    # 64 substring+set-membership tests per word (measured 5.7 s ->
+    # ~3 s at sf0.1). Hex digit 8k+p+1 is nibble (7-p) of chunk k.
+    words = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, 1 + 8 * k, 8), 16, 10).cast("long").alias(f"v{k}")
+            for k in range(4)
+        ],
+    )
+    votes = []
+    for bit, pfx in ((3, "b"), (2, "c")):
+        for j in range(32):
+            k, p = j // 8, j % 8
+            shift = 4 * (7 - p) + bit
+            votes.append(
+                F.sum(
+                    F.shiftright(F.col(f"v{k}"), shift).bitwiseAND(F.lit(1)) * 2 - 1
+                ).alias(f"{pfx}{j}")
+            )
+    sums = words.groupBy("doc_id").agg(*votes)
+    mk_sig = lambda pfx: sum(  # noqa: E731
+        F.when(F.col(f"{pfx}{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(32)
+    )
+    sigs = sums.select("doc_id", mk_sig("b").alias("sig1"), mk_sig("c").alias("sig2"))
+    # probe keys: (sig1, sig2) plus each single-bit xor flip of either
+    # half — all integer arithmetic, no string surgery
+    probes_arr = [F.struct(F.col("sig1").alias("p1"), F.col("sig2").alias("p2"))]
+    for j in range(32):
+        probes_arr.append(
+            F.struct(
+                F.col("sig1").bitwiseXOR(F.lit(1 << j)).alias("p1"),
+                F.col("sig2").alias("p2"),
+            )
+        )
+        probes_arr.append(
+            F.struct(
+                F.col("sig1").alias("p1"),
+                F.col("sig2").bitwiseXOR(F.lit(1 << j)).alias("p2"),
+            )
+        )
+    probes = sigs.select(
+        "doc_id", "sig1", "sig2", F.explode(F.array(*probes_arr)).alias("p")
+    ).select("doc_id", "sig1", "sig2", "p.p1", "p.p2")
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p1") == F.col("b.p1"))
+            & (F.col("a.p2") == F.col("b.p2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig1").alias("a1"),
+            F.col("a.sig2").alias("a2"),
+            F.col("b.sig1").alias("b1"),
+            F.col("b.sig2").alias("b2"),
+        )
+        .distinct()
+    )
+    # verify: probe collisions can pair signatures at distance 2
+    # (a's flip at bit i == b's flip at bit j), so re-check
+    hamming = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # stop-shingle cap: a shingle held by more than this many documents is

@@ -102,6 +102,7 @@ _DRIVER_ORDER = [
     # candidate-stage refactor + parameter sweep, and the hardened
     # pruned-upsert (dtype guard / delete_keys / emptied-bucket drop)
     "lsh_param_sweep",
+    "simhash_hamming_pairs",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",
