@@ -418,3 +418,45 @@ def acctbal_bucket_stats(spark, sf_dir):
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), savg(F.col("c_acctbal"), "avg_bal"))
     )
+
+
+@query(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction through the NATIVE JSON path "
+    "(from_json with an explicit schema, not regexp): the props "
+    "payload parses once into a typed struct per row — JVM-side, "
+    "vectorized, mis-shaped payloads become NULL rather than "
+    "killing the job — then rolls up per event_type. The regexp "
+    "twin (prop_k in field_mapping's family) covers the reference's "
+    "pattern-extract transform; this covers the schema'd-JSON "
+    "ingestion every event pipeline actually uses. Oracle: DuckDB "
+    "json_extract_string + identical integer aggregates.",
+)
+def json_props_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

@@ -103,6 +103,8 @@ _DRIVER_ORDER = [
     # pruned-upsert (dtype guard / delete_keys / emptied-bucket drop)
     "lsh_param_sweep",
     "simhash_hamming_pairs",
+    "leakage_safe_split",
+    "json_props_rollup",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",
