@@ -1096,6 +1096,73 @@ def lsh_param_sweep(spark, sf_dir):
     return stats.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
+# --- leakage-safe split -----------------------------------------------------
+
+# same md5 bucket recipe as operators/sampling.py:hash_bucket, spelled
+# in DuckDB (defined here, not imported from plans/sampling_q, so a
+# direct `import plans.dedup_q` never touches a later-alphabet plan
+# module mid-registration)
+_SPLIT_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 AS INTEGER)"
+)
+_CLUSTER_KEY_SQL = "COALESCE(k.comp, c.doc_id)"
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS d FROM edges),
+    reach(d, x) AS (
+      SELECT d, d FROM nodes
+      UNION
+      SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.x),
+    comp AS (SELECT d, min(x) AS comp FROM reach GROUP BY d)
+    SELECT c.doc_id,
+           {_CLUSTER_KEY_SQL} AS cluster,
+           CASE WHEN {_SPLIT_BUCKET_SQL.format(salt="lsplit", key=_CLUSTER_KEY_SQL)} < 20
+                THEN 'test' ELSE 'train' END AS split
+    FROM corpus c LEFT JOIN comp k ON k.d = c.doc_id
+    """,
+    doc="Near-dup-aware train/test split — the leakage fix every "
+    "pretraining pipeline needs and a plain per-doc hash split "
+    "cannot give: a document and its near-duplicates land on the "
+    "SAME side, because the split key is the near-dup CLUSTER id "
+    "(MinHash+LSH pairs -> connected components, the same engine as "
+    "dedup_cluster_canonical) and singleton docs key on themselves. "
+    "A doc-keyed split leaks eval content whenever a near-copy of a "
+    "test doc sits in train (cf. the contamination scan). Scale: the "
+    "cluster map is pairs-bounded; unpaired docs never join it "
+    "(left join + coalesce), and the split stays deterministic "
+    "hash-bucket (same cluster -> same side on any run/cluster/"
+    "partitioning). Oracle: recursive-CTE reachability over the same "
+    "verified pairs + the same md5 bucket arithmetic.",
+)
+def leakage_safe_split(spark, sf_dir):
+    from idhub_spark.operators.identity import connected_components_pairs
+    from idhub_spark.operators.sampling import hash_bucket
+
+    t = tables(spark, sf_dir, "documents")
+    corpus = _corpus(t)
+    prs = minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    comp = connected_components_pairs(prs).withColumnRenamed("record_key", "doc_id")
+    clustered = corpus.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+    )
+    b = hash_bucket(F.col("cluster"), 100, "lsplit")
+    return clustered.select(
+        "doc_id",
+        "cluster",
+        F.when(b < 20, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 # Patch oracles that are built programmatically (long generated SQL):
 from idhub_spark.queries import REGISTRY as _R  # noqa: E402
 

@@ -144,3 +144,33 @@ def test_resize_image_raster_kernel(spark):
     assert got[3] == bytes(4)
     dims = {(r.width, r.height) for r in out.collect()}
     assert dims == {(2, 2)}
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The split's defining invariant: no near-dup pair may land on
+    different sides — verified directly against the pair set, and
+    coverage/determinism hold (every corpus doc split exactly once,
+    same assignment on a re-run)."""
+    import idhub_spark.queries  # load the registry first: plan modules
+    # cross-import and only initialize cleanly through this entry
+    from idhub_spark.plans.dedup_q import (
+        _corpus,
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+    from idhub_spark.queries import tables
+
+    sf = "/root/testdata/sf0.001"
+    out = leakage_safe_split(spark, sf).cache()
+    t = tables(spark, sf, "documents")
+    n_docs = _corpus(t).count()
+    assert out.count() == n_docs
+    side = {r.doc_id: r.split for r in out.collect()}
+    pairs = minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture must plant near-dup pairs"
+    for p in pairs:
+        assert side[p.doc_a] == side[p.doc_b], (p.doc_a, p.doc_b)
+    # determinism: a second evaluation assigns identically
+    again = {r.doc_id: r.split for r in leakage_safe_split(spark, sf).collect()}
+    assert again == side
+    out.unpersist()
