@@ -91,6 +91,7 @@ def check_layout(
     n_buckets: int,
     natural_key: list[str],
     custom_bucket_of: bool,
+    bucket_col: str = "_bucket",
 ) -> None:
     """Refuse an upsert whose bucket parameters disagree with the
     seeded layout — a mismatch silently duplicates keys into
@@ -107,6 +108,13 @@ def check_layout(
     if meta is None:
         return  # pre-sidecar table or store without the PUT
     problems = []
+    if meta.get("bucket_col") is not None and meta.get("bucket_col") != bucket_col:
+        # without this, a renamed bucket column masquerades as schema
+        # evolution (the seeded partition column looks like a data
+        # column the incoming batch lacks) instead of a layout error
+        problems.append(
+            f"bucket_col: seeded {meta.get('bucket_col')!r}, upsert {bucket_col!r}"
+        )
     if meta.get("natural_key") != list(natural_key):
         problems.append(
             f"key: seeded {meta.get('natural_key')}, upsert {list(natural_key)}"
@@ -294,7 +302,7 @@ def partition_pruned_upsert(
         raise ValueError(f"evolve must be reject|rewrite, got {evolve!r}")
     check_layout(
         spark, table_root, n_buckets=n_buckets, natural_key=natural_key,
-        custom_bucket_of=custom,
+        custom_bucket_of=custom, bucket_col=bucket_col,
     )
     inc = incoming.withColumn(bucket_col, bucket_of(incoming))
     touched = [r[0] for r in inc.select(bucket_col).distinct().collect()]

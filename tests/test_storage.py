@@ -578,3 +578,10 @@ def test_partition_pruned_upsert_rejects_layout_mismatch(spark, tmp_path):
         partition_pruned_upsert(spark, root, incoming, ["k"], n_buckets=1024)
     with pytest.raises(ValueError, match="bucket-layout mismatch"):
         partition_pruned_upsert(spark, root, incoming, ["name"], n_buckets=8)
+    # a renamed bucket column is a LAYOUT error, not schema evolution
+    # (without the check it would read as "incoming lacks column _b")
+    with pytest.raises(ValueError, match="bucket_col: seeded '_bucket'"):
+        partition_pruned_upsert(
+            spark, root, incoming, ["k"], n_buckets=8, bucket_col="_b",
+            bucket_of=lambda df: (F.col("k") % 8).cast("int"),
+        )
