@@ -55,6 +55,24 @@ def query(name: str, oracle: str | None, doc: str = ""):
                     f"query {name!r}: function already registered as "
                     f"{spec.name!r} — stacked @query decorators?"
                 )
+        # arity guard: ANY def inserted between a @query decorator and
+        # its intended function silently captures the registration —
+        # r8 nearly shipped a 1-arg helper bound to simhash_buckets
+        # (caught only at driver runtime). Every query callable takes
+        # (spark, sf_dir); reject anything that can't.
+        import inspect
+
+        pos = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        if len(pos) < 2:
+            raise ValueError(
+                f"query {name!r}: {fn.__name__} does not accept "
+                "(spark, sf_dir) — did a helper def land between the "
+                "@query decorator and its function?"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 
