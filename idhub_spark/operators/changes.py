@@ -23,7 +23,7 @@ common case where `incoming` (one batch) is much smaller than
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from idhub_spark.functions.expressions import null_normalize_expr
@@ -144,4 +144,42 @@ def audit_rows(
         F.lit(batch_id).alias("batch_id"),
         F.lit(source_fragment).alias("source_fragment"),
         F.current_timestamp().alias("changed_at"),
+    )
+
+
+def scd2_versions(
+    images: DataFrame,
+    natural_key: list[str],
+    attrs: list[str],
+    seq_col: str = "batch_seq",
+) -> DataFrame:
+    """SCD Type-2 version materialization from a sequence of per-batch
+    entity images: collapse consecutive batches where every tracked
+    attribute is unchanged (null-safe) into ONE version row with an
+    inclusive [valid_from, valid_to] batch interval; the open version
+    has valid_to NULL and is_current true.
+
+    The reference keeps field-level history (data_change_audit,
+    01-schema.sql:118-127) and full snapshots; this is the row-version
+    view warehouses call a type-2 dimension, derived purely with two
+    keyed windows (lag to detect change starts, lead to close
+    intervals) — one shuffle on the natural key, no self-joins, scale
+    bounded by images not versions. A key absent from a later image is
+    NOT a tracked event (no tombstones here): feed deletions as an
+    explicit attribute (e.g. a deleted flag) if they must version.
+    """
+    w = Window.partitionBy(*natural_key).orderBy(seq_col)
+    prev_missing = F.lag(seq_col).over(w).isNull()
+    changed = prev_missing
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    starts = images.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(*natural_key).orderBy(seq_col)
+    nxt = F.lead(seq_col).over(w2)
+    return starts.select(
+        *natural_key,
+        *attrs,
+        F.col(seq_col).alias("valid_from"),
+        (nxt - 1).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

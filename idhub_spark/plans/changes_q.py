@@ -200,3 +200,76 @@ def first_wins_dedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+@query(
+    "scd2_history",
+    """
+    WITH img AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             0 AS batch_seq
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CAST(round((CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                              ELSE c_acctbal END) * 100) AS BIGINT),
+             1
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CAST(round((CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                              WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                              ELSE c_acctbal END) * 100) AS BIGINT),
+             2
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(round(c_acctbal * 100) AS BIGINT), 2
+      FROM customer WHERE c_custkey % 11 = 0),
+    marked AS (
+      SELECT c_custkey, cents, batch_seq,
+             (lag(batch_seq) OVER w IS NULL
+              OR cents IS DISTINCT FROM lag(cents) OVER w) AS chg
+      FROM img
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY batch_seq)),
+    starts AS (SELECT c_custkey, cents, batch_seq FROM marked WHERE chg)
+    SELECT c_custkey, cents,
+           CAST(batch_seq AS INTEGER) AS valid_from,
+           CAST(lead(batch_seq) OVER w2 - 1 AS INTEGER) AS valid_to,
+           (lead(batch_seq) OVER w2 IS NULL) AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY c_custkey ORDER BY batch_seq)
+    """,
+    doc="SCD Type-2 dimension build (operators/changes.py:"
+    "scd2_versions): three deterministic per-batch images of customer "
+    "(seed, %7 balance bump, %3 bump + late-arriving %11 keys) "
+    "collapse into row versions with inclusive [valid_from, valid_to] "
+    "batch intervals and a current flag — unchanged batches produce "
+    "NO version row, late keys open at their first batch. Pure "
+    "two-window dataflow (lag finds change starts, lead closes "
+    "intervals), one shuffle on the key; complements the field-level "
+    "audit trail (data_change_audit) with the row-version view "
+    "warehouses consume. Oracle: identical window SQL.",
+)
+def scd2_history(spark, sf_dir):
+    from idhub_spark.operators.changes import scd2_versions
+
+    t = tables(spark, sf_dir, "customer")
+    cust = t["customer"].select("c_custkey", "c_acctbal")
+    cents = lambda col: F.round(col * 100, 0).cast("bigint")  # noqa: E731
+    key = F.col("c_custkey")
+    img0 = cust.select(key, cents(F.col("c_acctbal")).alias("cents"), F.lit(0).alias("batch_seq"))
+    bal1 = F.when(key % 7 == 0, F.col("c_acctbal") + 10.0).otherwise(F.col("c_acctbal"))
+    img1 = cust.select(key, cents(bal1).alias("cents"), F.lit(1).alias("batch_seq"))
+    bal2 = (
+        F.when(key % 3 == 0, F.col("c_acctbal") + 100.0)
+        .when(key % 7 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+    )
+    img2 = cust.select(key, cents(bal2).alias("cents"), F.lit(2).alias("batch_seq"))
+    late = cust.filter(key % 11 == 0).select(
+        (key + 10_000_000).alias("c_custkey"),
+        cents(F.col("c_acctbal")).alias("cents"),
+        F.lit(2).alias("batch_seq"),
+    )
+    images = img0.unionByName(img1).unionByName(img2).unionByName(late)
+    return scd2_versions(images, ["c_custkey"], ["cents"])

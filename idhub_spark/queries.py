@@ -123,6 +123,7 @@ _DRIVER_ORDER = [
     "simhash_hamming_pairs",
     "leakage_safe_split",
     "json_props_rollup",
+    "scd2_history",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",

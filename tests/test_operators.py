@@ -813,3 +813,36 @@ def test_control_status_reference_lexicon(spark):
     )
     got = [r.c for r in df.select(control_status_expr(F.col("v")).alias("c")).collect()]
     assert got == [True, True, True, True, False, False, False, False]
+
+
+def test_scd2_versions_semantics(spark):
+    """Version intervals: unchanged batches collapse, null<->value
+    transitions count as changes (null-safe), a reverted value opens a
+    NEW version (type-2 keeps history, not distinct states), late keys
+    open at their first batch, and exactly one open version per key."""
+    from idhub_spark.operators.changes import scd2_versions
+
+    rows = [
+        # k=1: v A(0-1), B(2), A(3-) — revert reopens
+        (1, "A", 0), (1, "A", 1), (1, "B", 2), (1, "A", 3),
+        # k=2: null -> X -> null
+        (2, None, 0), (2, "X", 1), (2, None, 2), (2, None, 3),
+        # k=3: late arrival at batch 2, constant after
+        (3, "Z", 2), (3, "Z", 3),
+    ]
+    img = spark.createDataFrame(rows, "k int, v string, batch_seq int")
+    out = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_versions(img, ["k"], ["v"]).collect()
+    }
+    assert out == {
+        (1, "A", 0, 1, False),
+        (1, "A", 3, None, True),
+        (1, "B", 2, 2, False),
+        (2, None, 0, 0, False),
+        (2, None, 2, None, True),
+        (2, "X", 1, 1, False),
+        (3, "Z", 2, None, True),
+    }
+    opens = [o for o in out if o[4]]
+    assert len(opens) == 3  # exactly one current version per key
