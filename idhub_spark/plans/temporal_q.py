@@ -132,3 +132,48 @@ def funnel_conversion(spark, sf_dir):
         "n_converted",
         (F.col("n_converted").cast("double") / F.col("n_clicks")).alias("conversion_rate"),
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    coh AS (SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN coh c ON c.user_id = a.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix — the product-analytics staple over "
+    "the events stream: users cohorted by first-active week "
+    "(date_trunc week, UTC-pinned session so both engines truncate "
+    "identical wall times), counted distinct per (cohort_week, "
+    "week_offset). Plan: one distinct on (user, week) shrinks the "
+    "stream before anything else, cohort = min-week per user, offset "
+    "by exact day arithmetic (floor(datediff/7) — week-difference "
+    "functions disagree across engines on year boundaries). Shuffles "
+    "only user-keyed aggregates; the retention matrix is "
+    "weeks x weeks tiny.",
+)
+def cohort_retention(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    act = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(coh, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

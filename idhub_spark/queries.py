@@ -124,6 +124,7 @@ _DRIVER_ORDER = [
     "leakage_safe_split",
     "json_props_rollup",
     "scd2_history",
+    "cohort_retention",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",
