@@ -394,3 +394,39 @@ def jdbc_partitioned_scan(spark, sf_dir):
         ssum(F.col("c_acctbal"), "total_acctbal"),
         F.min("c_name").alias("first_name"),
     )
+
+
+@query(
+    "orc_roundtrip_staging",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_ssum("l_extendedprice", "total_price")},
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Columnar-format parity beyond parquet: lineitem -> ORC sink "
+    "(Spark's second built-in columnar format — vectorized reader, "
+    "predicate pushdown, the Hive-ecosystem interchange format) -> "
+    "ORC scan -> aggregate. The oracle aggregates the ORIGINAL "
+    "parquet, so a hash match proves the ORC writer/reader pair "
+    "preserves decimals, doubles, strings, and dates bit-exactly — "
+    "the same sink/source contract csv_roundtrip_staging and "
+    "json_roundtrip_report pin for the text formats.",
+)
+def orc_roundtrip_staging(spark, sf_dir):
+    t = tables(spark, sf_dir, "lineitem")
+    root = os.path.join(
+        tempfile.gettempdir(), "idhub_orc_rt", os.path.basename(sf_dir.rstrip("/"))
+    )
+    cols = t["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    cols.write.mode("overwrite").orc(root)
+    staged = spark.read.orc(root)
+    return staged.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        ssum(F.col("l_extendedprice"), "total_price"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )

@@ -125,6 +125,7 @@ _DRIVER_ORDER = [
     "json_props_rollup",
     "scd2_history",
     "cohort_retention",
+    "orc_roundtrip_staging",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",
