@@ -342,3 +342,72 @@ def incremental_merge_state(spark, sf_dir):
         F.col("c_acctbal").alias("final_acctbal"),
         F.coalesce(F.col("ver"), F.lit(0)).cast("long").alias("ver"),
     )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS cts, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(min(c.click_id) AS BIGINT) AS first_click,
+           CAST(CAST(SUM(CAST(round(p.value * 1000000.0) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS total_value
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.pts >= c.cts
+     AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    doc="§2.12 STREAM-STREAM interval join, driver-checked — the one "
+    "canonical streaming operator the suite hadn't executed: clicks "
+    "and purchases as two watermarked streams over the same "
+    "FileStreamSource, inner-joined on user with a "
+    "[click, click+30min] event-time range "
+    "(StreamingSymmetricHashJoin with watermark-bounded state — at "
+    "production scale state holds only the 30-minute horizon per "
+    "side), drained append-mode with Trigger.AvailableNow; the "
+    "joined pairs land in the memory sink and a BATCH aggregation "
+    "shrinks them per user. The single-micro-batch drain makes the "
+    "append-mode join complete (no row can be withheld by a "
+    "watermark that only advances after the batch), so the batch SQL "
+    "twin is the exact oracle. Join bounds are inclusive on both "
+    "ends in both engines; sums use the scaled-int64 recipe.",
+)
+def streaming_interval_join(spark, sf_dir):
+    tables(spark, sf_dir, "events")
+    stream = _event_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id"))
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+            "value",
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    sink = _drain_to_memory(joined, "stream_ijoin", mode="append")
+    pairs = spark.table(sink)
+    cents = F.round(F.col("value") * 1000000.0).cast("bigint")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("click_id").cast("bigint").alias("first_click"),
+        (F.sum(cents).cast("bigint").cast("double") / 1000000.0).alias("total_value"),
+    )

@@ -126,6 +126,7 @@ _DRIVER_ORDER = [
     "scd2_history",
     "cohort_retention",
     "orc_roundtrip_staging",
+    "streaming_interval_join",
     "dedup_cluster_canonical",
     "identity_components",
     "minhash_lsh_dedup",
