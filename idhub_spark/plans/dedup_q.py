@@ -716,7 +716,9 @@ def dedup_cluster_canonical(spark, sf_dir):
     prs = minhash_lsh_pairs(_corpus(t)).select("doc_a", "doc_b")
     # pair edges go through the DIRECT symmetric propagation (one join
     # + one agg per iteration) — the bipartite loop is for natural
-    # record<->identifier graphs, not synthetic per-pair nodes
+    # record<->identifier graphs, not synthetic per-pair nodes;
+    # spark.idhub.cc.checkpointDir flips this to reliable checkpoints
+    # on a cluster (see operators/identity.py:_cc_runtime)
     comp = connected_components_pairs(prs)  # -> (record_key, component)
     return comp.groupBy(F.col("component").alias("keeper")).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -335,3 +335,91 @@ def test_connected_components_pairs_matches_union_find(spark):
             for r in connected_components_pairs(df).collect()
         }
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_cc_long_chain_converges_within_default_budget(spark):
+    """A diameter-45 path is the adversarial shape for min-label
+    propagation (O(d) without pointer jumping). The doubling shortcut
+    (identity.py, it>=1) must converge it well inside max_iter=20 —
+    in both the pair-graph and bipartite variants."""
+    from idhub_spark.operators.identity import (
+        connected_components,
+        connected_components_pairs,
+    )
+
+    n = 46  # nodes 0..45, edges (i, i+1): diameter 45
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    got = {r.record_key: r.component for r in connected_components_pairs(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # bipartite image of the same chain: record i <-> identifiers i, i+1
+    edges = spark.createDataFrame(
+        [(i, f"id{i}") for i in range(n)] + [(i, f"id{i + 1}") for i in range(n)],
+        "record_key int, _norm_id string",
+    )
+    got_b = {r.record_key: r.component for r in connected_components(edges).collect()}
+    assert got_b == {i: 0 for i in range(n)}
+
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    """Exhausting the iteration budget with labels still moving must
+    RAISE, not return silently-split components (r8 VERDICT wrong #1:
+    the leakage_safe_split hazard)."""
+    import pytest
+
+    from idhub_spark.operators.identity import (
+        CCNotConverged,
+        connected_components,
+        connected_components_pairs,
+    )
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    with pytest.raises(CCNotConverged):
+        connected_components_pairs(pairs, max_iter=1)
+
+    edges = spark.createDataFrame(
+        [(i, f"id{i}") for i in range(n)] + [(i, f"id{i + 1}") for i in range(n)],
+        "record_key int, _norm_id string",
+    )
+    with pytest.raises(CCNotConverged):
+        connected_components(edges, max_iter=1)
+
+
+def test_cc_reliable_checkpoint_same_labels(spark, tmp_path):
+    """The reliable-checkpoint mode (checkpoint_dir=<fault-tolerant
+    path>) must produce byte-identical labels to the local default,
+    end to end — including via the spark.idhub.cc.checkpointDir conf
+    that flips every registered CC consumer."""
+    from idhub_spark.operators.identity import connected_components_pairs
+
+    rng = random.Random(7)
+    pairs_py = sorted(
+        {tuple(sorted((rng.randrange(25), rng.randrange(25)))) for _ in range(40)}
+    )
+    df = spark.createDataFrame(pairs_py, "doc_a int, doc_b int")
+    local = {r.record_key: r.component for r in connected_components_pairs(df).collect()}
+    ck = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r.record_key: r.component
+        for r in connected_components_pairs(df, checkpoint_dir=ck).collect()
+    }
+    assert reliable == local
+    import os
+
+    assert os.path.isdir(ck) and os.listdir(ck), "reliable checkpoint wrote nothing"
+
+    # conf-driven path: same result with no per-call threading
+    spark.conf.set("spark.idhub.cc.checkpointDir", str(tmp_path / "cc_ckpt2"))
+    try:
+        via_conf = {
+            r.record_key: r.component
+            for r in connected_components_pairs(df).collect()
+        }
+    finally:
+        spark.conf.unset("spark.idhub.cc.checkpointDir")
+    assert via_conf == local
