@@ -43,6 +43,32 @@ from pyspark.errors import AnalysisException, UnsupportedOperationException
 
 from idhub_spark.operators.merge import MODES, merge_upsert
 
+
+def _nullability_erased(dt):
+    """Recursively erase nullability flags from a DataType so the
+    type-evolution guard compares VALUE types only. Nested-nullability
+    differences (array containsNull, map valueContainsNull, struct
+    field nullable) between an incoming frame and the on-disk schema
+    are representation-safe in a pruned rewrite — parquet stores
+    optionality per file — and must not hard-fail evolve='reject' as
+    if they were a widened value type (r8 ADVICE)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullability_erased(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullability_erased(dt.keyType), _nullability_erased(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullability_erased(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
 DEFAULT_BUCKETS = 1024
 _LAYOUT_FILE = "_layout.json"
 _MERGE_VIEW_SEQ = itertools.count()
@@ -318,7 +344,8 @@ def partition_pruned_upsert(
         for c in incoming.columns
         if c in current.columns
         and c != bucket_col
-        and incoming.schema[c].dataType != current.schema[c].dataType
+        and _nullability_erased(incoming.schema[c].dataType)
+        != _nullability_erased(current.schema[c].dataType)
     ]
     widen = bool(new_cols) or bool(changed_types)
     if widen and evolve == "reject":
@@ -344,21 +371,26 @@ def partition_pruned_upsert(
             r[0] for r in current.select(bucket_col).distinct().collect()
         ] + [b for b in touched if b is not None]
         touched = list(dict.fromkeys(touched))
-    dk = None
-    if delete_keys is not None:
-        dk = delete_keys.select(*natural_key).distinct()
-        # deletions can touch buckets the incoming batch doesn't:
-        # widen the pruned scan to them before cur_sub is built
-        dk_buckets = [
-            r[0]
-            for r in dk.select(bucket_of(dk).alias(bucket_col)).distinct().collect()
-        ]
-        touched = touched + [b for b in dk_buckets if b not in set(touched)]
     # bucket_col is a partition column: this distinct reads no data
     # columns (values come from directory names), it is listing-bound.
     # Computed BEFORE the overwrite — current's file index snapshot
     # predates the rewrite, so any action on it must run first.
-    n_total = current.select(bucket_col).distinct().count()
+    on_disk = {r[0] for r in current.select(bucket_col).distinct().collect()}
+    n_total = len(on_disk)
+    dk = None
+    if delete_keys is not None:
+        dk = delete_keys.select(*natural_key).distinct()
+        # deletions can touch buckets the incoming batch doesn't:
+        # widen the pruned scan to them before cur_sub is built —
+        # intersected with buckets actually ON DISK, so a ghost delete
+        # (key never inserted) doesn't inflate n_buckets_touched with
+        # a bucket that has no rows to scan (r8 ADVICE)
+        dk_buckets = [
+            r[0]
+            for r in dk.select(bucket_of(dk).alias(bucket_col)).distinct().collect()
+            if r[0] in on_disk
+        ]
+        touched = touched + [b for b in dk_buckets if b not in set(touched)]
     cur_sub = current.filter(F.col(bucket_col).isin(touched))
     if new_cols:
         # widen CURRENT with the new columns as typed NULLs before

@@ -353,7 +353,8 @@ _SIMHASH_ORACLE = f"""
 # arithmetic stays unsigned-safe, and both engines get integer
 # xor/bit_count). 16 bits — fine for exact-signature GROUPING — is
 # far too coarse for distance-1 pairing on a templated corpus:
-# measured 729k pairs / 30 s at sf0.1 vs 686 pairs at 64 bits.
+# measured 729k pairs / 30 s at sf0.1 vs 714 pairs / 3.5 s at 64
+# bits (the figure pinned in docs/scale_audit_r8.md and operations.md).
 # one md5 per word yields all 64 votes: bit 3 of each hex nibble
 # (digit >= 8) feeds sig1, bit 2 (digit in 4-7 or c-f) feeds sig2
 _SIMHASH64_BITS_SQL = ", ".join(

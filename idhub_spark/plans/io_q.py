@@ -56,10 +56,14 @@ _FIXTURE_ROW_CAP = 50000
 )
 def csv_roundtrip_staging(spark, sf_dir):
     t = tables(spark, sf_dir, "customer")
-    # per-sf staging root so sf0.001 tests and the sf0.01 driver run
-    # don't clobber each other; overwrite keeps reruns idempotent
+    # per-sf AND per-process staging root: sf scoping keeps sf0.001
+    # tests and the sf0.01 driver run apart; PID scoping keeps two
+    # CONCURRENT processes (driver + bench) from rmtree/overwriting
+    # each other's staged data mid-read (same fix as merge_into_q)
     root = os.path.join(
-        tempfile.gettempdir(), "idhub_stage_rt", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "idhub_stage_rt",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = write_staging_csv(
         t["customer"], root, batch_id="b-rt", table="customer", single_file=False
@@ -93,8 +97,12 @@ def json_roundtrip_report(spark, sf_dir):
     from idhub_spark.sources.files import json_scan
 
     t = tables(spark, sf_dir, "orders")
+    # PID-scoped like idhub_stage_rt: concurrent processes must not
+    # overwrite each other's staged files mid-read
     root = os.path.join(
-        tempfile.gettempdir(), "idhub_json_rt", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "idhub_json_rt",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = os.path.join(root, "fragment.json")
     frag = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -417,8 +425,12 @@ def jdbc_partitioned_scan(spark, sf_dir):
 )
 def orc_roundtrip_staging(spark, sf_dir):
     t = tables(spark, sf_dir, "lineitem")
+    # PID-scoped like idhub_stage_rt: concurrent processes must not
+    # overwrite each other's staged files mid-read
     root = os.path.join(
-        tempfile.gettempdir(), "idhub_orc_rt", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "idhub_orc_rt",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     cols = t["lineitem"].select(
         "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"

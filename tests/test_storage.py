@@ -432,6 +432,39 @@ def test_partition_pruned_upsert_dtype_evolution(spark, tmp_path):
         assert pq.read_schema(f).field("val").type == "int64", f
 
 
+def test_partition_pruned_upsert_nullability_only_diff_is_not_evolution(
+    spark, tmp_path
+):
+    """A nested-nullability-only difference (array containsNull here:
+    split() yields non-null elements, on-disk parquet reads back
+    nullable) is representation-safe in a pruned rewrite and must NOT
+    hard-fail evolve='reject' as a type change (r8 ADVICE)."""
+    from idhub_spark.operators.merge_into import (
+        partition_pruned_upsert,
+        seed_bucketed_table,
+    )
+
+    bucket_of = lambda df: (F.col("k") % 4).cast("int")  # noqa: E731
+    root = str(tmp_path / "reg_nullab")
+    cur = spark.createDataFrame(
+        [(k, [f"t{k}"]) for k in range(8)], "k bigint, tags array<string>"
+    )
+    seed_bucketed_table(cur, root, ["k"], n_buckets=4, bucket_of=bucket_of)
+
+    # F.split produces array<string> with containsNull=false — the
+    # on-disk schema reads back containsNull=true
+    incoming = spark.createDataFrame([(0, "x|y")], "k bigint, raw string").select(
+        "k", F.split("raw", "\\|").alias("tags")
+    )
+    assert not incoming.schema["tags"].dataType.containsNull
+    stats = partition_pruned_upsert(
+        spark, root, incoming, ["k"], n_buckets=4, bucket_of=bucket_of
+    )
+    assert stats.n_buckets_rewritten == 1  # pruned, not a full rewrite
+    rows = {r.k: r.tags for r in spark.read.parquet(root).collect()}
+    assert rows[0] == ["x", "y"] and len(rows) == 8
+
+
 def test_partition_pruned_upsert_delete_keys(spark, tmp_path):
     """Resolution-driven deletions reach the disk: delete_keys rows
     vanish from the table, a deletion-only bucket rewrites, untouched
@@ -478,6 +511,20 @@ def test_partition_pruned_upsert_delete_keys(spark, tmp_path):
         ["k"], n_buckets=8, bucket_of=bucket_of, delete_keys=ghost,
     )
     assert s2.rows_deleted == 0 and s2.n_buckets_rewritten == 0
+    # 999 % 8 = 7 exists on disk, so the candidate bucket IS scanned
+    # (that scan is the real work touched counts)
+    assert s2.n_buckets_touched == 1
+
+    # ghost delete into a bucket with NO directory on disk (bucket 1
+    # was fully emptied and dropped above): nothing to scan, so it
+    # must not count as touched at all (r8 ADVICE)
+    ghost_offdisk = spark.createDataFrame([(9,)], "k bigint")  # 9 % 8 = 1
+    s3 = partition_pruned_upsert(
+        spark, root, spark.createDataFrame([], "k bigint, name string, val double"),
+        ["k"], n_buckets=8, bucket_of=bucket_of, delete_keys=ghost_offdisk,
+    )
+    assert s3.rows_deleted == 0 and s3.n_buckets_rewritten == 0
+    assert s3.n_buckets_touched == 0
 
 
 def test_apply_merge_view_hygiene(spark, tmp_path):
