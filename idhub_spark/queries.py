@@ -115,64 +115,24 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 8 front: (1) NEW or code-changed this round — the CC
-    # rewrite (probe fold + direct pair propagation), the LSH
-    # candidate-stage refactor + parameter sweep, and the hardened
-    # pruned-upsert (dtype guard / delete_keys / emptied-bucket drop)
-    "lsh_param_sweep",
-    "simhash_hamming_pairs",
-    "leakage_safe_split",
-    "json_props_rollup",
-    "scd2_history",
-    "cohort_retention",
-    "orc_roundtrip_staging",
-    "streaming_interval_join",
+    # round 9 front: (1) queries whose CODE changed this round — the
+    # hardened CC loops (pointer doubling + convergence guard +
+    # reliable-checkpoint knob) behind the three CC consumers, and the
+    # ADVICE fixes (PID-scoped staging roots, nullability-safe type
+    # guard, ghost-delete bucket accounting) behind the round-trips
+    # and pruned upserts
     "dedup_cluster_canonical",
     "identity_components",
-    "minhash_lsh_dedup",
-    "lsh_recall_eval",
+    "leakage_safe_split",
+    "csv_roundtrip_staging",
+    "json_roundtrip_report",
+    "orc_roundtrip_staging",
     "partition_pruned_upsert",
     "partition_pruned_upsert_stats",
     "incremental_pruned_merge_state",
-    # (2) the full r5-evidence cohort (r7 VERDICT ask #2): every query
-    # whose newest driver row is r5 rotates in, so no evidence is
-    # older than 3 rounds after this pass
-    "json_roundtrip_report",
-    "merged_state",
-    "merge_upsert_stats",
-    "load_batch_state",
-    "load_stats",
-    "local_ids_merge",
-    "oldest_pick",
-    "global_distinct_flag",
-    "recent_changes_topk",
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "sessionize",
-    "hourly_rollup",
-    "discounted_brand_revenue",
-    "idle_customers",
-    "interval_followup_purchases",
-    "large_orders",
-    "local_supplier_volume",
-    "min_cost_supplier_rank",
-    "order_priority_check",
-    "pricing_summary",
-    "promo_revenue_share",
-    "resolution_log",
-    "returned_item_report",
-    "running_value_total",
-    "shipping_priority",
-    "sketch_profile",
-    "sketch_profile_check",
-    "table_profile",
-    # (3) oldest r6 evidence, refreshed with the remaining window
-    "acctbal_bucket_stats",
-    "ann_recall_at_k",
-    "ann_topk_bruteforce",
-    "ann_topk_bucketed",
-    "ann_topk_ivf",
-    "benchmark_contamination",
+    # (2) the full r6-evidence cohort (standing <=3-rounds rotation
+    # policy): every query whose newest driver row is r6 rotates in,
+    # so no evidence is older than r7 after this pass
     "boolean_parse",
     "bpe_pair_counts",
     "change_classification",
@@ -180,7 +140,38 @@ _DRIVER_ORDER = [
     "duplicate_id_detection",
     "duplicate_subject_finder",
     "embedding_near_dup",
+    "embedding_norm_stats",
     "exact_dedup",
+    "extract_year",
+    "field_mapping",
+    "fragment_assembly",
+    "frame_sampling",
+    "gsid_mint",
+    "gsid_mint_shape",
+    "id_validation",
+    "incremental_merge_state",
+    "jdbc_partitioned_scan",
+    "keyed_lookup_semi",
+    "multi_type_subjects",
+    "multimodal_decode",
+    "name_normalization",
+    "ngram_jaccard_pairs",
+    "orphan_detection",
+    "pending_resolutions_scan",
+    "quality_percentile_filter",
+    "redcap_dictionary_scan",
+    "registration_year_normalize",
+    "resolution_stats",
+    "rest_paginated_scan",
+    "salted_hot_key_join",
+    "sequence_packing",
+    "simhash_buckets",
+    "stratified_sample",
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "subjects_by_source",
+    "train_test_split",
+    "unpivot_candidates",
 ]
 
 
