@@ -442,3 +442,89 @@ def orc_roundtrip_staging(spark, sf_dir):
         ssum(F.col("l_extendedprice"), "total_price"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+
+_CK_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5('ck' || CAST(c_custkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 64 AS INTEGER)"
+)
+_CK_ROW_SQL = (
+    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || "
+    "'|' || CAST(cents AS VARCHAR)), 1, 14)) AS BIGINT)"
+)
+
+
+@query(
+    "replica_divergence",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer),
+    rep AS (
+      SELECT c_custkey, c_name,
+             cents + CASE WHEN c_custkey % 997 = 0 THEN 1 ELSE 0 END AS cents
+      FROM base WHERE c_custkey % 991 <> 0),
+    ca AS (
+      SELECT {_CK_BUCKET_SQL} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM({_CK_ROW_SQL}) % 4611686018427387904 AS BIGINT) AS cs_a
+      FROM base GROUP BY 1),
+    cb AS (
+      SELECT {_CK_BUCKET_SQL} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM({_CK_ROW_SQL}) % 4611686018427387904 AS BIGINT) AS cs_b
+      FROM rep GROUP BY 1)
+    SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           CAST(ca.bucket IS NULL OR cb.bucket IS NULL
+                OR n_a <> n_b OR cs_a <> cs_b AS BOOLEAN) AS diverged
+    FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+    """,
+    doc="Anti-entropy replica comparison (storage.py:bucket_checksum): "
+    "two copies of a table are compared by exchanging one "
+    "(count, order-independent modular checksum) row per hash bucket "
+    "— n_buckets summary rows each for a 100 TB table, no row "
+    "shipping — and only divergent buckets need key-level diffing. "
+    "The replica here is derived in-query with seeded divergence "
+    "(cents drift on c_custkey % 997 = 0, deletions on % 991 = 0), "
+    "and the oracle recomputes the identical md5-sum arithmetic, so "
+    "a hash match proves the checksum algebra end to end: buckets "
+    "holding a drifted/deleted key flag diverged, all others match "
+    "byte-for-byte. Merkle-bucket repair scheme (Dynamo/Cassandra — "
+    "public design), one level.",
+)
+def replica_divergence(spark, sf_dir):
+    from idhub_spark.storage import bucket_checksum
+
+    t = tables(spark, sf_dir, "customer")
+    base = t["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    rep = base.filter(F.col("c_custkey") % 991 != 0).select(
+        "c_custkey",
+        "c_name",
+        (
+            F.col("cents")
+            + F.when(F.col("c_custkey") % 997 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    cols = ["c_custkey", "c_name", "cents"]
+    ca = bucket_checksum(base, "c_custkey", cols).withColumnsRenamed(
+        {"n_rows": "n_a", "checksum": "cs_a"}
+    )
+    cb = bucket_checksum(rep, "c_custkey", cols).withColumnsRenamed(
+        {"n_rows": "n_b", "checksum": "cs_b"}
+    )
+    j = ca.join(cb, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        (
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("cs_a") != F.col("cs_b"))
+        ).alias("diverged"),
+    )

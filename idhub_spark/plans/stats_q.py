@@ -343,3 +343,33 @@ def order_priority_pivot(spark, sf_dir):
             F.coalesce(F.col("5-LOW"), F.lit(0)).cast("long").alias("low"),
         )
     )
+
+
+@query(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 80
+    """,
+    doc="EXACT heavy hitters without shuffling the full key space "
+    "(operators/sketches.py): pass 1 is a per-partition Misra-Gries "
+    "sketch (Arrow mapInPandas, <= k candidate keys per partition, "
+    "zero shuffle), pass 2 an exact recount restricted to the "
+    "candidate union via broadcast semi-join. With threshold t > "
+    "N/(k+1) the candidate union provably contains every true heavy "
+    "hitter, so the thresholded exact counts are deterministic under "
+    "any partitioning — the oracle is the plain GROUP BY/HAVING the "
+    "naive plan would run. At 100 TB the naive plan shuffles one row "
+    "per distinct key (billions); this shuffles only candidates. "
+    "The t > N/(k+1) precondition is checked at runtime and raises "
+    "rather than silently under-reporting.",
+)
+def heavy_hitter_users(spark, sf_dir):
+    from idhub_spark.operators.sketches import exact_heavy_hitters
+
+    t = tables(spark, sf_dir, "events")
+    return exact_heavy_hitters(
+        t["events"], "user_id", min_count=80, k=2048, count_alias="n_events"
+    )

@@ -121,6 +121,10 @@ _DRIVER_ORDER = [
     # ADVICE fixes (PID-scoped staging roots, nullability-safe type
     # guard, ghost-delete bucket accounting) behind the round-trips
     # and pruned upserts
+    # NEW this round: exact heavy hitters (Misra-Gries 2-pass) and the
+    # anti-entropy bucket-checksum replica comparison
+    "heavy_hitter_users",
+    "replica_divergence",
     "dedup_cluster_canonical",
     "identity_components",
     "leakage_safe_split",

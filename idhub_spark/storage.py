@@ -124,3 +124,65 @@ def size_bucketed_repartition(
     binary media) spread evenly — the multimodal decode partner
     (operators/multimodal.py scale notes)."""
     return df.repartitionByRange(target_partitions, F.col(size_col))
+
+
+def bucket_checksum(
+    df: DataFrame,
+    key,
+    hash_cols: list[str],
+    *,
+    n_buckets: int = 64,
+    salt: str = "ck",
+) -> DataFrame:
+    """Per-bucket (n_rows, checksum) summary for anti-entropy table
+    comparison — the sync-verification primitive the reference's
+    row-by-row reconciliation (LabKey/NocoDB sync reads back whole
+    tables to diff them) cannot afford at scale.
+
+    Two replicas of a 100 TB table are compared by exchanging
+    n_buckets summary rows each (one aggregation scan per side, no
+    row shipping); only buckets whose (count, checksum) differ need
+    key-level diffing, and that drill-down reads just the divergent
+    buckets. This is the standard Merkle-bucket anti-entropy scheme
+    (Dynamo/Cassandra repair — public design), flattened to one
+    level.
+
+    The checksum is ORDER-INDEPENDENT (a modular SUM of per-row
+    hashes), so replicas may differ in partitioning, file layout, and
+    row order. Row hash = 56 bits of md5 over the '|'-joined
+    canonical columns; the sum runs in decimal(38,0) (no bigint
+    overflow at any realistic bucket size) and is reduced mod 2^62 to
+    land in a BIGINT. Callers canonicalize float columns to fixed
+    point BEFORE hashing (cross-engine float->string rendering is not
+    stable; integer cents are — same discipline as the MERGE
+    oracles).
+
+    key: column (or name) the bucket is derived from — must be the
+    same on both replicas being compared. hash_cols: string-castable
+    columns that define row identity+content.
+    """
+    from idhub_spark.operators.sampling import hash_bucket
+
+    key_col = F.col(key) if isinstance(key, str) else key
+    row_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            hash_bucket(key_col, n_buckets, salt).alias("bucket"),
+            row_h.alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(2**62))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+    )

@@ -159,3 +159,85 @@ def test_customer_distribution_keeps_left_outer(spark):
     customers survive into the c_count=0 bucket)."""
     plan = _plan(spark, "customer_order_distribution")
     assert "LeftOuter" in plan
+
+
+def test_exact_heavy_hitters_matches_groupby(spark):
+    """The 2-pass Misra-Gries plan must equal the naive full-shuffle
+    groupBy answer on a skewed corpus spread over many partitions —
+    including keys that are locally light but globally heavy (present
+    in every partition just under the local radar), the shape the
+    union-of-candidates guarantee exists for."""
+    from idhub_spark.operators.sketches import exact_heavy_hitters
+
+    # 40 heavy keys (300 rows each), 5000 light keys (2 rows each):
+    # N = 22000, spread over 16 partitions so each heavy key is
+    # ~19/partition among ~625 light rows
+    heavy = spark.range(40 * 300).select(
+        (F.col("id") % 40).alias("k")
+    )
+    light = spark.range(5000 * 2).select(
+        (F.col("id") % 5000 + 1000).alias("k")
+    )
+    df = heavy.unionByName(light).repartition(16)
+    got = {
+        r.k: r.n
+        for r in exact_heavy_hitters(df, "k", min_count=100, k=512).collect()
+    }
+    expected = {
+        r.k: r.n
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 100")
+        .collect()
+    }
+    assert got == expected and len(expected) >= 40
+
+
+def test_exact_heavy_hitters_rejects_unsound_k(spark):
+    """min_count <= N/(k+1) voids the superset guarantee — the
+    operator must raise, never silently under-report."""
+    import pytest
+
+    from idhub_spark.operators.sketches import exact_heavy_hitters
+
+    df = spark.range(10_000).select((F.col("id") % 100).alias("k"))
+    with pytest.raises(ValueError, match="exactness violated"):
+        exact_heavy_hitters(df, "k", min_count=5, k=16)
+
+
+def test_bucket_checksum_order_independent_and_sensitive(spark):
+    """The anti-entropy checksum must be identical across row order /
+    partitioning (modular SUM is commutative) and must flip for
+    exactly the bucket holding a changed or deleted row."""
+    from idhub_spark.operators.sampling import hash_bucket
+    from idhub_spark.storage import bucket_checksum
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") * 7).alias("cents"),
+    )
+    cols = ["k", "name", "cents"]
+    a = {r.bucket: (r.n_rows, r.checksum) for r in bucket_checksum(df, "k", cols).collect()}
+    # same rows, different order and partitioning
+    shuffled = df.orderBy(F.md5(F.col("k").cast("string"))).repartition(7)
+    b = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in bucket_checksum(shuffled, "k", cols).collect()
+    }
+    assert a == b
+
+    # one changed row flips exactly its own bucket's checksum (same count)
+    changed = df.withColumn(
+        "cents", F.when(F.col("k") == 1234, F.col("cents") + 1).otherwise(F.col("cents"))
+    )
+    c = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in bucket_checksum(changed, "k", cols).collect()
+    }
+    tgt = spark.range(1).select(
+        hash_bucket(F.lit(1234).cast("bigint"), 64, "ck").alias("b")
+    ).collect()[0].b
+    diff = {bk for bk in a if a[bk] != c[bk]}
+    assert diff == {tgt}
+    assert a[tgt][0] == c[tgt][0]  # count unchanged, checksum moved
