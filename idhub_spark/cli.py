@@ -194,6 +194,75 @@ def _cmd_load_batch(args) -> int:
     return 0
 
 
+def _cmd_scd2(args) -> int:
+    """Materialize the SCD Type-2 version view of a SnapshotStore.
+
+    The store's retained versions ARE the per-batch entity images
+    scd2_versions consumes (version number = batch sequence), so this
+    derives the warehouse-facing type-2 dimension from history the
+    engine already keeps — the row-version complement to the
+    field-level audit trail (reference data_change_audit,
+    01-schema.sql:118-127). valid_from/valid_to are INCLUSIVE version
+    numbers; after a vacuum the surviving numbers keep their meaning
+    (intervals are in version space, not a dense index).
+    """
+    from pyspark.sql import functions as F
+
+    from idhub_spark.operators.changes import scd2_versions
+    from idhub_spark.schema import NATURAL_KEYS
+    from idhub_spark.snapshots import SnapshotStore
+
+    spark = get_spark("scd2")
+    store = SnapshotStore(args.store)
+    history = sorted(store.versions(), key=lambda e: e["version"])
+    if not history:
+        print(f"no versions under {args.store}", file=sys.stderr)
+        return 2
+    key = (
+        args.key.split(",")
+        if args.key
+        else NATURAL_KEYS.get(args.table or "", [])
+    )
+    if not key:
+        print("--key (or a --table with a known natural key) is required",
+              file=sys.stderr)
+        return 2
+    latest = store.read(spark, history[-1]["version"])
+    attrs = (
+        args.attrs.split(",")
+        if args.attrs
+        else [c for c in latest.columns if c not in key]
+    )
+    images = None
+    for e in history:
+        img = store.read(spark, e["version"])
+        missing = [c for c in [*key, *attrs] if c not in img.columns]
+        if missing:
+            # schema drift across versions: refuse rather than invent
+            # nulls that would register as spurious attribute changes
+            print(
+                f"version {e['version']} lacks column(s) {missing}; pass "
+                "--attrs restricted to columns present in every version",
+                file=sys.stderr,
+            )
+            return 2
+        img = img.select(*key, *attrs, F.lit(e["version"]).alias("_scd2_seq"))
+        images = img if images is None else images.unionByName(img)
+    view = scd2_versions(images, key, attrs, seq_col="_scd2_seq")
+    view.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    print(json.dumps({
+        "store": args.store,
+        "versions": [e["version"] for e in history],
+        "key": key,
+        "attrs": attrs,
+        "version_rows": out.count(),
+        "current_rows": out.filter("is_current").count(),
+        "out": args.out,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="idhub_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -240,6 +309,22 @@ def main(argv: list[str] | None = None) -> int:
         "once",
     )
     l.set_defaults(fn=_cmd_load_batch)
+
+    s2 = sub.add_parser(
+        "scd2",
+        help="materialize the SCD Type-2 version view of a snapshot "
+        "store's retained history",
+    )
+    s2.add_argument("--store", required=True, help="SnapshotStore root")
+    s2.add_argument("--out", required=True)
+    s2.add_argument("--table", help="defaults --key from the table's natural key")
+    s2.add_argument("--key", help="comma-separated natural-key columns")
+    s2.add_argument(
+        "--attrs",
+        help="comma-separated tracked attributes (default: every "
+        "non-key column of the latest version)",
+    )
+    s2.set_defaults(fn=_cmd_scd2)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)

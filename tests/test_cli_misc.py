@@ -288,3 +288,47 @@ def test_cli_load_batch_bucketed_evolve(spark, tmp_path, capsys):
     rows = {r.sample_id: r.lab_source for r in final.collect()}
     assert rows["S1"] == "lab9"
     assert rows["S2"] is None and len(rows) == 4
+
+
+def test_cli_scd2_from_snapshot_store(spark, tmp_path, capsys):
+    """The scd2 subcommand derives the type-2 version view straight
+    from a SnapshotStore's retained history: consecutive unchanged
+    versions collapse, the open version is current, and version
+    numbers (not a re-densified index) bound the intervals."""
+    from idhub_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "subjects"))
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v", "note"])  # noqa: E731
+    store.write(mk([(1, "a", "x"), (2, "b", "x")]), note="seed")
+    store.write(mk([(1, "a", "x"), (2, "b2", "x")]), note="k2 changes")
+    store.write(mk([(1, "a", "x"), (2, "b2", "x")]), note="no-op")
+
+    out = str(tmp_path / "versions")
+    rc = cli.main([
+        "scd2", "--store", str(tmp_path / "subjects"),
+        "--key", "k", "--attrs", "v", "--out", out,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["versions"] == [1, 2, 3] and rep["attrs"] == ["v"]
+    got = {
+        (r.k, r.v): (r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a"): (1, None, True),
+        (2, "b"): (1, 1, False),
+        (2, "b2"): (2, None, True),
+    }
+    assert rep["version_rows"] == 3 and rep["current_rows"] == 2
+
+    # schema drift across versions is refused, not null-padded
+    store.write(
+        spark.createDataFrame([(1, "x")], ["k", "note"]), note="drops v"
+    )
+    rc = cli.main([
+        "scd2", "--store", str(tmp_path / "subjects"),
+        "--key", "k", "--attrs", "v", "--out", out,
+    ])
+    assert rc == 2
+    assert "lacks column" in capsys.readouterr().err
