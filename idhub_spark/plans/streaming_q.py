@@ -47,21 +47,44 @@ def _event_stream(spark, sf_dir):
     return stream
 
 
-def _drain_to_memory(plan_df, prefix: str, *, mode: str = "complete"):
+def _drain_to_memory(
+    plan_df, prefix: str, *, mode: str = "complete", state_partitions: int | None = None
+):
     """Trigger.AvailableNow -> memory sink; returns the sink table
     (see module docstring for why aggregations use complete mode;
     applyInPandasWithState drains in append mode — each closed
-    session is emitted exactly once)."""
+    session is emitted exactly once).
+
+    state_partitions: stateful operators materialize one state-store
+    instance PER shuffle partition (the stream-stream join spawns
+    FOUR per partition per side — keyToNumValues + keyWithIndexToValue
+    x2), and the count is frozen into the checkpoint at first start.
+    Size it to stream volume, exactly like choosing
+    spark.sql.shuffle.partitions before a production query's first
+    run: the harness corpus (~100k rows/trigger) wants single-digit
+    partitions (measured on the interval join: 32 -> 6.3 s, 8 ->
+    2.4 s, identical results — store setup dominates, not data).
+    The session-level conf is restored after the drain; these
+    checkpoints are fresh per run so the frozen count never conflicts.
+    """
     _QSEQ["n"] += 1
     qname = f"{prefix}_{os.getpid()}_{_QSEQ['n']}"
-    q = (
-        plan_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = plan_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            plan_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return qname
 
 
@@ -403,7 +426,9 @@ def streaming_interval_join(spark, sf_dir):
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    sink = _drain_to_memory(joined, "stream_ijoin", mode="append")
+    sink = _drain_to_memory(
+        joined, "stream_ijoin", mode="append", state_partitions=8
+    )
     pairs = spark.table(sink)
     cents = F.round(F.col("value") * 1000000.0).cast("bigint")
     return pairs.groupBy("user_id").agg(
