@@ -436,3 +436,53 @@ def streaming_interval_join(spark, sf_dir):
         F.min("click_id").cast("bigint").alias("first_click"),
         (F.sum(cents).cast("bigint").cast("double") / 1000000.0).alias("total_value"),
     )
+
+
+@query(
+    "streaming_dedup",
+    """
+    WITH uniq AS (
+      SELECT DISTINCT event_id, event_type, value FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM uniq GROUP BY event_type
+    """,
+    doc="§2.12 streaming DEDUPLICATION — the one stateful streaming "
+    "operator class the suite hadn't executed (state = seen-key set, "
+    "watermark-expired): every event is duplicated in-stream (explode "
+    "x2, the at-least-once-delivery shape), then "
+    "dropDuplicatesWithinWatermark(event_id) collapses replays whose "
+    "event time falls inside the 1-hour watermark horizon — at "
+    "production scale state holds one key per event in the horizon, "
+    "nothing older. AvailableNow drain to the memory sink, then a "
+    "batch rollup per event_type; the oracle is the batch DISTINCT "
+    "the stream must reproduce exactly (duplicates injected by the "
+    "harness, removed by the operator). Sums use the scaled-int64 "
+    "recipe; state partitions sized to stream volume "
+    "(_drain_to_memory note).",
+)
+def streaming_dedup(spark, sf_dir):
+    tables(spark, sf_dir, "events")
+    stream = _event_stream(spark, sf_dir)
+    duplicated = stream.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("replay"),
+    ).drop("replay")
+    deduped = duplicated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _drain_to_memory(
+        deduped, "stream_dedup", mode="append", state_partitions=8
+    )
+    uniq = spark.table(sink)
+    return uniq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("value_micros"),
+    )

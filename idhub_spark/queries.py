@@ -125,6 +125,10 @@ _DRIVER_ORDER = [
     # anti-entropy bucket-checksum replica comparison
     "heavy_hitter_users",
     "replica_divergence",
+    # NEW: streaming dedup (dropDuplicatesWithinWatermark state store)
+    # and the re-tuned interval join (state partitions sized to volume)
+    "streaming_dedup",
+    "streaming_interval_join",
     "dedup_cluster_canonical",
     "identity_components",
     "leakage_safe_split",
@@ -132,8 +136,9 @@ _DRIVER_ORDER = [
     "json_roundtrip_report",
     "orc_roundtrip_staging",
     "partition_pruned_upsert",
-    "partition_pruned_upsert_stats",
-    "incremental_pruned_merge_state",
+    # (partition_pruned_upsert_stats and incremental_pruned_merge_state
+    # share this merge_into path; their r8 driver rows stay in-policy
+    # and the window budget goes to the r6 cohort below instead)
     # (2) the full r6-evidence cohort (standing <=3-rounds rotation
     # policy): every query whose newest driver row is r6 rotates in,
     # so no evidence is older than r7 after this pass
