@@ -229,3 +229,68 @@ def domain_mixture_weights(spark, sf_dir):
         ((1.0 / F.col("n_domains").cast("double")) / share).alias("sample_weight"),
     )
 
+
+
+@query(
+    "weighted_mixture_sample",
+    """
+    WITH doc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    dom AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS dom_tokens
+      FROM doc GROUP BY source),
+    mn AS (SELECT CAST(MIN(dom_tokens) AS BIGINT) AS min_tok FROM dom),
+    rates AS (
+      SELECT source, CAST((1000000 * min_tok) // dom_tokens AS BIGINT)
+               AS rate_micro
+      FROM dom CROSS JOIN mn),
+    kept AS (
+      SELECT d.source, r.rate_micro, d.n_tok
+      FROM doc d JOIN rates r ON d.source = r.source
+      WHERE CAST(CAST(('0x' || substr(md5('wmix' || CAST(d.doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 1000000 AS BIGINT) < r.rate_micro)
+    SELECT source, rate_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source, rate_micro
+    """,
+    doc="APPLIES the mixture reweighting domain_mixture_weights only "
+    "computes: per-domain acceptance thinning toward the uniform "
+    "token target. The acceptance rate is derived in PURE INTEGERS — "
+    "rate_micro = (1e6 * min_domain_tokens) div domain_tokens, i.e. "
+    "each domain downsamples toward the smallest domain's token mass "
+    "(the largest-weight domain keeps everything) — and acceptance "
+    "is the deterministic md5-uniform of doc_id, so the sample is "
+    "reproducible on any cluster/partitioning and the oracle matches "
+    "bit-for-bit with zero float boundaries. Shape: one corpus agg "
+    "(row per domain), a 1-row MIN broadcast, then a broadcast-rates "
+    "filter scan — no shuffle of the corpus itself; the two scans "
+    "are inherent (global stats must precede the thinning).",
+)
+def weighted_mixture_sample(spark, sf_dir):
+    from idhub_spark.operators.sampling import hash_bucket
+
+    t = tables(spark, sf_dir, "documents")
+    doc = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    dom = doc.groupBy("source").agg(F.sum("n_tok").alias("dom_tokens"))
+    mn = dom.agg(F.min("dom_tokens").alias("min_tok"))
+    rates = dom.crossJoin(F.broadcast(mn)).select(
+        "source",
+        # integer `div`, not `/`: double division loses exactness once
+        # 1e6 * min_tok crosses 2^53 (trillion-token domains)
+        F.expr("(1000000 * min_tok) div dom_tokens")
+        .cast("bigint")
+        .alias("rate_micro"),
+    )
+    u = hash_bucket(F.col("doc_id"), 1000000, "wmix").cast("bigint")
+    kept = doc.join(F.broadcast(rates), "source").filter(u < F.col("rate_micro"))
+    return kept.groupBy("source", "rate_micro").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("kept_tokens"),
+    )

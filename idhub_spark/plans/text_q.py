@@ -514,3 +514,82 @@ def bpe_merge_apply(spark, sf_dir):
         .limit(20)
         .select(F.hex(F.col("pair").cast("binary")).alias("pair_hex"), "n")
     )
+
+
+@query(
+    "tfidf_keywords",
+    """
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY source, token),
+    dfx AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    ns AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf, dfx.df,
+             CAST(round(tf.tf * ln(CAST(ns.n AS DOUBLE) / dfx.df)
+                        * 1000000.0) AS BIGINT) AS score_micro
+      FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN ns),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score_micro DESC, token) AS rnk
+      FROM scored)
+    SELECT source, token, tf, df, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="Keyword extraction: top-5 domain-characteristic terms per "
+    "source by TF-IDF, each source treated as one mega-document "
+    "(domain granularity keeps idf meaningful for mixture analysis "
+    "and the output source-bounded). tf and df fall out of the SAME "
+    "aggregate (df = rows per token in the tf table), the corpus "
+    "source count is a single-row aggregate broadcast, and scores "
+    "land as round(tf * ln(N/df) * 1e6) BIGINT — the scaled-int64 "
+    "float discipline, so ranking and hashing never touch raw "
+    "doubles. The df join is token-keyed (vocabulary-sized shuffle, "
+    "independent of corpus rows); top-k is one window per source. "
+    "No reference analogue — training-data-pipeline text analysis.",
+)
+def tfidf_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = docs.select(
+        F.countDistinct("source").alias("n")
+    )
+    scored = (
+        tf.join(dfx, "token")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * 1000000.0
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+    )

@@ -217,3 +217,53 @@ def hourly_rollup(spark, sf_dir):
             (F.sum(scaled).cast("double") / F.lit(_SCALE_D)).alias("total_value"),
         )
     )
+
+
+@query(
+    "sliding_window_rollup",
+    f"""
+    WITH slid AS (
+      SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+               AS window_start,
+             event_type, value
+      FROM events, UNNEST(range(0, 4)) t(k))
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(round(value * {10**SCALE}.0) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / {10**SCALE}.0 AS total_value
+    FROM slid
+    GROUP BY window_start, event_type
+    """,
+    doc="SLIDING-window aggregate — window(ts, '1 hour', '15 minutes'): "
+    "every event lands in duration/slide = 4 overlapping windows, "
+    "epoch-aligned exactly as Spark aligns slides. The overlap factor "
+    "is a fixed pre-aggregation fanout absorbed by map-side combine "
+    "(shuffle carries one row per window x type, never per event), so "
+    "the plan scales with distinct windows, not corpus x 4. Oracle "
+    "derives each event's 4 window starts with the same integer "
+    "epoch-microsecond arithmetic (floor-div by the 15-min slide), so "
+    "a hash match pins Spark's slide alignment, both inclusive "
+    "boundaries, and the scaled-int64 sums. Batch twin of the "
+    "streaming windowed family (§2.12); the streaming form only adds "
+    "a watermark.",
+)
+def sliding_window_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * _SCALE_D, 0).cast("bigint")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(scaled).cast("double") / F.lit(_SCALE_D)).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

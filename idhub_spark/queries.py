@@ -125,20 +125,22 @@ _DRIVER_ORDER = [
     # anti-entropy bucket-checksum replica comparison
     "heavy_hitter_users",
     "replica_divergence",
-    # NEW: streaming dedup (dropDuplicatesWithinWatermark state store)
-    # and the re-tuned interval join (state partitions sized to volume)
     "streaming_dedup",
-    "streaming_interval_join",
+    "tfidf_keywords",
+    "sliding_window_rollup",
+    "weighted_mixture_sample",
+    "blocked_fuzzy_linkage",
+    "compaction_roundtrip",
+    # the three CC consumers re-evidence the hardened loops (pointer
+    # doubling + convergence guard + reliable-checkpoint knob)
     "dedup_cluster_canonical",
     "identity_components",
     "leakage_safe_split",
-    "csv_roundtrip_staging",
-    "json_roundtrip_report",
-    "orc_roundtrip_staging",
-    "partition_pruned_upsert",
-    # (partition_pruned_upsert_stats and incremental_pruned_merge_state
-    # share this merge_into path; their r8 driver rows stay in-policy
-    # and the window budget goes to the r6 cohort below instead)
+    # (the round-trips, pruned upserts, and the re-tuned interval join
+    # also changed this round but keep in-policy r7/r8 driver rows and
+    # were targeted-verified green at both scales when committed; the
+    # remaining window budget goes to never-checked new queries above
+    # and the r6 cohort below)
     # (2) the full r6-evidence cohort (standing <=3-rounds rotation
     # policy): every query whose newest driver row is r6 rotates in,
     # so no evidence is older than r7 after this pass

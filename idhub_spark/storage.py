@@ -186,3 +186,48 @@ def bucket_checksum(
             .alias("checksum"),
         )
     )
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Bin-pack a directory of small parquet files into ~target-size
+    files; returns (n_source_files, n_output_files).
+
+    The small-files problem is the dominant operational tax of
+    incremental ingestion at scale (every streaming/merge micro-batch
+    lands a file per partition; a year of 5-minute triggers is 10^5
+    files whose open/footer costs dwarf the data). Compaction here is
+    a COALESCE, not a repartition: glueing existing partitions
+    together moves no rows between executors (zero shuffle — at 100 TB
+    a shuffling compactor would be the most expensive job in the
+    system), at the cost of not fixing skew (skewed inputs go through
+    size_bucketed_repartition instead). File sizes are listed via the
+    Hadoop FS API so s3a:// roots work identically
+    (operators/merge_into.py:_hadoop_fs pattern).
+
+    Reference anchor: the reference's staging sink appends one CSV
+    per batch (table-loader staging) and never compacts; this is the
+    maintenance operator that keeps such a layout readable.
+    """
+    import math
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, src_dir)
+    files = [
+        f
+        for f in fs.listStatus(jpath)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    n_src = len(files)
+    total = sum(f.getLen() for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(
+        dst_dir
+    )
+    return n_src, n_out

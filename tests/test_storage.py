@@ -632,3 +632,32 @@ def test_partition_pruned_upsert_rejects_layout_mismatch(spark, tmp_path):
             spark, root, incoming, ["k"], n_buckets=8, bucket_col="_b",
             bucket_of=lambda df: (F.col("k") % 8).cast("int"),
         )
+
+
+def test_compact_small_files_shrinks_and_preserves(spark, tmp_path):
+    """Compaction must reduce the file count to ceil(total/target)
+    and preserve every row byte-exactly (verified the way production
+    would: bucket checksums before vs after)."""
+    from idhub_spark.storage import bucket_checksum, compact_small_files
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    df.repartition(20).write.parquet(small)
+    import glob as _glob
+
+    n_small = len(_glob.glob(f"{small}/*.parquet"))
+    assert n_small == 20
+    n_src, n_out = compact_small_files(
+        spark, small, out, target_bytes=10**9
+    )
+    assert n_src == 20 and n_out == 1
+    assert len(_glob.glob(f"{out}/*.parquet")) == 1
+    a = {r.bucket: (r.n_rows, r.checksum)
+         for r in bucket_checksum(df, "k", ["k", "v"]).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum)
+         for r in bucket_checksum(
+             spark.read.parquet(out), "k", ["k", "v"]).collect()}
+    assert a == b
