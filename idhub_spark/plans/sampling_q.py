@@ -278,7 +278,15 @@ def weighted_mixture_sample(spark, sf_dir):
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    dom = doc.groupBy("source").agg(F.sum("n_tok").alias("dom_tokens"))
+    # persist the per-domain totals: the MIN and the rates both read
+    # them — unpersisted, each consumer re-scans the corpus
+    from pyspark.storagelevel import StorageLevel
+
+    dom = (
+        doc.groupBy("source")
+        .agg(F.sum("n_tok").alias("dom_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mn = dom.agg(F.min("dom_tokens").alias("min_tok"))
     rates = dom.crossJoin(F.broadcast(mn)).select(
         "source",

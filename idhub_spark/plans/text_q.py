@@ -555,9 +555,14 @@ def bpe_merge_apply(spark, sf_dir):
 )
 def tfidf_keywords(spark, sf_dir):
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
+    # persist tf: df and the scored join both consume it — without the
+    # persist Spark re-runs the tokenize+count chain per consumer
+    # (a second full corpus scan at 100 TB); with it the corpus is
+    # read once and everything downstream is vocabulary-sized
     tf = (
         docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -565,8 +570,11 @@ def tfidf_keywords(spark, sf_dir):
         .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfx = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # one column-pruned scan (not derived from tf: a source whose every
+    # doc tokenizes empty must still count in N)
     n_sources = docs.select(
         F.countDistinct("source").alias("n")
     )
