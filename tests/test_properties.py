@@ -457,3 +457,45 @@ def test_cc_hot_identifier_skew(spark):
     assert sizes[0] == n_hot  # the sentinel component, labeled min key
     assert len(sizes) == 1 + n_bg // 2
     assert all(v == 2 for k, v in sizes.items() if k != 0)
+
+
+def test_heavy_hitters_randomized_distributions(spark):
+    """Seeded-random corpora (zipf-ish, uniform, adversarial
+    just-below/just-above threshold) across random partition counts:
+    the two-pass Misra-Gries answer must equal the naive full-shuffle
+    groupBy for every shape, because pass 2's exact recount makes the
+    result independent of WHICH candidates each partitioning yields."""
+    from idhub_spark.operators.sketches import exact_heavy_hitters
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        rows = []
+        # a few heavy keys, a long light tail, and boundary keys with
+        # counts exactly at / one below the threshold
+        threshold = rng.randint(20, 60)
+        for k in range(rng.randint(2, 6)):
+            rows += [k] * rng.randint(threshold, threshold * 3)
+        for k in range(100, 100 + rng.randint(200, 600)):
+            rows += [k] * rng.randint(1, 3)
+        rows += [900] * threshold          # exactly at threshold: IN
+        rows += [901] * (threshold - 1)    # one below: OUT
+        rng.shuffle(rows)
+        df = spark.createDataFrame([(int(v),) for v in rows], ["k"]).repartition(
+            rng.choice([2, 5, 16])
+        )
+        k_param = max(64, 2 * len(rows) // threshold)
+        got = {
+            r.k: r.n
+            for r in exact_heavy_hitters(
+                df, "k", min_count=threshold, k=k_param
+            ).collect()
+        }
+        want = {
+            r.k: r.n
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= threshold)
+            .collect()
+        }
+        assert got == want, f"seed {seed}"
+        assert 900 in got and 901 not in got
