@@ -279,3 +279,128 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): 4x smaller candidate scans via int8 codes
+# ---------------------------------------------------------------------------
+
+
+def sq8_fit(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, max) bounds for int8 scalar quantization —
+    ONE row with two array<double> columns (mins, maxs).
+
+    The explode->groupBy(pos) shuffle carries (dim, partial min/max)
+    — bounded by dimensionality, not corpus size. At 100 TB fit on a
+    deterministic hash-sample; range bounds converge with a few
+    hundred thousand vectors.
+    """
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    per_dim = ex.groupBy("pos").agg(
+        F.min("x").cast("double").alias("mn"), F.max("x").cast("double").alias("mx")
+    )
+    return per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_a"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_b"),
+    ).select(
+        F.transform("_a", lambda s: s["mn"]).alias("mins"),
+        F.transform("_b", lambda s: s["mx"]).alias("maxs"),
+    )
+
+
+def sq8_encode(
+    df: DataFrame, bounds: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a `code` array<tinyint> column: per-dim affine map of the
+    vector onto [-128, 127] (code = round((x-mn)/(mx-mn)*255) - 128;
+    constant dims encode 0). 4x smaller than float32 on disk and in
+    shuffle — the column a 100 TB candidate scan reads INSTEAD of the
+    embeddings; full-precision vectors are touched only for the
+    rescoring candidates. bounds is the sq8_fit 1-row frame
+    (broadcast)."""
+    def _code(x, i):
+        width = F.element_at("maxs", i + 1) - F.element_at("mins", i + 1)
+        return F.when(width == 0.0, F.lit(0).cast("tinyint")).otherwise(
+            (
+                F.round(
+                    (x - F.element_at("mins", i + 1)) / width * 255.0, 0
+                ).cast("int")
+                - 128
+            ).cast("tinyint")
+        )
+
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("code", F.transform(F.col(vec_col), _code))
+        .drop("mins", "maxs")
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    bounds: DataFrame,
+    *,
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: rank candidates on the int8 codes
+    (queries stay full-precision — the transformed query q'_i =
+    q_i*(mx_i-mn_i)/255 makes code-dot ranking equal approximate
+    dot-product ranking up to a per-query constant, which cancels),
+    then RESCORE the top rescore*k candidates with the exact float
+    dot and return the exact-scored top-k.
+
+    Scan cost: the ranking pass reads only (id, code) — 4x less I/O
+    than float32 embeddings; the rescore joins back to full vectors
+    for rescore*k rows per query (point lookups at scale). Faiss-style
+    SQ8 + refine (public design); the recall test pins quality.
+    """
+    enc = sq8_encode(corpus, bounds, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    qb = queries.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda q, i: q
+            * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+            / 255.0,
+        ).alias("qt"),
+    )
+    approx = (
+        qb.crossJoin(enc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    "qt", "code", lambda q, c: q * (c.cast("double") + 128.0)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("ascore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("neighbor_id"))
+    cand = approx.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= rescore * k
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    exact = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", _dot(F.col("_qv"), F.col("_nv")).alias("score"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

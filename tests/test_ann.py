@@ -74,3 +74,64 @@ def test_ivf_recall_vs_bruteforce(spark, vectors):
     assert recall >= 0.5, f"recall@5 {recall}"
     # every query produced a full (or bucket-limited) result set
     assert ivf.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] >= 1
+
+
+def test_sq8_roundtrip_and_recall(spark, vectors):
+    """SQ8 contract: codes are a true array<tinyint> (the 4x-smaller
+    scan column), decode error is bounded by half a quantization step
+    per dim, and asymmetric-distance top-k with 4x rescore recovers
+    the exact dot-product top-5 (recall@5 >= 0.9 — rescoring with
+    full precision repairs nearly all quantization rank noise)."""
+    from idhub_spark.operators.ann import _dot, sq8_encode, sq8_fit, sq8_topk
+
+    bounds = sq8_fit(vectors)
+    b = bounds.collect()[0]
+    assert len(b.mins) == vectors.select(F.size("embedding")).first()[0]
+
+    enc = sq8_encode(vectors, bounds)
+    assert dict(enc.dtypes)["code"] == "array<tinyint>"
+    # decode error <= step/2 per dim, step = (mx-mn)/255
+    err = enc.select(
+        F.posexplode("code").alias("p", "c"),
+        F.col("embedding"),
+    ).select(
+        (
+            F.abs(
+                (F.col("c").cast("double") + 128.0) / 255.0
+                * (F.lit(list(b.maxs)).getItem(F.col("p")) - F.lit(list(b.mins)).getItem(F.col("p")))
+                + F.lit(list(b.mins)).getItem(F.col("p"))
+                - F.element_at("embedding", F.col("p") + 1).cast("double")
+            )
+            / ((F.lit(list(b.maxs)).getItem(F.col("p")) - F.lit(list(b.mins)).getItem(F.col("p"))) / 255.0)
+        ).alias("steps")
+    )
+    assert err.agg(F.max("steps")).collect()[0][0] <= 0.5 + 1e-6
+
+    queries = vectors.filter(F.col("vec_id") < 8)
+    got = sq8_topk(queries, vectors, bounds, k=5, rescore=4)
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = vectors.select(F.col("vec_id").alias("_id"), vec_d.alias("_v"))
+    q = v.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("q_v")
+    )
+    n = v.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact = (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _dot(F.col("q_v"), F.col("n_v")).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    hits = got.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    recall = hits.count() / exact.count()
+    assert recall >= 0.9, f"sq8 recall@5 {recall}"
