@@ -128,7 +128,9 @@ def streaming_sessionize(spark, sf_dir):
     # oracle harness; the streaming scan below re-reads the file itself
     tables(spark, sf_dir, "events")
     sess = session_agg_plan(_event_stream(spark, sf_dir), gap="30 minutes")
-    return spark.table(_drain_to_memory(sess, "stream_sessions"))
+    return spark.table(
+        _drain_to_memory(sess, "stream_sessions", state_partitions=8)
+    )
 
 
 @query(
@@ -152,7 +154,9 @@ def streaming_hourly_rollup(spark, sf_dir):
 
     tables(spark, sf_dir, "events")
     roll = hourly_rollup_plan(_event_stream(spark, sf_dir), watermark="2 hours")
-    out = spark.table(_drain_to_memory(roll, "stream_rollup"))
+    out = spark.table(
+        _drain_to_memory(roll, "stream_rollup", state_partitions=8)
+    )
     return out.select(
         F.col("hour").cast("timestamp").alias("hour"),
         "event_type",
@@ -217,7 +221,11 @@ def stateful_sessionize(spark, sf_dir):
         .withWatermark("ts", "0 seconds")
     )
     sess = sessionize_stateful(stream, gap_seconds=1800)
-    return spark.table(_drain_to_memory(sess, "stateful_sessions", mode="append"))
+    return spark.table(
+        _drain_to_memory(
+            sess, "stateful_sessions", mode="append", state_partitions=8
+        )
+    )
 
 
 @query(
