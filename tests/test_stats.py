@@ -205,6 +205,60 @@ def test_exact_heavy_hitters_rejects_unsound_k(spark):
         exact_heavy_hitters(df, "k", min_count=5, k=16)
 
 
+def test_heavy_hitter_candidates_bounded_by_k_at_high_partition_count(spark):
+    """The broadcast side of pass 2 must be <= k rows at ANY input
+    partition count (the Agarwal-merge bound): 512 partitions x k=64
+    per-partition sketches would union to up to 32k candidate rows —
+    the merged sketch must reduce that to <= 64 while still containing
+    every true heavy hitter."""
+    from idhub_spark.operators.sketches import (
+        exact_heavy_hitters,
+        merged_candidates,
+        misra_gries_candidates,
+    )
+
+    # 8 heavy keys (4000 rows each) + 2000 light keys (4 rows each):
+    # N = 40000, t=1000 > N/(k+1) = 40000/65 ~ 615
+    heavy = spark.range(8 * 4000).select((F.col("id") % 8).alias("k"))
+    light = spark.range(2000 * 4).select((F.col("id") % 2000 + 100).alias("k"))
+    df = heavy.unionByName(light).repartition(512)
+
+    raw = misra_gries_candidates(df, "k", 64).count()
+    merged = merged_candidates(df, "k", 64).collect()
+    assert len(merged) <= 64, f"merged sketch leaked {len(merged)} > k rows"
+    assert raw > len(merged)  # the merge actually reduced something
+    assert {r.k for r in merged} >= set(range(8))  # superset guarantee
+
+    got = {
+        r.k: r.n
+        for r in exact_heavy_hitters(df, "k", min_count=1000, k=64).collect()
+    }
+    assert got == {i: 4000 for i in range(8)}
+
+
+def test_heavy_hitters_null_key(spark):
+    """A NULL key whose exact count clears the threshold must be
+    reported exactly as the naive groupBy would report it (pass 1
+    counts nulls via value_counts(dropna=False); pass 2's semi-join
+    is null-safe)."""
+    from idhub_spark.operators.sketches import exact_heavy_hitters
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+            .alias("k")
+        )
+        .repartition(16)
+    )
+    got = {
+        r.k: r.n
+        for r in exact_heavy_hitters(df, "k", min_count=500, k=256).collect()
+    }
+    assert got == {None: 1000}
+
+
 def test_bucket_checksum_order_independent_and_sensitive(spark):
     """The anti-entropy checksum must be identical across row order /
     partitioning (modular SUM is commutative) and must flip for
