@@ -317,15 +317,26 @@ def sq8_encode(
     shuffle — the column a 100 TB candidate scan reads INSTEAD of the
     embeddings; full-precision vectors are touched only for the
     rescoring candidates. bounds is the sq8_fit 1-row frame
-    (broadcast)."""
+    (broadcast).
+
+    Codes are CLAMPED to [-128, 127] before the tinyint cast: bounds
+    fit on a hash-sample (the 100 TB recipe) routinely see
+    out-of-range values at encode time, and under ANSI mode an
+    unclamped overflow would throw CAST_OVERFLOW and kill the job —
+    saturation to the nearest representable code is the correct SQ
+    semantics for out-of-bounds values (Faiss does the same)."""
     def _code(x, i):
         width = F.element_at("maxs", i + 1) - F.element_at("mins", i + 1)
         return F.when(width == 0.0, F.lit(0).cast("tinyint")).otherwise(
-            (
-                F.round(
-                    (x - F.element_at("mins", i + 1)) / width * 255.0, 0
-                ).cast("int")
-                - 128
+            F.greatest(
+                F.least(
+                    F.round(
+                        (x - F.element_at("mins", i + 1)) / width * 255.0, 0
+                    ).cast("int")
+                    - 128,
+                    F.lit(127),
+                ),
+                F.lit(-128),
             ).cast("tinyint")
         )
 
@@ -333,6 +344,111 @@ def sq8_encode(
         df.crossJoin(F.broadcast(bounds))
         .withColumn("code", F.transform(F.col(vec_col), _code))
         .drop("mins", "maxs")
+    )
+
+
+def ivf_sq8_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    bounds: DataFrame,
+    *,
+    query_ids: list | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x SQ8: the 100 TB ANN plan — probe-bounded candidate scans
+    over int8 codes, exact rescoring of the survivors.
+
+    sq8_topk alone is a flat scan (4x less I/O than float brute force
+    but still O(|Q|*|N|) compute); ivf_topk alone scans full-precision
+    vectors inside the probed clusters. Composed (the Faiss IVF-SQ +
+    refine design — public), each query (a) routes to its nprobe
+    nearest centroids (broadcast, tiny), (b) ranks ONLY the probed
+    clusters' candidates on the int8 `code` column — per-query compute
+    is nprobe/k of the corpus AND the scan reads 4x fewer bytes — and
+    (c) rescores the top rescore*k survivors with full-precision
+    vectors (point lookups by id).
+
+    Deterministic end to end, so the whole query is hash-oracle-able
+    the way ann_topk_ivf is: the candidate rank is an INTEGER
+    asymmetric score — the query is folded against the per-dim widths
+    as w_i = round(q_i*(mx_i-mn_i)*1e6) ONCE per query, and
+    ascore = sum_i w_i*(code_i+128), a pure int64 sum whose value is
+    independent of summation order (ranking by ascore == ranking by
+    dot(q, dequantized candidate) up to a per-query constant that
+    cancels and the 1e-6 weight quantization the rescore repairs).
+    The rescore is the scaled-int64 cosine of ivf_topk (one
+    int->double conversion). Output contract: (query_id, neighbor_id,
+    cosine, rank) — identical to ivf_topk/ann_topk_bruteforce.
+
+    Overflow envelope (documented like the _COS_SCALE one): per-dim
+    |w_i*(code_i+128)| <= 255e6 * |q|max * width_max; 64 dims of
+    unit-scale embeddings stay ~2^38, far under the 2^53 parity bound.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    # inverted lists: (neighbor_id, cluster, int8 code) — the ONLY
+    # columns the candidate-ranking scan touches
+    corpus = sq8_encode(_assign(base, centroids), bounds, vec_col="_v").select(
+        F.col("_id").alias("neighbor_id"), "cluster", "code"
+    )
+    q = base if query_ids is None else base.filter(F.col("_id").isin(query_ids))
+    probes = _assign(q, centroids, nprobe=nprobe)
+    qw = probes.crossJoin(F.broadcast(bounds)).select(
+        F.col("_id").alias("query_id"),
+        "cluster",
+        F.transform(
+            F.col("_v"),
+            lambda qi, i: F.round(
+                qi
+                * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+                * 1000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("_w"),
+    )
+    ascore = F.aggregate(
+        F.zip_with("_w", "code", lambda w, c: w * (c.cast("long") + 128)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("_ascore"), F.asc("neighbor_id")
+    )
+    cand = (
+        qw.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ascore.alias("_ascore"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rescore * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact rescore: full-precision point lookups for survivors only
+    def _si(df, idname):
+        si = _quantize(F.transform(F.col(vec_col), lambda x: x.cast("double")), _COS_SCALE)
+        return df.select(
+            F.col(id_col).alias(idname),
+            si.alias(f"_{idname[0]}si"),
+            _int_dot(si, si).alias(f"_{idname[0]}nrm"),
+        )
+
+    qv = _si(vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids)), "query_id")
+    nv = _si(vectors, "neighbor_id")
+    cosine = _int_dot(F.col("_qsi"), F.col("_nsi")).cast("double") / (
+        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -440,3 +440,112 @@ def ann_topk_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# IVF x SQ8 oracle: extends the exact-integer IVF chain with the SQ8
+# bounds fit, int8 encoding (clamped affine map, mirroring
+# ann.py:sq8_encode bit for bit), the INTEGER asymmetric candidate
+# score (w_i = round(q_i*(mx_i-mn_i)*1e6); ascore = sum w_i*(code+128)
+# — order-independent because exact int64), and the scaled-int64
+# cosine rescore. Deterministic end to end, so the driver hash-checks
+# the full composed plan.
+_SQ8_CODE = (
+    "list_transform(range(1, 65), i -> CASE WHEN b.maxs[i] = b.mins[i] "
+    "THEN 0 ELSE greatest(least(CAST(round(((v.ev[i] - b.mins[i]) / "
+    "(b.maxs[i] - b.mins[i])) * 255.0) AS INTEGER) - 128, 127), -128) END)"
+)
+
+_IVF_SQ8_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xs,
+             {_IVF_SI} AS si,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
+             CAST(1 AS BIGINT) AS n, xs AS s
+      FROM v ORDER BY id LIMIT 8),
+    {_ivf_assign('c0', 'a1').strip()},
+    {_ivf_recenter('a1', 'c1').strip()},
+    {_ivf_assign('c1', 'a2').strip()},
+    {_ivf_recenter('a2', 'c2').strip()},
+    corpus0 AS (
+      SELECT id, cluster FROM (
+        SELECT v.id, c.cluster,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {_ivf_dist('c')}, c.cluster) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn <= 1),
+    dims AS (
+      SELECT i, MIN(v.ev[i]) AS mn, MAX(v.ev[i]) AS mx
+      FROM v, UNNEST(range(1, 65)) AS t(i) GROUP BY i),
+    bounds AS (
+      SELECT list_transform(list_sort(list({{'d': i, 'v': mn}})), r -> r.v) AS mins,
+             list_transform(list_sort(list({{'d': i, 'v': mx}})), r -> r.v) AS maxs
+      FROM dims),
+    corpus AS (
+      SELECT a.id, a.cluster, {_SQ8_CODE} AS code
+      FROM corpus0 a JOIN v ON a.id = v.id CROSS JOIN bounds b),
+    qv AS (SELECT * FROM v WHERE id < 8),
+    probes AS (
+      SELECT id, cluster FROM (
+        SELECT v.id, c.cluster,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {_ivf_dist('c')}, c.cluster) AS rn
+        FROM qv v CROSS JOIN c2 c) WHERE rn <= 2),
+    qw AS (
+      SELECT p.id, p.cluster,
+             list_transform(range(1, 65), i ->
+               CAST(round((v.ev[i] * (b.maxs[i] - b.mins[i])) * 1000000.0)
+                    AS BIGINT)) AS w
+      FROM probes p JOIN v ON p.id = v.id CROSS JOIN bounds b),
+    scored AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i ->
+               q.w[i] * (CAST(n.code[i] AS BIGINT) + 128))) AS ascore
+      FROM qw q JOIN corpus n
+        ON q.cluster = n.cluster AND q.id <> n.id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ascore DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 20),
+    pairs AS (
+      SELECT c.query_id, c.neighbor_id, {_IVF_COS} AS cosine
+      FROM cand c JOIN v p ON c.query_id = p.id
+                  JOIN v n ON c.neighbor_id = n.id)
+    SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """
+
+
+@query(
+    "ivf_sq8_topk",
+    _IVF_SQ8_ORACLE,
+    doc="IVF x SQ8 composition (operators/ann.py:ivf_sq8_topk) — the "
+    "100 TB ANN plan: queries route to their nprobe=2 nearest "
+    "centroids (broadcast), candidates are ranked INSIDE the probed "
+    "inverted lists on the int8 `code` column only (per-query compute "
+    "nprobe/k of the corpus AND 4x less scan I/O than float32), and "
+    "the top rescore*k survivors are rescored with the exact "
+    "scaled-int64 cosine (full-precision point lookups). The "
+    "candidate rank is an integer asymmetric score "
+    "(w_i = round(q_i*(mx_i-mn_i)*1e6), ascore = sum w_i*(code_i+128)) "
+    "— exact int64, order-independent, so the whole composed plan is "
+    "deterministic and the oracle unrolls kmeans + bounds + encode + "
+    "probe + rescore as one CTE chain. Faiss IVF-SQ + refine design "
+    "(public).",
+)
+def ivf_sq8_topk_q(spark, sf_dir):
+    from idhub_spark.operators.ann import ivf_sq8_topk, kmeans_fit, sq8_fit
+
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    centroids = kmeans_fit(e, k=8, max_iter=2)
+    bounds = sq8_fit(e)
+    return ivf_sq8_topk(
+        e, centroids, bounds, query_ids=list(range(8)), k=5, nprobe=2, rescore=4
+    )

@@ -135,3 +135,61 @@ def test_sq8_roundtrip_and_recall(spark, vectors):
     )
     recall = hits.count() / exact.count()
     assert recall >= 0.9, f"sq8 recall@5 {recall}"
+
+
+def test_ivf_sq8_recall(spark, vectors):
+    """The composed IVF x SQ8 plan (probe-bounded int8 candidate scan
+    + exact rescore) must clear the same recall@5 >= 0.9 bar as flat
+    SQ8 — composition may only lose the neighbors IVF pruning loses,
+    and nprobe=3/8 keeps those rare on the synthetic corpus."""
+    from idhub_spark.operators.ann import ivf_sq8_topk, kmeans_fit, sq8_fit
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=3)
+    bounds = sq8_fit(vectors)
+    got = ivf_sq8_topk(
+        vectors, centroids, bounds, query_ids=list(range(8)), k=5, nprobe=3
+    )
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = vectors.select(F.col("vec_id").alias("_id"), vec_d.alias("_v"))
+    q = v.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("q_v")
+    )
+    n = v.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"))
+    from idhub_spark.operators.ann import _dot
+    from pyspark.sql import Window
+
+    cosine = _dot(F.col("q_v"), F.col("n_v")) / (
+        F.sqrt(_dot(F.col("q_v"), F.col("q_v")))
+        * F.sqrt(_dot(F.col("n_v"), F.col("n_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    hits = got.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    recall = hits.count() / exact.count()
+    assert recall >= 0.9, f"ivf_sq8 recall@5 {recall}"
+
+
+def test_sq8_encode_clamps_out_of_range(spark):
+    """Bounds fit on a sample see out-of-range values at encode time;
+    under ANSI mode an unclamped tinyint cast would THROW. Codes must
+    saturate to -128/127 instead."""
+    from idhub_spark.operators.ann import sq8_encode
+
+    df = spark.createDataFrame(
+        [(1, [5.0, -5.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    bounds = spark.createDataFrame(
+        [([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])],
+        "mins array<double>, maxs array<double>",
+    )
+    row = sq8_encode(df, bounds).select("code").first()
+    assert row.code == [127, -128, 0]
