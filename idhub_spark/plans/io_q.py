@@ -448,9 +448,15 @@ _CK_BUCKET_SQL = (
     "CAST(CAST(('0x' || substr(md5('ck' || CAST(c_custkey AS VARCHAR)), 1, 8)) "
     "AS BIGINT) % 64 AS INTEGER)"
 )
+# NULL sentinel mirrors bucket_checksum: coalesce each column to
+# chr(0)||'NULL' before joining (concat_ws skips nulls; '||' nulls the
+# whole string — both would diverge from the Spark side on null data)
+_CK_NULL = "chr(0) || 'NULL'"
 _CK_ROW_SQL = (
-    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || "
-    "'|' || CAST(cents AS VARCHAR)), 1, 14)) AS BIGINT)"
+    f"CAST(('0x' || substr(md5("
+    f"COALESCE(CAST(c_custkey AS VARCHAR), {_CK_NULL}) || '|' || "
+    f"COALESCE(c_name, {_CK_NULL}) || '|' || "
+    f"COALESCE(CAST(cents AS VARCHAR), {_CK_NULL})), 1, 14)) AS BIGINT)"
 )
 
 
@@ -541,9 +547,11 @@ def replica_divergence(spark, sf_dir):
                       1, 8)) AS BIGINT) % 32 AS INTEGER) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(md5(
-                  CAST(event_id AS VARCHAR) || '|' ||
-                  CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-                  CAST(value_micros AS VARCHAR)), 1, 14)) AS BIGINT))
+                  COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL') || '|' ||
+                  COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL') || '|' ||
+                  COALESCE(event_type, chr(0) || 'NULL') || '|' ||
+                  COALESCE(CAST(value_micros AS VARCHAR), chr(0) || 'NULL')),
+                  1, 14)) AS BIGINT))
                 % 4611686018427387904 AS BIGINT) AS checksum
     FROM src GROUP BY 1
     """,

@@ -157,6 +157,13 @@ def bucket_checksum(
     stable; integer cents are — same discipline as the MERGE
     oracles).
 
+    NULLs are rendered as an explicit sentinel (chr(0) + 'NULL' — a
+    value no sane text column contains) BEFORE the join: concat_ws
+    alone SKIPS nulls, so ('a', NULL, 'b') and ('a', 'b', NULL) would
+    hash identically and a replica divergence consisting only of
+    which column is null would be masked. Oracles must mirror the
+    same coalesce (replica_divergence / compaction_roundtrip do).
+
     key: column (or name) the bucket is derived from — must be the
     same on both replicas being compared. hash_cols: string-castable
     columns that define row identity+content.
@@ -166,7 +173,15 @@ def bucket_checksum(
     key_col = F.col(key) if isinstance(key, str) else key
     row_h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                        for c in hash_cols
+                    ],
+                )
+            ),
             1,
             14,
         ),

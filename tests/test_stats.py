@@ -295,3 +295,20 @@ def test_bucket_checksum_order_independent_and_sensitive(spark):
     diff = {bk for bk in a if a[bk] != c[bk]}
     assert diff == {tgt}
     assert a[tgt][0] == c[tgt][0]  # count unchanged, checksum moved
+
+
+def test_bucket_checksum_null_position_sensitive(spark):
+    """Replicas differing only in WHICH column is null must diverge:
+    concat_ws skips nulls, so without the chr(0)NULL sentinel
+    ('a', NULL, 'b') and ('a', 'b', NULL) hash to the same string and
+    the anti-entropy primitive masks the divergence."""
+    from idhub_spark.storage import bucket_checksum
+
+    schema = "k bigint, x string, y string"
+    a = spark.createDataFrame([(1, None, "b")], schema)
+    b = spark.createDataFrame([(1, "b", None)], schema)
+    cols = ["k", "x", "y"]
+    ca = bucket_checksum(a, "k", cols).collect()[0]
+    cb = bucket_checksum(b, "k", cols).collect()[0]
+    assert ca.bucket == cb.bucket and ca.n_rows == cb.n_rows
+    assert ca.checksum != cb.checksum
