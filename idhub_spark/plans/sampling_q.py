@@ -265,9 +265,10 @@ def domain_mixture_weights(spark, sf_dir):
     "is the deterministic md5-uniform of doc_id, so the sample is "
     "reproducible on any cluster/partitioning and the oracle matches "
     "bit-for-bit with zero float boundaries. Shape: one corpus agg "
-    "(row per domain), a 1-row MIN broadcast, then a broadcast-rates "
-    "filter scan — no shuffle of the corpus itself; the two scans "
-    "are inherent (global stats must precede the thinning).",
+    "(row per domain), a global-window MIN over those few rows "
+    "(single plan, nothing persisted), then a broadcast-rates filter "
+    "scan — no shuffle of the corpus itself; the two scans are "
+    "inherent (global stats must precede the thinning).",
 )
 def weighted_mixture_sample(spark, sf_dir):
     from idhub_spark.operators.sampling import hash_bucket
@@ -278,17 +279,16 @@ def weighted_mixture_sample(spark, sf_dir):
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    # persist the per-domain totals: the MIN and the rates both read
-    # them — unpersisted, each consumer re-scans the corpus
-    from pyspark.storagelevel import StorageLevel
+    # the MIN is a global window over the per-domain totals (a
+    # handful of rows), so dom is consumed exactly once inside one
+    # plan and nothing needs persisting — the previous persist+
+    # crossJoin shape cached dom and never released it
+    from pyspark.sql import Window
 
-    dom = (
-        doc.groupBy("source")
-        .agg(F.sum("n_tok").alias("dom_tokens"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    mn = dom.agg(F.min("dom_tokens").alias("min_tok"))
-    rates = dom.crossJoin(F.broadcast(mn)).select(
+    dom = doc.groupBy("source").agg(F.sum("n_tok").alias("dom_tokens"))
+    rates = dom.withColumn(
+        "min_tok", F.min("dom_tokens").over(Window.partitionBy())
+    ).select(
         "source",
         # integer `div`, not `/`: double division loses exactness once
         # 1e6 * min_tok crosses 2^53 (trillion-token domains)

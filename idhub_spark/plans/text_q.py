@@ -545,24 +545,26 @@ def bpe_merge_apply(spark, sf_dir):
     "source by TF-IDF, each source treated as one mega-document "
     "(domain granularity keeps idf meaningful for mixture analysis "
     "and the output source-bounded). tf and df fall out of the SAME "
-    "aggregate (df = rows per token in the tf table), the corpus "
-    "source count is a single-row aggregate broadcast, and scores "
-    "land as round(tf * ln(N/df) * 1e6) BIGINT — the scaled-int64 "
-    "float discipline, so ranking and hashing never touch raw "
-    "doubles. The df join is token-keyed (vocabulary-sized shuffle, "
-    "independent of corpus rows); top-k is one window per source. "
+    "aggregate (df = rows per token in the tf table, realized as a "
+    "count window over token — one plan, corpus read once, nothing "
+    "persisted), the corpus source count is a single-row aggregate "
+    "broadcast, and scores land as round(tf * ln(N/df) * 1e6) BIGINT "
+    "— the scaled-int64 float discipline, so ranking and hashing "
+    "never touch raw doubles. The df window shuffle is "
+    "vocabulary-sized, independent of corpus rows; top-k is one "
+    "window per source. "
     "No reference analogue — training-data-pipeline text analysis.",
 )
 def tfidf_keywords(spark, sf_dir):
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    # persist tf: df and the scored join both consume it — without the
-    # persist Spark re-runs the tokenize+count chain per consumer
-    # (a second full corpus scan at 100 TB); with it the corpus is
-    # read once and everything downstream is vocabulary-sized
+    # df is a WINDOW over tf (count of sources per token), not a
+    # self-join: the corpus is read once inside a single plan, the
+    # window shuffle is vocabulary-sized, and nothing needs persisting
+    # (the previous persist+join shape cached tf and never released it
+    # — leaked executor storage across a long session)
     tf = (
         docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -570,17 +572,17 @@ def tfidf_keywords(spark, sf_dir):
         .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
     )
-    dfx = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # one column-pruned scan (not derived from tf: a source whose every
     # doc tokenizes empty must still count in N)
     n_sources = docs.select(
         F.countDistinct("source").alias("n")
     )
     scored = (
-        tf.join(dfx, "token")
-        .crossJoin(F.broadcast(n_sources))
+        tf.crossJoin(F.broadcast(n_sources))
         .select(
             "source",
             "token",
