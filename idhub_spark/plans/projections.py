@@ -352,13 +352,14 @@ def unpivot_candidates_q(spark, sf_dir):
     )
 
 
-@query(
-    "gsid_mint",
-    None,  # xxhash64 has no DuckDB twin; format contract is unit-tested
-    doc="P11: deterministic batch GSID minting (gsid_generator.py:15-60); "
-    "rows-only driver check + format/collision tests in test_operators.py.",
-)
+# NOT registered: xxhash64-minted GSIDs have no DuckDB twin, so a
+# registry entry could only ever report `no_oracle` — burning a
+# driver-window slot per rotation (the one non-hash row of
+# CORRECTNESS_r09). The operator stays fully covered by the
+# hash-green gsid_mint_shape twin below plus the mint-uniqueness
+# property test (tests/test_properties.py).
 def gsid_mint(spark, sf_dir):
+    """P11: deterministic batch GSID minting (gsid_generator.py:15-60)."""
     t = tables(spark, sf_dir, "customer")
     return t["customer"].select(
         "c_custkey", gsid_expr(F.col("c_custkey")).alias("global_subject_id")

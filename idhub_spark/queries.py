@@ -115,74 +115,75 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 9 front: (1) queries whose CODE changed this round — the
-    # hardened CC loops (pointer doubling + convergence guard +
-    # reliable-checkpoint knob) behind the three CC consumers, and the
-    # ADVICE fixes (PID-scoped staging roots, nullability-safe type
-    # guard, ghost-delete bucket accounting) behind the round-trips
-    # and pruned upserts
-    # NEW this round: exact heavy hitters (Misra-Gries 2-pass) and the
-    # anti-entropy bucket-checksum replica comparison
+    # round 10 front (window = first 50; 3 changed/new + the 47-query
+    # r7-evidence cohort = exactly 50):
+    # (1) NEW: the IVF x SQ8 composition (r9 ask #1) needs its first
+    # driver-hash row; (2) heavy_hitter_users re-evidences the
+    # Misra-Gries sketch-merge bound (broadcast <= k at any partition
+    # count, hash unchanged); (3) replica_divergence re-evidences the
+    # bucket_checksum NULL sentinel (oracle mirrored).
+    "ivf_sq8_topk",
     "heavy_hitter_users",
     "replica_divergence",
-    "streaming_dedup",
-    "tfidf_keywords",
-    "sliding_window_rollup",
-    "weighted_mixture_sample",
-    "blocked_fuzzy_linkage",
-    "compaction_roundtrip",
-    # the three CC consumers re-evidence the hardened loops (pointer
-    # doubling + convergence guard + reliable-checkpoint knob)
-    "dedup_cluster_canonical",
-    "identity_components",
-    "leakage_safe_split",
-    # (the round-trips, pruned upserts, and the re-tuned interval join
-    # also changed this round but keep in-policy r7/r8 driver rows and
-    # were targeted-verified green at both scales when committed; the
-    # remaining window budget goes to never-checked new queries above
-    # and the r6 cohort below)
-    # (2) the full r6-evidence cohort (standing <=3-rounds rotation
-    # policy): every query whose newest driver row is r6 rotates in,
-    # so no evidence is older than r7 after this pass
-    "boolean_parse",
-    "bpe_pair_counts",
-    "change_classification",
-    "downsample_majority_class",
-    "duplicate_id_detection",
-    "duplicate_subject_finder",
-    "embedding_near_dup",
-    "embedding_norm_stats",
-    "exact_dedup",
-    "extract_year",
-    "field_mapping",
-    "fragment_assembly",
-    "frame_sampling",
-    "gsid_mint",
-    "gsid_mint_shape",
-    "id_validation",
-    "incremental_merge_state",
-    "jdbc_partitioned_scan",
-    "keyed_lookup_semi",
-    "multi_type_subjects",
-    "multimodal_decode",
-    "name_normalization",
-    "ngram_jaccard_pairs",
-    "orphan_detection",
-    "pending_resolutions_scan",
-    "quality_percentile_filter",
-    "redcap_dictionary_scan",
-    "registration_year_normalize",
-    "resolution_stats",
-    "rest_paginated_scan",
-    "salted_hot_key_join",
-    "sequence_packing",
-    "simhash_buckets",
-    "stratified_sample",
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
-    "subjects_by_source",
-    "train_test_split",
-    "unpivot_candidates",
+    # (tfidf_keywords / weighted_mixture_sample — persist-leak window
+    # rewrites — and compaction_roundtrip — partition-aware recursion,
+    # flat path unchanged — also changed this round but keep in-policy
+    # r9 driver rows; each was targeted-verified hash-green at sf0.01
+    # and in the full sf0.1 oracle sim when committed. gsid_mint is
+    # RETIRED from the registry this round (r9 ask #4): its only
+    # possible driver row was `no_oracle`; the operator remains covered
+    # by the hash-green gsid_mint_shape twin + the mint-uniqueness
+    # property test.)
+    # (4) the full r7-evidence cohort (standing <=3-rounds rotation
+    # policy): every query whose newest driver row is r7 rotates in,
+    # so no evidence is older than r8 after this pass
+    "alias_resolution",
+    "ann_topk_multiprobe",
+    "asof_last_click",
+    "audit_trail",
+    "avg_yearly_small_qty",
+    "binary_features",
+    "bpe_merge_apply",
+    "change_stats",
+    "conflict_apply_state",
+    "conflict_detection",
+    "conflict_exclusion",
+    "conflict_summary",
+    "csv_roundtrip_staging",
+    "customer_order_distribution",
+    "data_type_counts",
+    "doc_chunking",
+    "doc_fingerprint",
+    "domain_mixture_weights",
+    "event_value_percentiles",
+    "family_linkage",
+    "first_wins_dedup",
+    "flexible_timestamp_parse",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_center_match",
+    "gopher_quality_rules",
+    "gsid_filter",
+    "identity_link_back",
+    "identity_resolution",
+    "image_resize_check",
+    "labkey_sync_state",
+    "lang_id_heuristic",
+    "nation_market_share",
+    "order_priority_pivot",
+    "per_center_summary",
+    "per_subject_review",
+    "pii_redaction",
+    "priority_status_rollup",
+    "quality_score",
+    "repetition_filter",
+    "returnflag_status_cube",
+    "stateful_sessionize",
+    "subject_enrichment",
+    "token_count",
+    "top_revenue_supplier",
+    "type_coercion",
+    "vocabulary_topk",
 ]
 
 
