@@ -225,24 +225,63 @@ def compact_small_files(
     Hadoop FS API so s3a:// roots work identically
     (operators/merge_into.py:_hadoop_fs pattern).
 
+    PARTITIONED layouts are handled by recursion: every directory
+    level is walked, and each LEAF directory (one Hive partition,
+    e.g. `source=web/year=2024/`) is bin-packed independently into
+    the mirrored path under dst_dir — still coalesce-only per leaf
+    (partition boundaries are never crossed, so compaction stays
+    zero-shuffle AND the Hive layout survives: the compacted root
+    reads back with identical partition columns). A flat directory is
+    simply the single-leaf case (same plan as before). Pointing
+    src_dir at a root with NO data files anywhere raises instead of
+    silently 'succeeding' on nothing.
+
     Reference anchor: the reference's staging sink appends one CSV
     per batch (table-loader staging) and never compacts; this is the
     maintenance operator that keeps such a layout readable.
     """
     import math
+    import posixpath
 
     from idhub_spark.operators.merge_into import _hadoop_fs
 
+    if posixpath.normpath(dst_dir) == posixpath.normpath(src_dir):
+        raise ValueError(
+            "compact_small_files: dst_dir must differ from src_dir — "
+            "compact into a sibling and swap (self-overwrite fails "
+            "mid-job under dynamic partition overwrite)"
+        )
     fs, jpath = _hadoop_fs(spark, src_dir)
-    files = [
-        f
-        for f in fs.listStatus(jpath)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    ]
-    n_src = len(files)
-    total = sum(f.getLen() for f in files)
-    n_out = max(1, math.ceil(total / target_bytes))
-    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(
-        dst_dir
-    )
+
+    def leaves(jp, rel):
+        files, out = [], []
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if st.isFile():
+                if not name.startswith(("_", ".")):
+                    files.append(st)
+            else:
+                out.extend(leaves(st.getPath(), f"{rel}/{name}" if rel else name))
+        if files:
+            out.append((rel, files))
+        return out
+
+    groups = leaves(jpath, "")
+    if not groups:
+        raise ValueError(
+            f"compact_small_files: no parquet data files under {src_dir!r} "
+            "(empty directory, or a root holding only metadata files)"
+        )
+    n_src = n_out = 0
+    src_root, dst_root = src_dir.rstrip("/"), dst_dir.rstrip("/")
+    for rel, files in groups:
+        total = sum(f.getLen() for f in files)
+        k = max(1, math.ceil(total / target_bytes))
+        src_leaf = f"{src_root}/{rel}" if rel else src_root
+        dst_leaf = f"{dst_root}/{rel}" if rel else dst_root
+        spark.read.parquet(src_leaf).coalesce(k).write.mode("overwrite").parquet(
+            dst_leaf
+        )
+        n_src += len(files)
+        n_out += k
     return n_src, n_out

@@ -661,3 +661,51 @@ def test_compact_small_files_shrinks_and_preserves(spark, tmp_path):
          for r in bucket_checksum(
              spark.read.parquet(out), "k", ["k", "v"]).collect()}
     assert a == b
+
+
+def test_compact_small_files_partitioned_layout(spark, tmp_path):
+    """A two-level Hive-partitioned root must compact per LEAF
+    (partition boundaries never crossed, layout mirrored under dst)
+    and read back byte-identically INCLUDING the partition columns
+    parsed from the directory names."""
+    from idhub_spark.storage import bucket_checksum, compact_small_files
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") % 3).alias("q"),
+        (F.col("id") * 7).alias("v"),
+    )
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    df.repartition(6).write.partitionBy("p", "q").parquet(small)
+    import glob as _glob
+
+    n_small = len(_glob.glob(f"{small}/p=*/q=*/*.parquet"))
+    assert n_small > 6  # one file per (task x partition) — the debris shape
+    n_src, n_out = compact_small_files(spark, small, out, target_bytes=10**9)
+    assert n_src == n_small and n_out == 6  # one packed file per leaf
+    assert len(_glob.glob(f"{out}/p=*/q=*/*.parquet")) == 6
+    cols = ["k", "p", "q", "v"]
+    a = {r.bucket: (r.n_rows, r.checksum)
+         for r in bucket_checksum(df, "k", cols).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum)
+         for r in bucket_checksum(
+             spark.read.parquet(out).select(*cols), "k", cols).collect()}
+    assert a == b
+
+
+def test_compact_small_files_guards(spark, tmp_path):
+    """Self-compaction and data-free roots must raise, not silently
+    'succeed' (the r9 wrong-scope hazard: a partitioned root listed
+    zero files at the top level and still reported success)."""
+    import pytest
+
+    from idhub_spark.storage import compact_small_files
+
+    with pytest.raises(ValueError, match="dst_dir must differ"):
+        compact_small_files(spark, str(tmp_path / "x"), str(tmp_path / "x"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet data files"):
+        compact_small_files(spark, str(empty), str(tmp_path / "out"))
