@@ -28,12 +28,47 @@ from idhub_spark.queries import query, tables
 
 _QSEQ = {"n": 0}
 
+# rows per state partition at which store setup stops dominating —
+# measured on the sf0.1 corpus (docs/scale_audit_r10.md: the r9
+# 32->8 interval-join finding generalized into one knob)
+_STATE_ROWS_PER_PARTITION = 12_500
+# per-source-path row counts observed by _event_stream, feeding the
+# auto state-partition derivation (footer-only count, cached)
+_STREAM_ROWS: dict[str, int] = {}
+
+
+def _auto_state_partitions(spark) -> int:
+    """Default state-store partition count DERIVED FROM STREAM VOLUME
+    (the shared default behind every drain; override per session with
+    spark.idhub.streaming.statePartitions).
+
+    One state-store instance materializes per shuffle partition (the
+    stream-stream join spawns four per partition per side), and the
+    r9 measurements showed setup dominating data at harness volume
+    (interval join 32 -> 8 partitions: 6.3 -> 2.4 s, identical
+    results). Rule: one partition per ~12.5k rows/trigger, rounded to
+    a power of two, clamped to [2, 32] — reproduces the measured
+    sweet spot (100k rows -> 8) and keeps tiny test streams from
+    paying 32 stores. Results are partition-count-invariant (pinned
+    by the driver hashes), so this is purely a throughput knob.
+    """
+    conf = spark.conf.get("spark.idhub.streaming.statePartitions", None)
+    if conf:
+        return int(conf)
+    rows = max(_STREAM_ROWS.values(), default=100_000)
+    target = max(1, rows // _STATE_ROWS_PER_PARTITION)
+    return max(2, min(32, 1 << (target - 1).bit_length()))
+
 
 def _event_stream(spark, sf_dir):
     """readStream over events.parquet with the same two-encoding ts
     normalization as session.py:load_tables (the raw stream bypasses
     load_tables)."""
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if path not in _STREAM_ROWS:
+        # footer-metadata count: feeds the auto state-partition sizing
+        _STREAM_ROWS[path] = spark.read.parquet(path).count()
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -59,18 +94,19 @@ def _drain_to_memory(
     instance PER shuffle partition (the stream-stream join spawns
     FOUR per partition per side — keyToNumValues + keyWithIndexToValue
     x2), and the count is frozen into the checkpoint at first start.
-    Size it to stream volume, exactly like choosing
-    spark.sql.shuffle.partitions before a production query's first
-    run: the harness corpus (~100k rows/trigger) wants single-digit
-    partitions (measured on the interval join: 32 -> 6.3 s, 8 ->
-    2.4 s, identical results — store setup dominates, not data).
-    The session-level conf is restored after the drain; these
-    checkpoints are fresh per run so the frozen count never conflicts.
+    Defaults to the SHARED volume-derived sizing
+    (_auto_state_partitions — one knob for the whole streaming
+    family, conf-overridable); pass an int only for a measured
+    per-query exception. The session-level conf is restored after the
+    drain; these checkpoints are fresh per run so the frozen count
+    never conflicts.
     """
     _QSEQ["n"] += 1
     qname = f"{prefix}_{os.getpid()}_{_QSEQ['n']}"
     spark = plan_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is None:
+        state_partitions = _auto_state_partitions(spark)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -129,7 +165,7 @@ def streaming_sessionize(spark, sf_dir):
     tables(spark, sf_dir, "events")
     sess = session_agg_plan(_event_stream(spark, sf_dir), gap="30 minutes")
     return spark.table(
-        _drain_to_memory(sess, "stream_sessions", state_partitions=8)
+        _drain_to_memory(sess, "stream_sessions")
     )
 
 
@@ -155,7 +191,7 @@ def streaming_hourly_rollup(spark, sf_dir):
     tables(spark, sf_dir, "events")
     roll = hourly_rollup_plan(_event_stream(spark, sf_dir), watermark="2 hours")
     out = spark.table(
-        _drain_to_memory(roll, "stream_rollup", state_partitions=8)
+        _drain_to_memory(roll, "stream_rollup")
     )
     return out.select(
         F.col("hour").cast("timestamp").alias("hour"),
@@ -222,9 +258,7 @@ def stateful_sessionize(spark, sf_dir):
     )
     sess = sessionize_stateful(stream, gap_seconds=1800)
     return spark.table(
-        _drain_to_memory(
-            sess, "stateful_sessions", mode="append", state_partitions=8
-        )
+        _drain_to_memory(sess, "stateful_sessions", mode="append")
     )
 
 
@@ -434,9 +468,7 @@ def streaming_interval_join(spark, sf_dir):
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    sink = _drain_to_memory(
-        joined, "stream_ijoin", mode="append", state_partitions=8
-    )
+    sink = _drain_to_memory(joined, "stream_ijoin", mode="append")
     pairs = spark.table(sink)
     cents = F.round(F.col("value") * 1000000.0).cast("bigint")
     return pairs.groupBy("user_id").agg(
@@ -484,9 +516,7 @@ def streaming_dedup(spark, sf_dir):
     deduped = duplicated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = _drain_to_memory(
-        deduped, "stream_dedup", mode="append", state_partitions=8
-    )
+    sink = _drain_to_memory(deduped, "stream_dedup", mode="append")
     uniq = spark.table(sink)
     return uniq.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"),
