@@ -499,3 +499,47 @@ def test_heavy_hitters_randomized_distributions(spark):
         }
         assert got == want, f"seed {seed}"
         assert 900 in got and 901 not in got
+
+
+def test_cc_one_giant_component_pointer_join(spark):
+    """The OTHER CC skew surface (r9 VERDICT stretch #8): the
+    hot-identifier test covers the groupBy(i) aggregation; this one
+    stresses the pointer-doubling JOIN, whose key is the comp VALUE —
+    in a giant component nearly every row carries the same comp, so
+    the probe side of `prop.join(labels, comp == _c)` is maximally
+    skewed. Fixture: 16 chained stars (one bridge record in two
+    adjacent stars), diameter ~32, forcing several pointer-doubling
+    iterations with a giant component throughout. Correctness pinned
+    here; the AQE-split question is measured standalone in
+    tools/scale_audit.py --r10 (docs/operations.md note: at test
+    bytes the skewed partition is far below
+    skewedPartitionThresholdInBytes, so AQE leaves it whole — one
+    task absorbs the giant comp's rows; at production bytes the same
+    plan is exactly the split case)."""
+    from idhub_spark.operators.identity import connected_components
+
+    n_stars, per_star = 16, 1250
+    members = spark.range(n_stars * per_star).select(
+        F.col("id").alias("record_key"),
+        F.concat(F.lit("star"), (F.col("id") % n_stars).cast("string")).alias(
+            "_norm_id"
+        ),
+    )
+    # bridge record b_s carries identifiers of stars s and s+1
+    base = n_stars * per_star
+    bridges = (
+        spark.range(n_stars - 1)
+        .select(
+            (F.col("id") + base).alias("record_key"),
+            F.array(
+                F.concat(F.lit("star"), F.col("id").cast("string")),
+                F.concat(F.lit("star"), (F.col("id") + 1).cast("string")),
+            ).alias("_ids"),
+        )
+        .select("record_key", F.explode("_ids").alias("_norm_id"))
+    )
+    labels = connected_components(members.unionByName(bridges))
+    comps = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(comps) == 1
+    assert comps[0].component == 0  # min record key labels the giant
+    assert comps[0].n == base + (n_stars - 1)
