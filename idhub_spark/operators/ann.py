@@ -473,6 +473,12 @@ def sq8_topk(
     than float32 embeddings; the rescore joins back to full vectors
     for rescore*k rows per query (point lookups at scale). Faiss-style
     SQ8 + refine (public design); the recall test pins quality.
+
+    NOTE: this is a FLAT scan — O(|Q|*|N|) in compute even though the
+    bytes are 4x smaller. It is the right tool for a small query side
+    or as a rescoring primitive; the large-corpus path is
+    ivf_sq8_topk, which runs the same int8 ranking inside nprobe
+    probed clusters only.
     """
     enc = sq8_encode(corpus, bounds, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "code"

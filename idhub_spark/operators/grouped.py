@@ -123,6 +123,17 @@ def sessionize_stateful(
     """
     gap_us = gap_seconds * 1_000_000
 
+    # per-key invocation cost is THE hot path here: the function runs
+    # once per key per micro-batch (data batches) plus once per
+    # timed-out key (the trailing no-data batch — nearly every key),
+    # so ~15k calls/batch at harness volume. Three deliberate
+    # micro-shapes: numpy for the timestamp normalize+sort (no pandas
+    # Series machinery), no pd.concat for the single-chunk common
+    # case, and NO empty-frame yield when nothing closed (an empty
+    # iterator is a valid return and skips a ~50us DataFrame build +
+    # Arrow round-trip per silent key).
+    import numpy as np
+
     def _update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -133,15 +144,15 @@ def sessionize_stateful(
             state.remove()
             closed.append((uid, s, e, n))
         else:
-            chunks = [pdf for pdf in pdfs if len(pdf)]
-            us = (
-                pd.concat(chunks, ignore_index=True)[ts_col]
-                .astype("datetime64[us]")
-                .astype("int64")
-                .sort_values()
-                if chunks
-                else pd.Series([], dtype="int64")
-            )
+            arrs = [a for a in (pdf[ts_col].to_numpy() for pdf in pdfs) if len(a)]
+            if arrs:
+                us = np.sort(
+                    (arrs[0] if len(arrs) == 1 else np.concatenate(arrs))
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+            else:
+                us = ()
             cur = tuple(state.get) if state.exists else None
             for t in us:
                 t = int(t)
@@ -156,9 +167,10 @@ def sessionize_stateful(
                 state.update(cur)
                 # fire once no in-order event can extend the session
                 state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
-        yield pd.DataFrame(
-            closed, columns=[key_col, "session_start", "session_end", "n_events"]
-        )
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[key_col, "session_start", "session_end", "n_events"]
+            )
 
     return events.groupBy(key_col).applyInPandasWithState(
         _update,
