@@ -526,3 +526,198 @@ def sq8_topk(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m sub-codebooks, 1 byte per subspace
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    vectors: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks for product quantization: the vector is
+    split into m contiguous subspaces and each gets its own k-centroid
+    integer k-means (the exact-arithmetic kmeans_fit, so the whole
+    codebook is deterministic). Returns (sub, cluster, centroid, _n,
+    _s) — m*k rows.
+
+    PQ is the compression rung below SQ8: a 64-dim float32 vector is
+    256 bytes, SQ8 64 bytes, PQ(m=8) EIGHT bytes — the candidate-scan
+    column for corpora where even int8 vectors dominate I/O
+    (Jegou et al., TPAMI'11; the Faiss IVF-PQ design — public).
+    Training cost is m small fits over the sample (at 100 TB: the
+    same deterministic hash-sample rule as kmeans_fit/sq8_fit).
+    """
+    dims = vectors.select(F.size(vec_col).alias("d")).first().d
+    if dims % m:
+        raise ValueError(f"pq_fit: dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    parts = []
+    for sub in range(m):
+        sliced = vectors.select(
+            F.col(id_col), F.slice(F.col(vec_col), sub * dsub + 1, dsub).alias("_sv")
+        )
+        cb = kmeans_fit(sliced, k=k, max_iter=max_iter, id_col=id_col, vec_col="_sv")
+        parts.append(cb.select(F.lit(sub).alias("sub"), "cluster", "centroid", "_n", "_s"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_codebook_rows(codebook: DataFrame):
+    """Collect the codebook to the driver — BOUNDED by m*k rows (the
+    same bounded-collect class as bucket-id lists): the centroids are
+    then embedded as literal expressions, so encoding and LUT scoring
+    are pure per-row expressions with zero joins and zero shuffles."""
+    rows = codebook.select("sub", "cluster", "_n", "_s").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r.sub, []).append((r.cluster, int(r._n), [int(v) for v in r._s]))
+    for sub in by_sub:
+        by_sub[sub].sort()
+    return by_sub
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a `pq_code` array<tinyint> column (m entries, the nearest
+    sub-centroid index per subspace). The argmin runs on the same
+    exact-integer distance as _assign — d_j = ||n_j*x - s_j||^2/n_j^2
+    with one int->double division per centroid — against LITERAL
+    centroids (driver-collected codebook, m*k rows), so the encode is
+    a single expression-only projection: no joins, no windows, no
+    shuffles, deterministic under any partitioning. Ties break on the
+    lower cluster id (array_position finds the first minimum)."""
+    by_sub = _pq_codebook_rows(codebook)
+    m = len(by_sub)
+    dsub = len(by_sub[0][0][2])
+    xq = _quantize(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _ASSIGN_SCALE
+    )
+
+    def _sub_code(sub):
+        sx = F.slice(xq, sub * dsub + 1, dsub)
+        dists = []
+        for _cl, n, s in by_sub[sub]:
+            num = F.aggregate(
+                F.zip_with(
+                    sx,
+                    F.array(*[F.lit(v).cast("long") for v in s]),
+                    lambda x, si: (F.lit(n) * x - si) * (F.lit(n) * x - si),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            dists.append(num.cast("double") / F.lit(float(n * n)))
+        arr = F.array(*dists)
+        return (F.array_position(arr, F.array_min(arr)) - 1).cast("tinyint")
+
+    return df.withColumn("pq_code", F.array(*[_sub_code(s) for s in range(m)]))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    k: int = 5,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k with exact rescore: each query
+    builds an integer lookup table L[sub][j] = round(1e6 * dot(q_sub,
+    centroid_{sub,j})) ONCE (m*k literal-centroid dot expressions —
+    per-row, no joins), candidates are ranked by the pure-int64 sum
+    score = sum_sub L[sub][pq_code[sub]] — the scan reads m BYTES per
+    candidate — and the top rescore*k are rescored with the exact
+    scaled-int64 cosine. Deterministic end to end (integer LUTs,
+    integer sums, ties on neighbor_id), same output contract as
+    ivf_topk. Flat over the corpus here; the IVF composition is the
+    same move as ivf_sq8_topk (rank inside probed clusters only).
+    """
+    by_sub = _pq_codebook_rows(codebook)
+    m = len(by_sub)
+    dsub = len(by_sub[0][0][2])
+    enc = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _lut(sub):
+        qs = F.slice(vec_d, sub * dsub + 1, dsub)
+        cells = []
+        for _cl, n, s in by_sub[sub]:
+            # centroid coord = s_i / (n * ASSIGN_SCALE); LUT cell =
+            # round(1e6 * dot(q_sub, centroid)) — ONE rounding to int,
+            # exact comparisons downstream
+            dot = F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(v).cast("double") for v in s]),
+                    lambda q, si: q * si,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cells.append(
+                F.round(dot * F.lit(1000000.0 / (n * _ASSIGN_SCALE)), 0).cast("long")
+            )
+        return F.array(*cells)
+
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[_lut(s) for s in range(m)]).alias("_lut"),
+    )
+    score = F.aggregate(
+        F.zip_with(
+            "pq_code", "_lut", lambda c, lut: F.element_at(lut, c.cast("int") + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(qb)
+        .join(enc, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("_pqs"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rescore * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    def _si(df, idname):
+        si = _quantize(F.transform(F.col(vec_col), lambda x: x.cast("double")), _COS_SCALE)
+        return df.select(
+            F.col(id_col).alias(idname),
+            si.alias(f"_{idname[0]}si"),
+            _int_dot(si, si).alias(f"_{idname[0]}nrm"),
+        )
+
+    qv = _si(queries, "query_id")
+    nv = _si(corpus, "neighbor_id")
+    cosine = _int_dot(F.col("_qsi"), F.col("_nsi")).cast("double") / (
+        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -193,3 +193,63 @@ def test_sq8_encode_clamps_out_of_range(spark):
     )
     row = sq8_encode(df, bounds).select("code").first()
     assert row.code == [127, -128, 0]
+
+
+def test_pq_codes_and_recall(spark, vectors):
+    """Product quantization contract: the codebook is m*k centroids,
+    pq_code is a true array<tinyint> of m sub-codes (8 BYTES per
+    vector — 32x smaller than float32, 8x smaller than SQ8), encoding
+    is expression-only (no joins/shuffles), and ADC ranking + exact
+    rescore recovers most of the true top-5. The synthetic i.i.d.
+    embeddings are PQ's ADVERSARIAL case (no intra-vector correlation
+    to exploit), so the dial is rescore depth: recall must improve
+    monotonically with it and clear 0.8 at rescore=16 (measured 0.875;
+    the whole pipeline is integer-deterministic, so the number is
+    stable)."""
+    from idhub_spark.operators.ann import _dot, pq_encode, pq_fit, pq_topk
+
+    cb = pq_fit(vectors, m=8, k=16, max_iter=3)
+    assert cb.count() == 8 * 16
+    enc = pq_encode(vectors, cb)
+    assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
+    rng = enc.select(
+        F.min(F.size("pq_code")).alias("mn"),
+        F.max(F.size("pq_code")).alias("mx"),
+        F.max(F.array_max("pq_code")).alias("cmax"),
+        F.min(F.array_min("pq_code")).alias("cmin"),
+    ).first()
+    assert rng.mn == rng.mx == 8 and 0 <= rng.cmin and rng.cmax < 16
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = vectors.select(F.col("vec_id").alias("_id"), vec_d.alias("_v"))
+    q = v.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("q_v")
+    )
+    n = v.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"))
+    from pyspark.sql import Window
+
+    cosine = _dot(F.col("q_v"), F.col("n_v")) / (
+        F.sqrt(_dot(F.col("q_v"), F.col("q_v")))
+        * F.sqrt(_dot(F.col("n_v"), F.col("n_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact = exact.cache()
+    ec = exact.count()
+    queries = vectors.filter(F.col("vec_id") < 8)
+
+    def recall(rescore):
+        got = pq_topk(queries, vectors, cb, k=5, rescore=rescore)
+        return got.select("query_id", "neighbor_id").intersect(exact).count() / ec
+
+    r4, r16 = recall(4), recall(16)
+    exact.unpersist()
+    assert r16 >= r4, f"recall not improving with rescore: {r4} -> {r16}"
+    assert r16 >= 0.8, f"pq recall@5 at rescore=16: {r16}"
