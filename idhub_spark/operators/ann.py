@@ -213,6 +213,47 @@ def _assign(v: DataFrame, centroids: DataFrame, *, nprobe: int = 1) -> DataFrame
     )
 
 
+def _exact_cosine_topk(
+    cand: DataFrame,
+    queries_src: DataFrame,
+    corpus_src: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-rescore tail of every quantized search: join the
+    (query_id, neighbor_id) candidate pairs back to full-precision
+    vectors (point lookups at scale — the candidate set is
+    rescore*k per query) and return the exact scaled-int64-cosine
+    top-k as (query_id, neighbor_id, cosine, rank)."""
+
+    def _si(df, idname):
+        si = _quantize(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), _COS_SCALE
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            si.alias(f"_{idname[0]}si"),
+            _int_dot(si, si).alias(f"_{idname[0]}nrm"),
+        )
+
+    qv = _si(queries_src, "query_id")
+    nv = _si(corpus_src, "neighbor_id")
+    cosine = _int_dot(F.col("_qsi"), F.col("_nsi")).cast("double") / (
+        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -428,28 +469,8 @@ def ivf_sq8_topk(
     )
 
     # exact rescore: full-precision point lookups for survivors only
-    def _si(df, idname):
-        si = _quantize(F.transform(F.col(vec_col), lambda x: x.cast("double")), _COS_SCALE)
-        return df.select(
-            F.col(id_col).alias(idname),
-            si.alias(f"_{idname[0]}si"),
-            _int_dot(si, si).alias(f"_{idname[0]}nrm"),
-        )
-
-    qv = _si(vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids)), "query_id")
-    nv = _si(vectors, "neighbor_id")
-    cosine = _int_dot(F.col("_qsi"), F.col("_nsi")).cast("double") / (
-        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.join(qv, "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    qsrc = vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids))
+    return _exact_cosine_topk(cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def sq8_topk(
@@ -628,6 +649,50 @@ def pq_encode(
     return df.withColumn("pq_code", F.array(*[_sub_code(s) for s in range(m)]))
 
 
+def _pq_lut_col(by_sub, vec_col):
+    """Per-row integer ADC lookup table: array of m arrays of k cells,
+    L[sub][j] = round(1e6 * dot(q_sub, centroid_{sub,j})) — m*k
+    literal-centroid dot expressions, one rounding to int per cell,
+    exact comparisons downstream."""
+    m = len(by_sub)
+    dsub = len(by_sub[0][0][2])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _lut(sub):
+        qs = F.slice(vec_d, sub * dsub + 1, dsub)
+        cells = []
+        for _cl, n, s in by_sub[sub]:
+            # centroid coord = s_i / (n * ASSIGN_SCALE)
+            dot = F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(v).cast("double") for v in s]),
+                    lambda q, si: q * si,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cells.append(
+                F.round(dot * F.lit(1000000.0 / (n * _ASSIGN_SCALE)), 0).cast("long")
+            )
+        return F.array(*cells)
+
+    return F.array(*[_lut(s) for s in range(m)])
+
+
+def _pq_score():
+    """Approximate PQ score: sum of the code-indexed LUT cells — pure
+    int64 (a function, not a module constant: Column construction
+    needs a live SparkContext)."""
+    return F.aggregate(
+        F.zip_with(
+            "pq_code", "_lut", lambda c, lut: F.element_at(lut, c.cast("int") + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -650,74 +715,66 @@ def pq_topk(
     same move as ivf_sq8_topk (rank inside probed clusters only).
     """
     by_sub = _pq_codebook_rows(codebook)
-    m = len(by_sub)
-    dsub = len(by_sub[0][0][2])
     enc = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "pq_code"
     )
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    def _lut(sub):
-        qs = F.slice(vec_d, sub * dsub + 1, dsub)
-        cells = []
-        for _cl, n, s in by_sub[sub]:
-            # centroid coord = s_i / (n * ASSIGN_SCALE); LUT cell =
-            # round(1e6 * dot(q_sub, centroid)) — ONE rounding to int,
-            # exact comparisons downstream
-            dot = F.aggregate(
-                F.zip_with(
-                    qs,
-                    F.array(*[F.lit(v).cast("double") for v in s]),
-                    lambda q, si: q * si,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            cells.append(
-                F.round(dot * F.lit(1000000.0 / (n * _ASSIGN_SCALE)), 0).cast("long")
-            )
-        return F.array(*cells)
-
     qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.array(*[_lut(s) for s in range(m)]).alias("_lut"),
-    )
-    score = F.aggregate(
-        F.zip_with(
-            "pq_code", "_lut", lambda c, lut: F.element_at(lut, c.cast("int") + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        F.col(id_col).alias("query_id"), _pq_lut_col(by_sub, vec_col).alias("_lut")
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
     cand = (
         F.broadcast(qb)
         .join(enc, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("_pqs"))
+        .select("query_id", "neighbor_id", _pq_score().alias("_pqs"))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= rescore * k)
         .select("query_id", "neighbor_id")
     )
+    return _exact_cosine_topk(cand, queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
 
-    def _si(df, idname):
-        si = _quantize(F.transform(F.col(vec_col), lambda x: x.cast("double")), _COS_SCALE)
-        return df.select(
-            F.col(id_col).alias(idname),
-            si.alias(f"_{idname[0]}si"),
-            _int_dot(si, si).alias(f"_{idname[0]}nrm"),
-        )
 
-    qv = _si(queries, "query_id")
-    nv = _si(corpus, "neighbor_id")
-    cosine = _int_dot(F.col("_qsi"), F.col("_nsi")).cast("double") / (
-        F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
+def ivf_pq_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    *,
+    query_ids: list | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    rescore: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ — the bottom of the candidate-scan I/O ladder: queries
+    route to their nprobe nearest IVF centroids (broadcast), candidate
+    ranking reads m BYTES (the pq_code column) per candidate INSIDE
+    the probed inverted lists only, survivors rescore exact. Same
+    composition move as ivf_sq8_topk with the PQ LUT score swapped in
+    (the Faiss IVF-PQ design — public). Deterministic end to end
+    (integer LUT sums; exact integer-cosine rescore), identical
+    output contract. Default rescore is deeper than SQ8's (8 vs 4):
+    PQ's coarser codes push more of the quality budget into the
+    rescore stage (see the pq recall test)."""
+    by_sub = _pq_codebook_rows(codebook)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    corpus = pq_encode(_assign(base, centroids), codebook, vec_col="_v").select(
+        F.col("_id").alias("neighbor_id"), "cluster", "pq_code"
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.join(qv, "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    q = base if query_ids is None else base.filter(F.col("_id").isin(query_ids))
+    probes = _assign(q, centroids, nprobe=nprobe).select(
+        F.col("_id").alias("query_id"),
+        "cluster",
+        _pq_lut_col(by_sub, "_v").alias("_lut"),
     )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
+    cand = (
+        probes.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_score().alias("_pqs"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rescore * k)
+        .select("query_id", "neighbor_id")
+    )
+    qsrc = vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids))
+    return _exact_cosine_topk(cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col)

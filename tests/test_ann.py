@@ -253,3 +253,49 @@ def test_pq_codes_and_recall(spark, vectors):
     exact.unpersist()
     assert r16 >= r4, f"recall not improving with rescore: {r4} -> {r16}"
     assert r16 >= 0.8, f"pq recall@5 at rescore=16: {r16}"
+
+
+def test_ivf_pq_recall(spark, vectors):
+    """IVF x PQ composition: probe-bounded m-byte candidate scans +
+    exact rescore. Bar: within 0.1 of flat PQ at the same rescore
+    depth (IVF may only lose what nprobe pruning loses) and >= 0.7
+    absolute on the adversarial i.i.d. corpus."""
+    from idhub_spark.operators.ann import ivf_pq_topk, kmeans_fit, pq_fit, pq_topk
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=3)
+    cb = pq_fit(vectors, m=8, k=16, max_iter=3)
+    queries = vectors.filter(F.col("vec_id") < 8)
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = vectors.select(F.col("vec_id").alias("_id"), vec_d.alias("_v"))
+    q = v.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("q_v")
+    )
+    n = v.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"))
+    from idhub_spark.operators.ann import _dot
+    from pyspark.sql import Window
+
+    cosine = _dot(F.col("q_v"), F.col("n_v")) / (
+        F.sqrt(_dot(F.col("q_v"), F.col("q_v")))
+        * F.sqrt(_dot(F.col("n_v"), F.col("n_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    ).cache()
+    ec = exact.count()
+
+    flat = pq_topk(queries, vectors, cb, k=5, rescore=16)
+    comp = ivf_pq_topk(
+        vectors, centroids, cb, query_ids=list(range(8)), k=5, nprobe=3, rescore=16
+    )
+    r_flat = flat.select("query_id", "neighbor_id").intersect(exact).count() / ec
+    r_comp = comp.select("query_id", "neighbor_id").intersect(exact).count() / ec
+    exact.unpersist()
+    assert r_comp >= r_flat - 0.1, f"ivf_pq {r_comp} << flat {r_flat}"
+    assert r_comp >= 0.7, f"ivf_pq recall@5 {r_comp}"
