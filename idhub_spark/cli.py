@@ -263,6 +263,43 @@ def _cmd_scd2(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    """Maintenance entrypoint for storage.compact_small_files: the
+    incremental sinks (streaming micro-batches, per-batch staging)
+    accrete small files; this glues them into ~target-size files per
+    leaf directory with zero shuffle, then (optionally) proves the
+    copy lossless via order-independent bucket checksums before the
+    operator swaps directories."""
+    from idhub_spark.storage import bucket_checksum, compact_small_files
+
+    spark = get_spark("compact")
+    n_src, n_out = compact_small_files(
+        spark, args.src, args.dst, target_bytes=args.target_mb * 1024 * 1024
+    )
+    verified = None
+    if args.verify_key and args.verify_cols:
+        cols = args.verify_cols.split(",")
+        a = {
+            r.bucket: (r.n_rows, r.checksum)
+            for r in bucket_checksum(
+                spark.read.parquet(args.src), args.verify_key, cols
+            ).collect()
+        }
+        b = {
+            r.bucket: (r.n_rows, r.checksum)
+            for r in bucket_checksum(
+                spark.read.parquet(args.dst), args.verify_key, cols
+            ).collect()
+        }
+        verified = a == b
+    print(json.dumps({
+        "src": args.src, "dst": args.dst,
+        "n_source_files": n_src, "n_output_files": n_out,
+        "verified": verified,
+    }))
+    return 0 if verified in (None, True) else 3
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="idhub_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -325,6 +362,23 @@ def main(argv: list[str] | None = None) -> int:
         "non-key column of the latest version)",
     )
     s2.set_defaults(fn=_cmd_scd2)
+
+    c = sub.add_parser(
+        "compact",
+        help="bin-pack small parquet files (partition-aware, "
+        "zero-shuffle) and verify losslessness with bucket checksums",
+    )
+    c.add_argument("--src", required=True, help="source table root")
+    c.add_argument("--dst", required=True, help="compacted output root (must differ)")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument(
+        "--verify-key",
+        help="column for the anti-entropy verification buckets; with "
+        "--verify-cols, reads both roots back and compares per-bucket "
+        "(count, checksum) before reporting success",
+    )
+    c.add_argument("--verify-cols", help="comma-separated identity+content columns")
+    c.set_defaults(fn=_cmd_compact)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)
