@@ -311,7 +311,9 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        probes.join(corpus, "cluster")
+        # the probe side is |Q| x nprobe rows by construction — broadcast
+        # it so the inverted-list join never shuffles the corpus
+        F.broadcast(probes).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
         # a (query, neighbor) pair can appear via two probed lists only
@@ -460,7 +462,9 @@ def ivf_sq8_topk(
         F.desc("_ascore"), F.asc("neighbor_id")
     )
     cand = (
-        qw.join(corpus, "cluster")
+        # broadcast the per-query weights (|Q| x nprobe rows) — the
+        # corpus side streams, no shuffle on cluster
+        F.broadcast(qw).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", ascore.alias("_ascore"))
         .withColumn("_r", F.row_number().over(w1))
@@ -769,7 +773,9 @@ def ivf_pq_topk(
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
     cand = (
-        probes.join(corpus, "cluster")
+        # the probe side is |Q| x nprobe rows by construction — broadcast
+        # it so the inverted-list join never shuffles the corpus
+        F.broadcast(probes).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _pq_score().alias("_pqs"))
         .withColumn("_r", F.row_number().over(w1))
