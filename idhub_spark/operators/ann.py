@@ -784,3 +784,115 @@ def ivf_pq_topk(
     )
     qsrc = vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids))
     return _exact_cosine_topk(cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# On-disk IVF-SQ8 index: cluster-partitioned layout, partition-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def ivf_sq8_index_write(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    bounds: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-SQ8 index as a Hive layout PARTITIONED BY
+    cluster: each inverted list is its own directory of (id, int8
+    code, full-precision vector) rows. A probe then reads exactly the
+    nprobe directories it routes to — the filter lands in the scan's
+    PartitionFilters, so a 100 TB index serves a query from
+    nprobe/k of its files without any driver-side file math. The
+    full-precision vector rides along IN the partition so the rescore
+    stays a within-partition column read (code columns and the vector
+    live in the same row group; the ranking scan still prunes to
+    id+code via parquet column projection).
+
+    Rebuild cadence is the classic IVF contract: centroids/bounds are
+    fit once on a sample; appends go to their nearest cluster's
+    directory; re-fit only on drift."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # carry the ORIGINAL vector column into the index (float stays
+    # float — storing the double working copy would double the bytes)
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
+    )
+    enc = sq8_encode(_assign(base, centroids), bounds, vec_col="_v").select(
+        F.col("_id").alias(id_col),
+        F.col("_orig").alias(vec_col),
+        "code",
+        "cluster",
+    )
+    enc.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_sq8_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    bounds: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted ivf_sq8_index_write layout: queries route to
+    their nprobe nearest centroids, the index scan filters
+    cluster IN (probed set) — PARTITION-PRUNED at the source, reading
+    nprobe/k of the index files — then int8 ranking + exact rescore
+    exactly as ivf_sq8_topk. The probed-cluster set is a bounded
+    collect (|Q| x nprobe cluster ids, the bucket-id-list class), which
+    is what turns the probe into a static partition filter instead of
+    a join (a join would defeat pruning: partition filters must be
+    literal at planning time).
+
+    Same deterministic output contract; the equivalence test pins
+    byte-identical results vs the in-memory composition."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    probes = _assign(q, centroids, nprobe=nprobe)
+    probed = sorted(
+        {r.cluster for r in probes.select("cluster").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
+    corpus = idx.select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "code"
+    )
+    qw = probes.crossJoin(F.broadcast(bounds)).select(
+        F.col("_id").alias("query_id"),
+        "cluster",
+        F.transform(
+            F.col("_v"),
+            lambda qi, i: F.round(
+                qi
+                * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+                * 1000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("_w"),
+    )
+    ascore = F.aggregate(
+        F.zip_with("_w", "code", lambda w, c: w * (c.cast("long") + 128)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_ascore"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(qw)
+        .join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ascore.alias("_ascore"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rescore * k)
+        .select("query_id", "neighbor_id")
+    )
+    # rescore from the SAME pruned partitions: the full vectors ride in
+    # the index rows, so no second source is touched
+    nv_src = idx.select(F.col(id_col), F.col(vec_col))
+    return _exact_cosine_topk(cand, queries, nv_src, k=k, id_col=id_col, vec_col=vec_col)

@@ -299,3 +299,51 @@ def test_ivf_pq_recall(spark, vectors):
     exact.unpersist()
     assert r_comp >= r_flat - 0.1, f"ivf_pq {r_comp} << flat {r_flat}"
     assert r_comp >= 0.7, f"ivf_pq recall@5 {r_comp}"
+
+
+def test_ivf_sq8_index_roundtrip_pruned(spark, vectors, tmp_path):
+    """The on-disk index contract: (1) search over the persisted
+    cluster-partitioned layout returns EXACTLY what the in-memory
+    composition returns, (2) the index scan is partition-pruned to the
+    probed clusters (PartitionFilters carries the cluster IN-list, and
+    fewer than all partition directories are read), (3) the ranking
+    scan projects only id+code (column pruning within the pruned
+    partitions)."""
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        ivf_sq8_topk,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "ivf_sq8_index")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    import glob as _glob
+
+    assert len(_glob.glob(f"{path}/cluster=*")) == 8
+
+    queries = vectors.filter(F.col("vec_id") < 4)
+    got = ivf_sq8_search_index(
+        spark, path, queries, centroids, bounds, k=5, nprobe=2
+    )
+    want = ivf_sq8_topk(
+        vectors, centroids, bounds, query_ids=[0, 1, 2, 3], k=5, nprobe=2
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 20
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # the probed set is < all 8 clusters for 4 queries x nprobe 2
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cluster[^\]]*)\]", plan)
+    assert m, plan[:2000]
+    # ranking scan reads only (vec_id, code) + partition col; the full
+    # vector column appears ONLY in the rescore scan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("code" in s and "embedding" not in s for s in schemas), schemas
