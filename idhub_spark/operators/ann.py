@@ -896,3 +896,33 @@ def ivf_sq8_search_index(
     # the index rows, so no second source is touched
     nv_src = idx.select(F.col(id_col), F.col(vec_col))
     return _exact_cosine_topk(cand, queries, nv_src, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_sq8_index_append(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    bounds: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign the NEW vectors to their
+    nearest existing centroid, encode against the existing bounds
+    (out-of-range values saturate — the clamp exists for exactly this
+    drift case), and APPEND into the matching cluster directories.
+    Only the touched clusters get new files; existing files are never
+    rewritten (per-batch I/O ∝ batch, the pruned-upsert discipline).
+    Re-fit centroids/bounds only on measured drift — the IVF contract.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
+    )
+    enc = sq8_encode(_assign(base, centroids), bounds, vec_col="_v").select(
+        F.col("_id").alias(id_col),
+        F.col("_orig").alias(vec_col),
+        "code",
+        "cluster",
+    )
+    enc.write.mode("append").partitionBy("cluster").parquet(path)

@@ -347,3 +347,43 @@ def test_ivf_sq8_index_roundtrip_pruned(spark, vectors, tmp_path):
     # vector column appears ONLY in the rescore scan
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any("code" in s and "embedding" not in s for s in schemas), schemas
+
+
+def test_ivf_sq8_index_append(spark, vectors, tmp_path):
+    """Appending a batch writes only into the batch's cluster
+    directories (existing files untouched — mtime-stable) and the
+    appended vectors are immediately searchable alongside the
+    originals."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    old = vectors.filter(F.col("vec_id") >= 100)
+    new = vectors.filter(F.col("vec_id") < 100)
+    centroids = kmeans_fit(old, k=8, max_iter=2)
+    bounds = sq8_fit(old)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(old, centroids, bounds, path)
+    before = {f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")}
+
+    ivf_sq8_index_append(new, centroids, bounds, path)
+    after = {f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")}
+    assert set(before) < set(after)  # new files appeared...
+    assert all(after[f] == before[f] for f in before)  # ...none rewritten
+
+    assert spark.read.parquet(path).count() == vectors.count()
+    # an appended vector's exact duplicate neighborhood is searchable:
+    # query vec_id=5 (appended) must find corpus neighbors at all
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") == 5), centroids, bounds,
+        k=5, nprobe=3,
+    )
+    rows = got.collect()
+    assert len(rows) == 5 and all(r.query_id == 5 for r in rows)
