@@ -926,3 +926,51 @@ def ivf_sq8_index_append(
         "cluster",
     )
     enc.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def sq8_drift_stats(
+    batch: DataFrame, bounds: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """The 'measured drift' behind the re-fit decision the index
+    docstrings defer to: ONE row of
+    (n_vectors, n_values, n_clamped, clamp_rate_micro, worst_dim,
+    worst_dim_rate_micro) for an incoming batch against the FITTED
+    bounds. A value is 'clamped' when it falls outside [mn, mx] for
+    its dimension — exactly the values sq8_encode saturates. Rates
+    are integer micros (exact, order-independent). Operational rule
+    of thumb (Faiss practice): re-fit bounds when the clamp rate
+    leaves the low single-digit percents, or when ONE dimension
+    concentrates the clamping (distribution shift, not tail noise) —
+    the worst_dim columns separate the two cases. One aggregation
+    scan; no shuffle beyond the dim-sized partial aggregate.
+    """
+    ex = (
+        batch.crossJoin(F.broadcast(bounds))
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "x"), "mins", "maxs")
+        .select(
+            "pos",
+            (
+                (F.col("x") < F.element_at("mins", F.col("pos") + 1))
+                | (F.col("x") > F.element_at("maxs", F.col("pos") + 1))
+            )
+            .cast("long")
+            .alias("clamped"),
+        )
+    )
+    per_dim = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("clamped").alias("c")
+    )
+    n_vec = batch.count()
+    return per_dim.agg(
+        F.lit(n_vec).alias("n_vectors"),
+        F.sum("n").alias("n_values"),
+        F.sum("c").alias("n_clamped"),
+        F.expr("(1000000 * sum(c)) div sum(n)").cast("bigint").alias(
+            "clamp_rate_micro"
+        ),
+        # deterministic tie-break: highest clamp count, then lowest dim
+        F.expr("max_by(pos, struct(c, -pos))").alias("worst_dim"),
+        F.expr("(1000000 * max(c)) div max(n)").cast("bigint").alias(
+            "worst_dim_rate_micro"
+        ),
+    )

@@ -387,3 +387,23 @@ def test_ivf_sq8_index_append(spark, vectors, tmp_path):
     )
     rows = got.collect()
     assert len(rows) == 5 and all(r.query_id == 5 for r in rows)
+
+
+def test_sq8_drift_stats(spark):
+    """Drift stats must count exactly the values sq8_encode would
+    clamp, flag the dimension concentrating the drift, and report
+    exact integer-micro rates."""
+    from idhub_spark.operators.ann import sq8_drift_stats
+
+    bounds = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "mins array<double>, maxs array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(1, [0.5, 5.0]), (2, [0.5, -3.0]), (3, [0.5, 0.5]), (4, [2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    row = sq8_drift_stats(batch, bounds).collect()[0]
+    assert row.n_vectors == 4 and row.n_values == 8
+    assert row.n_clamped == 3  # dim1: 5.0, -3.0; dim0: 2.0
+    assert row.clamp_rate_micro == 375_000  # 3/8
+    assert row.worst_dim == 1 and row.worst_dim_rate_micro == 500_000  # 2/4
