@@ -285,3 +285,122 @@ def compact_small_files(
         n_src += len(files)
         n_out += k
     return n_src, n_out
+
+
+def zorder_value(
+    df: DataFrame, zcols: list[str], *, bits: int = 8
+) -> DataFrame:
+    """Append a `_z` column interleaving the rank-bucket bits of
+    zcols — the Morton (Z-order) curve position used to cluster a
+    table for MULTI-dimensional data skipping (the public design
+    behind Delta OPTIMIZE ZORDER BY / Databricks 2018 blog; no Delta
+    code or jars involved — built from percentile_approx + bit
+    expressions).
+
+    A table sorted on one column prunes scans filtering THAT column
+    and nothing else; a Z-ordered table interleaves the bit planes of
+    several columns so that file-level min/max stats stay tight on
+    EVERY zcol at once — each dimension degrades from perfect
+    clustering to ~sqrt/ ~n^(1/d) selectivity instead of one
+    dimension getting everything and the rest nothing.
+
+    Scale shape: one percentile_approx aggregate per call computes
+    2^bits equal-FREQUENCY boundaries per column (equal-frequency,
+    not width_bucket's equal-width — skewed columns would otherwise
+    collapse into a handful of buckets and lose their bit planes);
+    the boundaries come back to the driver as a few-KB literal and
+    the per-row bucket id is a fold over that broadcast array —
+    whole-stage-codegen arithmetic, no shuffle, no UDF. NULLs take
+    bucket 0 (they cluster together at the curve origin, like
+    nulls-first in a linear sort).
+
+    zcols must be numeric/date/timestamp (cast to double for
+    boundary fitting); bits * len(zcols) must fit a bigint.
+    """
+    n_cols = len(zcols)
+    if not (1 <= n_cols <= 8):
+        raise ValueError("zorder_value: 1-8 zcols supported")
+    if bits * n_cols > 62:
+        raise ValueError(
+            f"zorder_value: bits*len(zcols)={bits * n_cols} exceeds bigint"
+        )
+    n_bounds = (1 << bits) - 1
+    qs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+    bounds_row = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs).alias(c)
+            for c in zcols
+        ]
+    ).collect()[0]
+
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(zcols):
+        bounds = sorted(set(bounds_row[c] or []))
+        if not bounds:  # all-null column: every row in bucket 0
+            continue
+        bucket = F.coalesce(
+            F.aggregate(
+                F.lit(bounds),
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col(c).cast("double") >= x, 1).otherwise(0),
+            ),
+            F.lit(0),
+        )
+        # interleave: bit b of this column lands at position b*n_cols+ci
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("bigint"),
+                b * n_cols + ci,
+            )
+    return df.withColumn("_z", z)
+
+
+def zorder_layout(
+    df: DataFrame,
+    zcols: list[str],
+    out_path: str,
+    *,
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write df as ~n_files parquet files clustered along the Z-order
+    curve of zcols: range-repartition on _z (contiguous curve spans
+    per file -> tight per-file min/max on every zcol), sort within
+    each file for row-group-level skipping, drop the helper column.
+
+    repartitionByRange samples _z to place balanced split points, so
+    output files are even-sized regardless of data skew — the same
+    write-side discipline as write_partitioned, plus multi-dim
+    skipping."""
+    zdf = zorder_value(df, zcols, bits=bits)
+    (
+        zdf.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def file_skipping_stats(
+    spark, path: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """(n_files_total, n_files_a_stats_skipper_must_read) for the
+    predicate `col BETWEEN lo AND hi` against a parquet layout —
+    a file must be read iff its [min, max] span of `col` overlaps
+    the predicate (exactly the footer/manifest min-max test Spark's
+    parquet reader applies per row group and table formats apply per
+    file). Computed from the data itself via input_file_name(), so it
+    measures what the WRITTEN layout makes possible; one scan of the
+    audited table (an audit tool, not a hot-path operator)."""
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    )
+    n_total = per_file.count()
+    n_read = per_file.filter(
+        (F.col("mx") >= F.lit(lo)) & (F.col("mn") <= F.lit(hi))
+    ).count()
+    return n_total, n_read

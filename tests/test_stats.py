@@ -312,3 +312,88 @@ def test_bucket_checksum_null_position_sensitive(spark):
     cb = bucket_checksum(b, "k", cols).collect()[0]
     assert ca.bucket == cb.bucket and ca.n_rows == cb.n_rows
     assert ca.checksum != cb.checksum
+
+
+def test_kmv_sketch_partitioning_invariant_and_exact(spark):
+    """The k smallest distinct hashes of a set do not depend on how
+    the set is partitioned — sketches built at different partition
+    counts must be row-identical. A segment with fewer than k
+    distinct keys retains every hash, so its estimate is EXACT."""
+    from idhub_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("seg"),
+        (F.col("id") % 700).cast("string").alias("k"),
+    )
+    a = kmv_sketch(df.repartition(3), "k", 1024, seg_cols=["seg"])
+    b = kmv_sketch(df.repartition(29), "k", 1024, seg_cols=["seg"])
+    rows_a = sorted((r.seg, r._h) for r in a.collect())
+    rows_b = sorted((r.seg, r._h) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 700  # 350 distinct/segment
+
+    est = {
+        r.seg: r.n_distinct_est
+        for r in kmv_distinct_estimate(a, 1024, seg_cols=["seg"]).collect()
+    }
+    assert est == {"true": 350.0, "false": 350.0}
+
+
+def test_kmv_estimate_accuracy_when_full(spark):
+    """A full sketch (n >> k) estimates (k-1)/theta with relative
+    error ~1/sqrt(k-2) (~3% at k=1024); assert a 4-sigma band.
+    Deterministic: xxhash64 is seeded, so this is a fixed number."""
+    from idhub_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    sk = kmv_sketch(df.repartition(16), "k", 1024)
+    est = kmv_distinct_estimate(sk, 1024).collect()[0].n_distinct_est
+    assert abs(est - n) / n < 0.13, est
+
+
+def test_kmv_set_algebra(spark):
+    """Theta-style union/intersection/Jaccard across two sketched
+    segments: A = [0, 20k), B = [10k, 30k) -> union 30k,
+    intersection 10k, Jaccard 1/3, each within the sketch error
+    band. The merged sketch must equal the sketch of the union."""
+    from idhub_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    k = 2048
+    a_df = spark.range(0, 20_000).select(F.col("id").cast("string").alias("k"))
+    b_df = spark.range(10_000, 30_000).select(F.col("id").cast("string").alias("k"))
+    sa = kmv_sketch(a_df.repartition(8), "k", k)
+    sb = kmv_sketch(b_df.repartition(8), "k", k)
+
+    # merged sketch == sketch of the concatenated input (mergeability)
+    merged = kmv_merge(sa, sb, k)
+    direct = kmv_sketch(a_df.unionByName(b_df).repartition(8), "k", k)
+    assert sorted(r._h for r in merged.collect()) == sorted(
+        r._h for r in direct.collect()
+    )
+
+    est = kmv_set_estimates(sa, sb, k).collect()[0]
+    assert abs(est.union_est - 30_000) / 30_000 < 0.12, est
+    assert abs(est.intersection_est - 10_000) / 10_000 < 0.15, est
+    assert abs(est.jaccard_est - 1 / 3) < 0.06, est
+
+    # exact path: both sketches below k -> all three answers exact
+    small_a = kmv_sketch(
+        spark.range(0, 300).select(F.col("id").cast("string").alias("k")), "k", k
+    )
+    small_b = kmv_sketch(
+        spark.range(200, 500).select(F.col("id").cast("string").alias("k")), "k", k
+    )
+    ex = kmv_set_estimates(small_a, small_b, k).collect()[0]
+    assert (ex.union_est, ex.intersection_est) == (500.0, 100.0)
+    assert abs(ex.jaccard_est - 100 / 500) < 1e-12

@@ -709,3 +709,58 @@ def test_compact_small_files_guards(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no parquet data files"):
         compact_small_files(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_zorder_layout_multi_dim_skipping(spark, tmp_path):
+    """A Z-ordered layout must give file-level skipping on EVERY
+    zcol at once: for a 1/16-selectivity predicate, the linear-sort
+    layout prunes its own column to ~1 of 16 files but reads ~all 16
+    for the other column; the Z-order layout reads a middle fraction
+    (~4 of 16) for BOTH. Contents must be byte-equal to the source
+    (bucket_checksum equality)."""
+    from idhub_spark.storage import (
+        bucket_checksum,
+        file_skipping_stats,
+        zorder_layout,
+    )
+
+    # independent uniform dims derived by seeded hashing (deterministic)
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(10_000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(10_000)).alias("y"),
+    )
+    flat, linear, zed = (
+        str(tmp_path / "flat"),
+        str(tmp_path / "linear"),
+        str(tmp_path / "zed"),
+    )
+    df.repartition(16).write.parquet(flat)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(linear)
+    )
+    zorder_layout(df, ["x", "y"], zed, n_files=16)
+
+    lo, hi = 0, 624  # ~1/16 of either domain
+    for col in ("x", "y"):
+        n, flat_read = file_skipping_stats(spark, flat, col, lo, hi)
+        assert n == 16 and flat_read >= 14  # random layout: no skipping
+    n, lin_x = file_skipping_stats(spark, linear, "x", lo, hi)
+    _, lin_y = file_skipping_stats(spark, linear, "y", lo, hi)
+    assert n == 16 and lin_x <= 2 and lin_y >= 14  # one dim only
+    n, z_x = file_skipping_stats(spark, zed, "x", lo, hi)
+    _, z_y = file_skipping_stats(spark, zed, "y", lo, hi)
+    assert n == 16 and z_x <= 7 and z_y <= 7, (z_x, z_y)  # both dims prune
+
+    cols = ["k", "x", "y"]
+    want = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in bucket_checksum(df, "k", cols).collect()
+    }
+    got = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in bucket_checksum(spark.read.parquet(zed), "k", cols).collect()
+    }
+    assert got == want
