@@ -397,3 +397,125 @@ def test_kmv_set_algebra(spark):
     ex = kmv_set_estimates(small_a, small_b, k).collect()[0]
     assert (ex.union_est, ex.intersection_est) == (500.0, 100.0)
     assert abs(ex.jaccard_est - 100 / 500) < 1e-12
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_join(spark, tmp_path):
+    """Pin the conditions under which Spark 4's InjectRuntimeFilter
+    adds bloom pruning (might_contain over a bloom_filter_agg
+    subquery) to the FACT scan of a join — the optimizer-owned
+    version of semi-join reduction this engine relies on at scale
+    instead of hand-building bloom filters.
+
+    Conditions (all three required, pinned here empirically):
+      1. shuffle join — a broadcastable dim suppresses the filter
+         (broadcast hash join prunes during the probe anyway);
+      2. a selective filter directly over the creation-side scan;
+      3. application-side scan size above
+         spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+         (default 10GB — i.e. the filter turns ON in exactly the
+         100 TB regime this engine targets; lowered here to probe).
+    """
+    fact = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    dim = spark.range(5_000).select(
+        (F.col("id") * 40).alias("k"), F.lit("x").alias("tag")
+    )
+    fact.write.parquet(str(tmp_path / "fact"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    def optimized(app_thresh, bcast):
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", app_thresh
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        j = (
+            spark.read.parquet(str(tmp_path / "fact"))
+            .join(
+                spark.read.parquet(str(tmp_path / "dim")).filter(
+                    F.col("tag") == "x"
+                ),
+                "k",
+            )
+            .groupBy()
+            .agg(F.sum("v").alias("s"))
+        )
+        return j._jdf.queryExecution().optimizedPlan().toString()
+
+    try:
+        # shuffle join + tiny application threshold -> bloom injected
+        plan = optimized("1KB", "-1")
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # broadcastable dim -> no bloom (BHJ probe prunes already)
+        assert "might_contain" not in optimized("1KB", "10MB")
+        # default 10GB threshold -> off at harness scale, on at 100 TB
+        assert "might_contain" not in optimized("10GB", "-1")
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_kmv_rolling_distinct_from_daily_sketches(spark):
+    """The operational payoff of KMV mergeability: persist ONE
+    sketch per day, answer any rolling-window distinct-count later
+    by merging sketch rows only — no re-scan of raw events. A
+    3-day rolling window over daily sketches is: fan each day's
+    sketch out to the windows it belongs to (explode over offsets),
+    re-truncate per window, estimate. Exact here because every
+    window holds < k distinct users; the same plan degrades to
+    ~1/sqrt(k) error when windows overflow, never to a re-scan."""
+    from idhub_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    k = 4096
+    # 10 days; day d has users [100*d, 100*d + 400) -> 300-user
+    # overlap between adjacent days
+    ev = (
+        spark.range(4_000)
+        .select(
+            (F.col("id") / 400).cast("int").alias("day"),
+            ((F.col("id") / 400).cast("int") * 100 + F.col("id") % 400)
+            .cast("string")
+            .alias("user"),
+        )
+    )
+    daily = kmv_sketch(ev.repartition(8), "user", k, seg_cols=["day"])
+
+    windowed = (
+        daily.select(
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            (F.col("day") + F.col("off")).alias("win_end"),
+            F.col("_h"),
+        )
+        .filter(F.col("win_end") <= 9)
+        .drop("off")
+        .dropDuplicates(["win_end", "_h"])
+    )
+    est = {
+        r.day: r.n_distinct_est
+        for r in kmv_distinct_estimate(
+            windowed.withColumnRenamed("win_end", "day"), k, seg_cols=["day"]
+        ).collect()
+    }
+
+    exact = {
+        r.win_end: r.n
+        for r in ev.select(
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            (F.col("day") + F.col("off")).alias("win_end"),
+            F.col("user"),
+        )
+        .filter(F.col("win_end") <= 9)
+        .groupBy("win_end")
+        .agg(F.count_distinct("user").alias("n"))
+        .collect()
+    }
+    assert est == {w: float(n) for w, n in exact.items()}
+    # interior 3-day windows: 400 + 2*100 new per extra day = 600
+    assert est[5] == 600.0
