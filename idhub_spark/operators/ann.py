@@ -245,7 +245,13 @@ def _exact_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.join(qv, "query_id")
+        # the candidate side is |Q|*rescore*k rows BY CONSTRUCTION, but
+        # it exits a window+filter whose size Catalyst cannot estimate —
+        # without the hint both joins compile to SortMergeJoins that
+        # shuffle the full-corpus scaled-vector projection (the same
+        # size-estimate hazard the probe-side joins hit; the corpus must
+        # STREAM through a BroadcastHashJoin instead)
+        F.broadcast(F.broadcast(cand).join(qv, "query_id"))
         .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -543,7 +549,10 @@ def sq8_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
     exact = (
-        cand.join(qv, "query_id")
+        # same size-estimate hazard as _exact_cosine_topk: the candidate
+        # frame (|Q|*rescore*k rows by construction) must broadcast so
+        # the corpus-vector join streams instead of shuffling the corpus
+        F.broadcast(F.broadcast(cand).join(qv, "query_id"))
         .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id", _dot(F.col("_qv"), F.col("_nv")).alias("score"))
     )
@@ -787,8 +796,140 @@ def ivf_pq_topk(
 
 
 # ---------------------------------------------------------------------------
-# On-disk IVF-SQ8 index: cluster-partitioned layout, partition-pruned probes
+# On-disk IVF indexes (SQ8 and PQ): cluster-partitioned Hive layout,
+# partition-pruned probes — shared plumbing, per-codec encode/score
 # ---------------------------------------------------------------------------
+
+
+def _ivf_index_materialize(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    encode,
+    code_col: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    mode: str,
+) -> None:
+    """Shared write path for on-disk IVF indexes: assign each vector to
+    its nearest centroid, apply the codec's `encode` (a df->df adding
+    `code_col`), and land a Hive layout PARTITIONED BY cluster. Each
+    inverted list is its own directory of (id, code, full-precision
+    vector) rows. A probe then reads exactly the nprobe directories it
+    routes to — the filter lands in the scan's PartitionFilters, so a
+    100 TB index serves a query from nprobe/k of its files without any
+    driver-side file math. The full-precision vector rides along IN
+    the partition so the rescore stays a within-partition column read
+    (codes and vector share a row group; the ranking scan still prunes
+    to id+code via parquet column projection).
+
+    mode='overwrite' builds, mode='append' maintains: appends assign
+    NEW vectors against the EXISTING centroids/codec, so only touched
+    clusters get new files and existing files are never rewritten
+    (per-batch I/O ∝ batch, the pruned-upsert discipline). Re-fit only
+    on measured drift — the IVF contract."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # carry the ORIGINAL vector column into the index (float stays
+    # float — storing the double working copy would double the bytes)
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
+    )
+    enc = encode(_assign(base, centroids)).select(
+        F.col("_id").alias(id_col),
+        F.col("_orig").alias(vec_col),
+        code_col,
+        "cluster",
+    )
+    enc.write.mode(mode).partitionBy("cluster").parquet(path)
+
+
+def _ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    code_col: str,
+    query_side,
+    score_expr,
+    *,
+    k: int,
+    nprobe: int,
+    rescore: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared search path for on-disk IVF indexes: queries route to
+    their nprobe nearest centroids, the index scan filters
+    cluster IN (probed set) — PARTITION-PRUNED at the source, reading
+    nprobe/k of the index files — then code-column ranking (the
+    codec's `score_expr` over `query_side(probes)`'s per-query
+    columns) + exact rescore. The probed-cluster set is a bounded
+    collect (|Q| x nprobe cluster ids, the bucket-id-list class), which
+    is what turns the probe into a static partition filter instead of
+    a join (a join would defeat pruning: partition filters must be
+    literal at planning time).
+
+    Deterministic output contract (query_id, neighbor_id, cosine,
+    rank); equivalence tests pin byte-identical results vs the
+    in-memory compositions."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
+    probes = _assign(q, centroids, nprobe=nprobe)
+    probed = sorted(
+        {r.cluster for r in probes.select("cluster").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
+    corpus = idx.select(
+        F.col(id_col).alias("neighbor_id"), "cluster", code_col
+    )
+    qs = query_side(probes)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(qs)
+        .join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score_expr().alias("_score"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rescore * k)
+        .select("query_id", "neighbor_id")
+    )
+    # rescore from the SAME pruned partitions: the full vectors ride in
+    # the index rows, so no second source is touched
+    nv_src = idx.select(F.col(id_col), F.col(vec_col))
+    return _exact_cosine_topk(cand, queries, nv_src, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _sq8_query_weights(bounds: DataFrame):
+    """Query-side builder for SQ8 asymmetric scoring: fold the query
+    against the per-dim widths ONCE as w_i = round(q_i*(mx_i-mn_i)*1e6)
+    (see ivf_sq8_topk's determinism note)."""
+
+    def build(probes):
+        return probes.crossJoin(F.broadcast(bounds)).select(
+            F.col("_id").alias("query_id"),
+            "cluster",
+            F.transform(
+                F.col("_v"),
+                lambda qi, i: F.round(
+                    qi
+                    * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+                    * 1000000.0,
+                    0,
+                ).cast("bigint"),
+            ).alias("_w"),
+        )
+
+    return build
+
+
+def _sq8_score():
+    """Pure-int64 SQ8 asymmetric score (order-independent sum)."""
+    return F.aggregate(
+        F.zip_with("_w", "code", lambda w, c: w * (c.cast("long") + 128)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def ivf_sq8_index_write(
@@ -800,33 +941,17 @@ def ivf_sq8_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Materialize the IVF-SQ8 index as a Hive layout PARTITIONED BY
-    cluster: each inverted list is its own directory of (id, int8
-    code, full-precision vector) rows. A probe then reads exactly the
-    nprobe directories it routes to — the filter lands in the scan's
-    PartitionFilters, so a 100 TB index serves a query from
-    nprobe/k of its files without any driver-side file math. The
-    full-precision vector rides along IN the partition so the rescore
-    stays a within-partition column read (code columns and the vector
-    live in the same row group; the ranking scan still prunes to
-    id+code via parquet column projection).
-
-    Rebuild cadence is the classic IVF contract: centroids/bounds are
-    fit once on a sample; appends go to their nearest cluster's
-    directory; re-fit only on drift."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # carry the ORIGINAL vector column into the index (float stays
-    # float — storing the double working copy would double the bytes)
-    base = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
-    )
-    enc = sq8_encode(_assign(base, centroids), bounds, vec_col="_v").select(
-        F.col("_id").alias(id_col),
-        F.col("_orig").alias(vec_col),
+    """Materialize the IVF-SQ8 index (see _ivf_index_materialize)."""
+    _ivf_index_materialize(
+        vectors,
+        centroids,
+        path,
+        lambda df: sq8_encode(df, bounds, vec_col="_v"),
         "code",
-        "cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="overwrite",
     )
-    enc.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
 def ivf_sq8_search_index(
@@ -842,60 +967,22 @@ def ivf_sq8_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Search a persisted ivf_sq8_index_write layout: queries route to
-    their nprobe nearest centroids, the index scan filters
-    cluster IN (probed set) — PARTITION-PRUNED at the source, reading
-    nprobe/k of the index files — then int8 ranking + exact rescore
-    exactly as ivf_sq8_topk. The probed-cluster set is a bounded
-    collect (|Q| x nprobe cluster ids, the bucket-id-list class), which
-    is what turns the probe into a static partition filter instead of
-    a join (a join would defeat pruning: partition filters must be
-    literal at planning time).
-
-    Same deterministic output contract; the equivalence test pins
-    byte-identical results vs the in-memory composition."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q = queries.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
-    probes = _assign(q, centroids, nprobe=nprobe)
-    probed = sorted(
-        {r.cluster for r in probes.select("cluster").distinct().collect()}
+    """Search a persisted ivf_sq8_index_write layout: partition-pruned
+    probes, int8 ranking, exact rescore (see _ivf_index_search)."""
+    return _ivf_index_search(
+        spark,
+        path,
+        queries,
+        centroids,
+        "code",
+        _sq8_query_weights(bounds),
+        _sq8_score,
+        k=k,
+        nprobe=nprobe,
+        rescore=rescore,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
-    corpus = idx.select(
-        F.col(id_col).alias("neighbor_id"), "cluster", "code"
-    )
-    qw = probes.crossJoin(F.broadcast(bounds)).select(
-        F.col("_id").alias("query_id"),
-        "cluster",
-        F.transform(
-            F.col("_v"),
-            lambda qi, i: F.round(
-                qi
-                * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
-                * 1000000.0,
-                0,
-            ).cast("bigint"),
-        ).alias("_w"),
-    )
-    ascore = F.aggregate(
-        F.zip_with("_w", "code", lambda w, c: w * (c.cast("long") + 128)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("_ascore"), F.asc("neighbor_id"))
-    cand = (
-        F.broadcast(qw)
-        .join(corpus, "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", ascore.alias("_ascore"))
-        .withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= rescore * k)
-        .select("query_id", "neighbor_id")
-    )
-    # rescore from the SAME pruned partitions: the full vectors ride in
-    # the index rows, so no second source is touched
-    nv_src = idx.select(F.col(id_col), F.col(vec_col))
-    return _exact_cosine_topk(cand, queries, nv_src, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_sq8_index_append(
@@ -907,25 +994,112 @@ def ivf_sq8_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Incremental index maintenance: assign the NEW vectors to their
-    nearest existing centroid, encode against the existing bounds
-    (out-of-range values saturate — the clamp exists for exactly this
-    drift case), and APPEND into the matching cluster directories.
-    Only the touched clusters get new files; existing files are never
-    rewritten (per-batch I/O ∝ batch, the pruned-upsert discipline).
-    Re-fit centroids/bounds only on measured drift — the IVF contract.
-    """
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
-    )
-    enc = sq8_encode(_assign(base, centroids), bounds, vec_col="_v").select(
-        F.col("_id").alias(id_col),
-        F.col("_orig").alias(vec_col),
+    """Incremental SQ8 index maintenance: encode against the existing
+    bounds (out-of-range values saturate — the clamp exists for
+    exactly this drift case) and APPEND into the matching cluster
+    directories (see _ivf_index_materialize)."""
+    _ivf_index_materialize(
+        vectors,
+        centroids,
+        path,
+        lambda df: sq8_encode(df, bounds, vec_col="_v"),
         "code",
-        "cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="append",
     )
-    enc.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def ivf_pq_index_write(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: the same cluster-partitioned Hive
+    layout as SQ8 with the 8-byte pq_code column as the scan payload —
+    the bottom of the on-disk candidate-scan I/O ladder (float32 256 B
+    -> SQ8 64 B -> PQ 8 B per 64-dim vector)."""
+    _ivf_index_materialize(
+        vectors,
+        centroids,
+        path,
+        lambda df: pq_encode(df, codebook, vec_col="_v"),
+        "pq_code",
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="overwrite",
+    )
+
+
+def ivf_pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    rescore: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted ivf_pq_index_write layout: partition-pruned
+    probes, integer-ADC-LUT ranking over the m-byte codes, exact
+    rescore from the same pruned partitions. Default rescore matches
+    ivf_pq_topk's deeper setting (PQ's coarser codes push more of the
+    quality budget into the rescore stage)."""
+    by_sub = _pq_codebook_rows(codebook)
+
+    def query_side(probes):
+        return probes.select(
+            F.col("_id").alias("query_id"),
+            "cluster",
+            _pq_lut_col(by_sub, "_v").alias("_lut"),
+        )
+
+    return _ivf_index_search(
+        spark,
+        path,
+        queries,
+        centroids,
+        "pq_code",
+        query_side,
+        _pq_score,
+        k=k,
+        nprobe=nprobe,
+        rescore=rescore,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_pq_index_append(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ index maintenance: encode new vectors against the
+    EXISTING codebook and APPEND into the matching cluster directories
+    — only touched clusters get new files."""
+    _ivf_index_materialize(
+        vectors,
+        centroids,
+        path,
+        lambda df: pq_encode(df, codebook, vec_col="_v"),
+        "pq_code",
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="append",
+    )
 
 
 def sq8_drift_stats(
@@ -960,9 +1134,11 @@ def sq8_drift_stats(
     per_dim = ex.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"), F.sum("clamped").alias("c")
     )
-    n_vec = batch.count()
+    # n_vectors = per-dim value count (every vector contributes one
+    # value to every dim), derived in the SAME aggregate — no second
+    # scan of the batch
     return per_dim.agg(
-        F.lit(n_vec).alias("n_vectors"),
+        F.max("n").alias("n_vectors"),
         F.sum("n").alias("n_values"),
         F.sum("c").alias("n_clamped"),
         F.expr("(1000000 * sum(c)) div sum(n)").cast("bigint").alias(

@@ -389,6 +389,121 @@ def test_ivf_sq8_index_append(spark, vectors, tmp_path):
     assert len(rows) == 5 and all(r.query_id == 5 for r in rows)
 
 
+def test_rescore_tail_no_smj(spark, vectors):
+    """The exact-rescore tail must BROADCAST the candidate frame
+    (|Q|*rescore*k rows by construction): without the hint Catalyst's
+    size estimate above the window+filter compiles both rescore joins
+    to SortMergeJoins that shuffle the full-corpus scaled-vector
+    projection — at 100 TB a shuffle of data 4x heavier than the int8
+    scan the composition just saved. Same plan-assert bar as the
+    probe-side joins."""
+    from idhub_spark.operators.ann import (
+        ivf_sq8_topk,
+        kmeans_fit,
+        pq_fit,
+        pq_topk,
+        sq8_fit,
+        sq8_topk,
+    )
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=1)
+    bounds = sq8_fit(vectors)
+    cb = pq_fit(vectors, m=8, k=8, max_iter=1)
+    queries = vectors.filter(F.col("vec_id") < 4)
+
+    plans = {
+        "ivf_sq8_topk": ivf_sq8_topk(
+            vectors, centroids, bounds, query_ids=[0, 1, 2, 3], k=5, nprobe=2
+        ),
+        "sq8_topk": sq8_topk(queries, vectors, bounds, k=5),
+        "pq_topk": pq_topk(queries, vectors, cb, k=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, f"{name} rescore shuffles the corpus"
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_ivf_pq_index_roundtrip_pruned(spark, vectors, tmp_path):
+    """PQ on-disk index — the same contract bar the SQ8 index cleared:
+    (1) search over the persisted cluster-partitioned layout returns
+    EXACTLY what the in-memory ivf_pq_topk composition returns, (2) the
+    index scan is partition-pruned to the probed clusters
+    (PartitionFilters carries the cluster IN-list), (3) the ranking
+    scan projects only id+pq_code — the embedding column appears ONLY
+    in the rescore scan."""
+    from idhub_spark.operators.ann import (
+        ivf_pq_index_write,
+        ivf_pq_search_index,
+        ivf_pq_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    cb = pq_fit(vectors, m=8, k=8, max_iter=1)
+    path = str(tmp_path / "ivf_pq_index")
+    ivf_pq_index_write(vectors, centroids, cb, path)
+    import glob as _glob
+
+    assert len(_glob.glob(f"{path}/cluster=*")) == 8
+
+    queries = vectors.filter(F.col("vec_id") < 4)
+    got = ivf_pq_search_index(spark, path, queries, centroids, cb, k=5, nprobe=2)
+    want = ivf_pq_topk(
+        vectors, centroids, cb, query_ids=[0, 1, 2, 3], k=5, nprobe=2
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 20
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cluster[^\]]*)\]", plan)
+    assert m, plan[:2000]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("pq_code" in s and "embedding" not in s for s in schemas), schemas
+
+
+def test_ivf_pq_index_append(spark, vectors, tmp_path):
+    """PQ index appends write only into the batch's cluster
+    directories (existing files untouched — mtime-stable) and appended
+    vectors are immediately searchable."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_pq_index_append,
+        ivf_pq_index_write,
+        ivf_pq_search_index,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    old = vectors.filter(F.col("vec_id") >= 100)
+    new = vectors.filter(F.col("vec_id") < 100)
+    centroids = kmeans_fit(old, k=8, max_iter=2)
+    cb = pq_fit(old, m=8, k=8, max_iter=1)
+    path = str(tmp_path / "pq_idx")
+    ivf_pq_index_write(old, centroids, cb, path)
+    before = {f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")}
+
+    ivf_pq_index_append(new, centroids, cb, path)
+    after = {f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")}
+    assert set(before) < set(after)  # new files appeared...
+    assert all(after[f] == before[f] for f in before)  # ...none rewritten
+
+    assert spark.read.parquet(path).count() == vectors.count()
+    got = ivf_pq_search_index(
+        spark, path, vectors.filter(F.col("vec_id") == 5), centroids, cb,
+        k=5, nprobe=3,
+    )
+    rows = got.collect()
+    assert len(rows) == 5 and all(r.query_id == 5 for r in rows)
+
+
 def test_sq8_drift_stats(spark):
     """Drift stats must count exactly the values sq8_encode would
     clamp, flag the dimension concentrating the drift, and report
