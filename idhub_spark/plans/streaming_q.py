@@ -37,7 +37,11 @@ _STATE_ROWS_PER_PARTITION = 12_500
 _STREAM_ROWS: dict[str, int] = {}
 
 
-def _auto_state_partitions(spark) -> int:
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _auto_state_partitions(spark, source_path: str | None = None) -> int:
     """Default state-store partition count DERIVED FROM STREAM VOLUME
     (the shared default behind every drain; override per session with
     spark.idhub.streaming.statePartitions).
@@ -55,7 +59,12 @@ def _auto_state_partitions(spark) -> int:
     conf = spark.conf.get("spark.idhub.streaming.statePartitions", None)
     if conf:
         return int(conf)
-    rows = max(_STREAM_ROWS.values(), default=100_000)
+    # key by the DRAINED stream's own source path: sizing from the
+    # session-wide max would make a small stream drained after a big
+    # one inherit the big corpus's store count (pure overhead)
+    rows = _STREAM_ROWS.get(source_path or "", None)
+    if rows is None:
+        rows = max(_STREAM_ROWS.values(), default=100_000)
     target = max(1, rows // _STATE_ROWS_PER_PARTITION)
     return max(2, min(32, 1 << (target - 1).bit_length()))
 
@@ -64,7 +73,7 @@ def _event_stream(spark, sf_dir):
     """readStream over events.parquet with the same two-encoding ts
     normalization as session.py:load_tables (the raw stream bypasses
     load_tables)."""
-    path = os.path.join(sf_dir, "events.parquet")
+    path = _events_path(sf_dir)
     raw_schema = spark.read.parquet(path).schema
     if path not in _STREAM_ROWS:
         # footer-metadata count: feeds the auto state-partition sizing
@@ -83,7 +92,12 @@ def _event_stream(spark, sf_dir):
 
 
 def _drain_to_memory(
-    plan_df, prefix: str, *, mode: str = "complete", state_partitions: int | None = None
+    plan_df,
+    prefix: str,
+    *,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+    source_path: str | None = None,
 ):
     """Trigger.AvailableNow -> memory sink; returns the sink table
     (see module docstring for why aggregations use complete mode;
@@ -106,7 +120,7 @@ def _drain_to_memory(
     spark = plan_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is None:
-        state_partitions = _auto_state_partitions(spark)
+        state_partitions = _auto_state_partitions(spark, source_path)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -165,7 +179,7 @@ def streaming_sessionize(spark, sf_dir):
     tables(spark, sf_dir, "events")
     sess = session_agg_plan(_event_stream(spark, sf_dir), gap="30 minutes")
     return spark.table(
-        _drain_to_memory(sess, "stream_sessions")
+        _drain_to_memory(sess, "stream_sessions", source_path=_events_path(sf_dir))
     )
 
 
@@ -191,7 +205,7 @@ def streaming_hourly_rollup(spark, sf_dir):
     tables(spark, sf_dir, "events")
     roll = hourly_rollup_plan(_event_stream(spark, sf_dir), watermark="2 hours")
     out = spark.table(
-        _drain_to_memory(roll, "stream_rollup")
+        _drain_to_memory(roll, "stream_rollup", source_path=_events_path(sf_dir))
     )
     return out.select(
         F.col("hour").cast("timestamp").alias("hour"),
@@ -258,7 +272,12 @@ def stateful_sessionize(spark, sf_dir):
     )
     sess = sessionize_stateful(stream, gap_seconds=1800)
     return spark.table(
-        _drain_to_memory(sess, "stateful_sessions", mode="append")
+        _drain_to_memory(
+            sess,
+            "stateful_sessions",
+            mode="append",
+            source_path=_events_path(sf_dir),
+        )
     )
 
 
@@ -468,7 +487,9 @@ def streaming_interval_join(spark, sf_dir):
         & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    sink = _drain_to_memory(joined, "stream_ijoin", mode="append")
+    sink = _drain_to_memory(
+        joined, "stream_ijoin", mode="append", source_path=_events_path(sf_dir)
+    )
     pairs = spark.table(sink)
     cents = F.round(F.col("value") * 1000000.0).cast("bigint")
     return pairs.groupBy("user_id").agg(
@@ -516,7 +537,9 @@ def streaming_dedup(spark, sf_dir):
     deduped = duplicated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = _drain_to_memory(deduped, "stream_dedup", mode="append")
+    sink = _drain_to_memory(
+        deduped, "stream_dedup", mode="append", source_path=_events_path(sf_dir)
+    )
     uniq = spark.table(sink)
     return uniq.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"),

@@ -245,11 +245,18 @@ def compact_small_files(
 
     from idhub_spark.operators.merge_into import _hadoop_fs
 
-    if posixpath.normpath(dst_dir) == posixpath.normpath(src_dir):
+    src_n, dst_n = posixpath.normpath(src_dir), posixpath.normpath(dst_dir)
+    if (
+        dst_n == src_n
+        or dst_n.startswith(src_n + "/")
+        or src_n.startswith(dst_n + "/")
+    ):
         raise ValueError(
-            "compact_small_files: dst_dir must differ from src_dir — "
-            "compact into a sibling and swap (self-overwrite fails "
-            "mid-job under dynamic partition overwrite)"
+            "compact_small_files: dst_dir must be disjoint from src_dir — "
+            "a nested dst is written mid-walk and then double-counted by "
+            "any read of the src root (and self-overwrite fails mid-job "
+            "under dynamic partition overwrite); compact into a sibling "
+            "and swap"
         )
     fs, jpath = _hadoop_fs(spark, src_dir)
 
@@ -260,7 +267,11 @@ def compact_small_files(
             if st.isFile():
                 if not name.startswith(("_", ".")):
                     files.append(st)
-            else:
+            elif not name.startswith(("_", ".")):
+                # metadata directories (_spark_metadata from the streaming
+                # file sink, checkpoint dirs, .staging) hold files that do
+                # NOT start with '_' ('0', '1', '2.compact') — recursing
+                # would collect them as a data leaf and fail the compaction
                 out.extend(leaves(st.getPath(), f"{rel}/{name}" if rel else name))
         if files:
             out.append((rel, files))
@@ -273,13 +284,18 @@ def compact_small_files(
             "(empty directory, or a root holding only metadata files)"
         )
     n_src = n_out = 0
-    src_root, dst_root = src_dir.rstrip("/"), dst_dir.rstrip("/")
+    dst_root = dst_dir.rstrip("/")
     for rel, files in groups:
         total = sum(f.getLen() for f in files)
         k = max(1, math.ceil(total / target_bytes))
-        src_leaf = f"{src_root}/{rel}" if rel else src_root
         dst_leaf = f"{dst_root}/{rel}" if rel else dst_root
-        spark.read.parquet(src_leaf).coalesce(k).write.mode("overwrite").parquet(
+        # read the EXPLICIT file list the walker collected, not the leaf
+        # directory: a directory read would re-list (trusting whatever
+        # metadata/sink-log detection Spark applies — a root carrying
+        # _spark_metadata is read through the streaming-sink manifest),
+        # while the explicit list is exactly the set being compacted
+        paths = [str(f.getPath()) for f in files]
+        spark.read.parquet(*paths).coalesce(k).write.mode("overwrite").parquet(
             dst_leaf
         )
         n_src += len(files)
@@ -326,11 +342,18 @@ def zorder_value(
         )
     n_bounds = (1 << bits) - 1
     qs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+
+    dtypes = dict(df.dtypes)
+
+    def _num(c):
+        # DATE has no direct double cast in Spark; hop through timestamp
+        # (seconds since epoch) — monotone, so bucket ranks are unchanged
+        if dtypes.get(c) == "date":
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
     bounds_row = df.agg(
-        *[
-            F.percentile_approx(F.col(c).cast("double"), qs).alias(c)
-            for c in zcols
-        ]
+        *[F.percentile_approx(_num(c), qs).alias(c) for c in zcols]
     ).collect()[0]
 
     z = F.lit(0).cast("bigint")
@@ -342,8 +365,7 @@ def zorder_value(
             F.aggregate(
                 F.lit(bounds),
                 F.lit(0),
-                lambda acc, x: acc
-                + F.when(F.col(c).cast("double") >= x, 1).otherwise(0),
+                lambda acc, x: acc + F.when(_num(c) >= x, 1).otherwise(0),
             ),
             F.lit(0),
         )

@@ -696,19 +696,76 @@ def test_compact_small_files_partitioned_layout(spark, tmp_path):
 
 
 def test_compact_small_files_guards(spark, tmp_path):
-    """Self-compaction and data-free roots must raise, not silently
-    'succeed' (the r9 wrong-scope hazard: a partitioned root listed
-    zero files at the top level and still reported success)."""
+    """Self-compaction, NESTED src/dst, and data-free roots must raise,
+    not silently 'succeed' (the r9 wrong-scope hazard: a partitioned
+    root listed zero files at the top level and still reported
+    success; a dst nested under src is written mid-walk and then
+    double-counted by any verify read of the src root)."""
     import pytest
 
     from idhub_spark.storage import compact_small_files
 
-    with pytest.raises(ValueError, match="dst_dir must differ"):
+    with pytest.raises(ValueError, match="disjoint"):
         compact_small_files(spark, str(tmp_path / "x"), str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_small_files(
+            spark, str(tmp_path / "x"), str(tmp_path / "x" / "compacted")
+        )
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_small_files(spark, str(tmp_path / "x" / "sub"), str(tmp_path / "x"))
     empty = tmp_path / "empty"
     empty.mkdir()
     with pytest.raises(ValueError, match="no parquet data files"):
         compact_small_files(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_compact_small_files_skips_metadata_dirs(spark, tmp_path):
+    """A root carrying a streaming-sink _spark_metadata directory (the
+    exact micro-batch-debris use case the compact CLI advertises) must
+    compact the DATA files only: the metadata dir's contents ('0',
+    '1', '2.compact' — names that do NOT start with '_') are neither
+    read as parquet (which would fail the job) nor copied as data."""
+    from idhub_spark.storage import compact_small_files
+
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    small = str(tmp_path / "sink")
+    out = str(tmp_path / "compacted")
+    df.repartition(4).write.parquet(small)
+    meta = tmp_path / "sink" / "_spark_metadata"
+    meta.mkdir()
+    for name in ("0", "1", "2.compact"):
+        (meta / name).write_text('{"path":"not-parquet"}')
+    # a hidden checkpoint dir gets the same treatment
+    ckpt = tmp_path / "sink" / ".checkpoint"
+    ckpt.mkdir()
+    (ckpt / "state").write_text("x")
+
+    n_src, n_out = compact_small_files(spark, small, out, target_bytes=10**9)
+    assert n_src == 4 and n_out == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["k", "v"]
+
+
+def test_zorder_value_date_cols(spark):
+    """zorder_value's docstring allows date zcols, but CAST(DATE AS
+    DOUBLE) is not a valid Spark cast — the date path must hop through
+    timestamp (monotone, so bucket ranks are unchanged). Pin: a date
+    zcol fits and buckets without AnalysisException, and _z is
+    monotone in the date for a single-column zorder (bucket rank ==
+    date rank at bits covering the domain)."""
+    from idhub_spark.storage import zorder_value
+
+    df = spark.range(64).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "d"
+        ),
+    )
+    z = zorder_value(df, ["d"], bits=6).select("k", "_z").collect()
+    by_k = {r.k: r._z for r in z}
+    assert all(by_k[i] <= by_k[i + 1] for i in range(63))
+    assert len({r._z for r in z}) > 32  # buckets actually spread
 
 
 def test_zorder_layout_multi_dim_skipping(spark, tmp_path):
