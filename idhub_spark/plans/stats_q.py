@@ -373,3 +373,62 @@ def heavy_hitter_users(spark, sf_dir):
     return exact_heavy_hitters(
         t["events"], "user_id", min_count=80, k=2048, count_alias="n_events"
     )
+
+
+@query(
+    "kmv_accuracy_check",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_ids,
+           CAST(1 AS BIGINT) AS size_ok,
+           CAST(1 AS BIGINT) AS est_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Driver-pinned KMV accuracy (the sketch_profile_check pattern "
+    "for operators/sketches.py's KMV family): the sketch itself has no "
+    "DuckDB xxhash64 twin, but its CONTRACTS do — (a) a segment's "
+    "sketch holds exactly least(k, n_distinct) rows (below k the "
+    "sketch retains every distinct hash and the estimate is exact), "
+    "and (b) a full sketch's (k-1)/theta estimate lands within 25% of "
+    "the exact distinct count (4x the ~6.3% relative-error sigma at "
+    "k=256 — the sketch is hash-deterministic, so this is a stable "
+    "measurement, not a flaky tail). The oracle states the bound "
+    "flags as constant 1 plus the exact per-segment distinct count; "
+    "a sketch regression (size drift, estimator bias, partition "
+    "dependence) flips a Spark-side flag to 0 and fails the hash. "
+    "event_id (unique per row, ~2k per event_type at sf0.01) keeps "
+    "the sketch in its ESTIMATING regime at driver scale.",
+)
+def kmv_accuracy_check(spark, sf_dir):
+    from idhub_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    t = tables(spark, sf_dir, "events")
+    k = 256
+    seg = ["event_type"]
+    sk = kmv_sketch(t["events"], "event_id", k, seg_cols=seg)
+    est = kmv_distinct_estimate(sk, k, seg_cols=seg)
+    size = sk.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n_sketch"))
+    exact = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("exact_ids"))
+    )
+    ok = lambda cond: F.when(cond, 1).otherwise(0).cast("long")  # noqa: E731
+    return (
+        exact.join(est, "event_type")
+        .join(size, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_ids").cast("long").alias("exact_ids"),
+            ok(
+                F.col("_n_sketch") == F.least(F.lit(k), F.col("exact_ids"))
+            ).alias("size_ok"),
+            ok(
+                F.abs(F.col("n_distinct_est") - F.col("exact_ids"))
+                <= 0.25 * F.col("exact_ids")
+            ).alias("est_ok"),
+        )
+    )

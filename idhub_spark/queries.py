@@ -115,75 +115,75 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 10 front (window = first 50; 3 changed/new + the 47-query
-    # r7-evidence cohort = exactly 50):
-    # (1) NEW: the IVF x SQ8 composition (r9 ask #1) needs its first
-    # driver-hash row; (2) heavy_hitter_users re-evidences the
-    # Misra-Gries sketch-merge bound (broadcast <= k at any partition
-    # count, hash unchanged); (3) replica_divergence re-evidences the
-    # bucket_checksum NULL sentinel (oracle mirrored).
+    # round 11 front (window = first 50; 3 changed/new + the 47-query
+    # r8-evidence cohort = exactly 50):
+    # (1) NEW: kmv_accuracy_check — the KMV sketch family's first
+    # driver row (size + estimator-error contracts, the
+    # sketch_profile_check pattern); (2) ivf_sq8_topk re-evidences the
+    # rescore-tail broadcast fix (r10's one `weak`: the candidate side
+    # of _exact_cosine_topk now carries the hint — hash must be
+    # UNCHANGED, plan now 0-SMJ); (3) compaction_roundtrip re-evidences
+    # the compactor after the explicit-file-list read + metadata-dir
+    # skip (ADVICE r10 medium).
+    "kmv_accuracy_check",
     "ivf_sq8_topk",
-    "heavy_hitter_users",
-    "replica_divergence",
-    # (tfidf_keywords / weighted_mixture_sample — persist-leak window
-    # rewrites — and compaction_roundtrip — partition-aware recursion,
-    # flat path unchanged — also changed this round but keep in-policy
-    # r9 driver rows; each was targeted-verified hash-green at sf0.01
-    # and in the full sf0.1 oracle sim when committed. gsid_mint is
-    # RETIRED from the registry this round (r9 ask #4): its only
-    # possible driver row was `no_oracle`; the operator remains covered
-    # by the hash-green gsid_mint_shape twin + the mint-uniqueness
-    # property test.)
-    # (4) the full r7-evidence cohort (standing <=3-rounds rotation
-    # policy): every query whose newest driver row is r7 rotates in,
-    # so no evidence is older than r8 after this pass
-    "alias_resolution",
-    "ann_topk_multiprobe",
-    "asof_last_click",
-    "audit_trail",
-    "avg_yearly_small_qty",
-    "binary_features",
-    "bpe_merge_apply",
-    "change_stats",
-    "conflict_apply_state",
-    "conflict_detection",
-    "conflict_exclusion",
-    "conflict_summary",
-    "csv_roundtrip_staging",
-    "customer_order_distribution",
-    "data_type_counts",
-    "doc_chunking",
-    "doc_fingerprint",
-    "domain_mixture_weights",
-    "event_value_percentiles",
-    "family_linkage",
-    "first_wins_dedup",
-    "flexible_timestamp_parse",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "fuzzy_center_match",
-    "gopher_quality_rules",
-    "gsid_filter",
-    "identity_link_back",
-    "identity_resolution",
-    "image_resize_check",
-    "labkey_sync_state",
-    "lang_id_heuristic",
-    "nation_market_share",
-    "order_priority_pivot",
-    "per_center_summary",
-    "per_subject_review",
-    "pii_redaction",
-    "priority_status_rollup",
-    "quality_score",
-    "repetition_filter",
-    "returnflag_status_cube",
-    "stateful_sessionize",
-    "subject_enrichment",
-    "token_count",
-    "top_revenue_supplier",
-    "type_coercion",
-    "vocabulary_topk",
+    "compaction_roundtrip",
+    # (tfidf_keywords / weighted_mixture_sample: code UNCHANGED this
+    # round — their r9 driver rows stay in-policy until r12, when they
+    # rotate with the rest of the r9 cohort. The streaming family's
+    # state-partition keying changed this round (source-path keyed,
+    # results partition-invariant); streaming_interval_join in the
+    # cohort below drives the new path end to end.)
+    # (4) the full r8-evidence cohort (standing <=3-rounds rotation
+    # policy): every query whose newest driver row is r8 rotates in,
+    # so no evidence is older than r9 after this pass
+    "acctbal_bucket_stats",
+    "ann_recall_at_k",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "benchmark_contamination",
+    "cohort_retention",
+    "discounted_brand_revenue",
+    "global_distinct_flag",
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "hourly_rollup",
+    "idle_customers",
+    "incremental_pruned_merge_state",
+    "interval_followup_purchases",
+    "json_props_rollup",
+    "json_roundtrip_report",
+    "large_orders",
+    "load_batch_state",
+    "load_stats",
+    "local_ids_merge",
+    "local_supplier_volume",
+    "lsh_param_sweep",
+    "lsh_recall_eval",
+    "merge_upsert_stats",
+    "merged_state",
+    "min_cost_supplier_rank",
+    "minhash_lsh_dedup",
+    "oldest_pick",
+    "orc_roundtrip_staging",
+    "order_priority_check",
+    "partition_pruned_upsert",
+    "partition_pruned_upsert_stats",
+    "pricing_summary",
+    "promo_revenue_share",
+    "recent_changes_topk",
+    "resolution_log",
+    "returned_item_report",
+    "running_value_total",
+    "scd2_history",
+    "sessionize",
+    "shipping_priority",
+    "simhash_hamming_pairs",
+    "sketch_profile",
+    "sketch_profile_check",
+    "streaming_interval_join",
+    "table_profile",
 ]
 
 
