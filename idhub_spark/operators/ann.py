@@ -620,6 +620,29 @@ def _pq_codebook_rows(codebook: DataFrame):
     return by_sub
 
 
+def _pq_sub_dists(by_sub, sub, xq):
+    """Array of k exact-integer distances d_j = ||n_j*x - s_j||^2/n_j^2
+    from this row's sub-vector to every literal sub-centroid (the
+    _assign distance against a driver-collected codebook). The scale
+    is _ASSIGN_SCALE^2 — d/1e6 is the squared L2 distance in input
+    units. Shared by pq_encode (argmin) and pq_drift_stats (min)."""
+    dsub = len(by_sub[0][0][2])
+    sx = F.slice(xq, sub * dsub + 1, dsub)
+    dists = []
+    for _cl, n, s in by_sub[sub]:
+        num = F.aggregate(
+            F.zip_with(
+                sx,
+                F.array(*[F.lit(v).cast("long") for v in s]),
+                lambda x, si: (F.lit(n) * x - si) * (F.lit(n) * x - si),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dists.append(num.cast("double") / F.lit(float(n * n)))
+    return F.array(*dists)
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -637,26 +660,12 @@ def pq_encode(
     lower cluster id (array_position finds the first minimum)."""
     by_sub = _pq_codebook_rows(codebook)
     m = len(by_sub)
-    dsub = len(by_sub[0][0][2])
     xq = _quantize(
         F.transform(F.col(vec_col), lambda x: x.cast("double")), _ASSIGN_SCALE
     )
 
     def _sub_code(sub):
-        sx = F.slice(xq, sub * dsub + 1, dsub)
-        dists = []
-        for _cl, n, s in by_sub[sub]:
-            num = F.aggregate(
-                F.zip_with(
-                    sx,
-                    F.array(*[F.lit(v).cast("long") for v in s]),
-                    lambda x, si: (F.lit(n) * x - si) * (F.lit(n) * x - si),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            dists.append(num.cast("double") / F.lit(float(n * n)))
-        arr = F.array(*dists)
+        arr = _pq_sub_dists(by_sub, sub, xq)
         return (F.array_position(arr, F.array_min(arr)) - 1).cast("tinyint")
 
     return df.withColumn("pq_code", F.array(*[_sub_code(s) for s in range(m)]))
@@ -811,6 +820,7 @@ def _ivf_index_materialize(
     id_col: str,
     vec_col: str,
     mode: str,
+    files_per_cluster: int = 1,
 ) -> None:
     """Shared write path for on-disk IVF indexes: assign each vector to
     its nearest centroid, apply the codec's `encode` (a df->df adding
@@ -828,7 +838,20 @@ def _ivf_index_materialize(
     NEW vectors against the EXISTING centroids/codec, so only touched
     clusters get new files and existing files are never rewritten
     (per-batch I/O ∝ batch, the pruned-upsert discipline). Re-fit only
-    on measured drift — the IVF contract."""
+    on measured drift — the IVF contract.
+
+    File-count discipline (r11 scale audit finding): partitionBy
+    writes one file per (task, cluster) pair, so a naive write lands
+    O(shuffle_partitions * k) small files — 32x the minimum at
+    defaults, and every append scatters another task-multiple. The
+    repartition below clusters rows by (cluster [, salt]) FIRST, so a
+    write lands exactly files_per_cluster files per touched cluster:
+    probe I/O and file listing become truly ∝ nprobe/k. The shuffle
+    this adds is a one-time cost of the build/append job itself (the
+    pass over the batch was already being paid); raise
+    files_per_cluster when single clusters outgrow one task's write
+    throughput (giant clusters at 100 TB) — it salts the shuffle key
+    to spread each cluster over that many tasks/files."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # carry the ORIGINAL vector column into the index (float stays
     # float — storing the double working copy would double the bytes)
@@ -841,6 +864,13 @@ def _ivf_index_materialize(
         code_col,
         "cluster",
     )
+    if files_per_cluster == 1:
+        enc = enc.repartition(F.col("cluster"))
+    else:
+        enc = enc.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
+        )
     enc.write.mode(mode).partitionBy("cluster").parquet(path)
 
 
@@ -940,6 +970,7 @@ def ivf_sq8_index_write(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Materialize the IVF-SQ8 index (see _ivf_index_materialize)."""
     _ivf_index_materialize(
@@ -951,6 +982,7 @@ def ivf_sq8_index_write(
         id_col=id_col,
         vec_col=vec_col,
         mode="overwrite",
+        files_per_cluster=files_per_cluster,
     )
 
 
@@ -993,6 +1025,7 @@ def ivf_sq8_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Incremental SQ8 index maintenance: encode against the existing
     bounds (out-of-range values saturate — the clamp exists for
@@ -1007,6 +1040,7 @@ def ivf_sq8_index_append(
         id_col=id_col,
         vec_col=vec_col,
         mode="append",
+        files_per_cluster=files_per_cluster,
     )
 
 
@@ -1018,6 +1052,7 @@ def ivf_pq_index_write(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Materialize the IVF-PQ index: the same cluster-partitioned Hive
     layout as SQ8 with the 8-byte pq_code column as the scan payload —
@@ -1032,6 +1067,7 @@ def ivf_pq_index_write(
         id_col=id_col,
         vec_col=vec_col,
         mode="overwrite",
+        files_per_cluster=files_per_cluster,
     )
 
 
@@ -1086,6 +1122,7 @@ def ivf_pq_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Incremental PQ index maintenance: encode new vectors against the
     EXISTING codebook and APPEND into the matching cluster directories
@@ -1099,6 +1136,7 @@ def ivf_pq_index_append(
         id_col=id_col,
         vec_col=vec_col,
         mode="append",
+        files_per_cluster=files_per_cluster,
     )
 
 
@@ -1150,3 +1188,134 @@ def sq8_drift_stats(
             "worst_dim_rate_micro"
         ),
     )
+
+
+def pq_drift_stats(
+    batch: DataFrame, codebook: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """The PQ re-fit trigger — sq8_drift_stats' symmetry partner: ONE
+    row of reconstruction-distortion stats for an incoming batch
+    against the FITTED codebook,
+    (n_vectors, n_subvectors, mse_micro, max_se_micro, worst_sub,
+    worst_sub_mse_micro). Per (row, subspace) the distortion is the
+    MIN exact-integer centroid distance — exactly the squared L2
+    error of the code pq_encode would assign — rounded to integer
+    micro-units (input units squared x 1e6, the _ASSIGN_SCALE^2
+    scale), so every aggregate is an order-independent int64 sum.
+
+    Operational rule (mirrors the SQ8 clamp-rate rule): record this
+    function's output on the TRAINING sample at fit time; re-fit the
+    codebook when a batch's mse_micro leaves that baseline by a
+    factor (distribution shift makes all codes coarser), or when ONE
+    subspace concentrates the distortion (a feature-block shift, not
+    tail noise) — worst_sub separates the two cases. Expression-only
+    per row (literal centroids) + one dim-bounded aggregate; no joins,
+    no corpus shuffle."""
+    by_sub = _pq_codebook_rows(codebook)
+    m = len(by_sub)
+    xq = _quantize(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _ASSIGN_SCALE
+    )
+    per_sub = F.array(
+        *[
+            F.round(F.array_min(_pq_sub_dists(by_sub, s, xq)), 0).cast("long")
+            for s in range(m)
+        ]
+    )
+    ex = batch.select(F.posexplode(per_sub).alias("sub", "se"))
+    agg = ex.groupBy("sub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("se").alias("tot"),
+        F.max("se").alias("mx"),
+    )
+    return agg.agg(
+        F.max("n").alias("n_vectors"),  # every vector hits every sub
+        F.sum("n").alias("n_subvectors"),
+        F.expr("sum(tot) div sum(n)").cast("bigint").alias("mse_micro"),
+        F.max("mx").alias("max_se_micro"),
+        # deterministic tie-break: highest total distortion, lowest sub
+        F.expr("max_by(sub, struct(tot, -sub))").alias("worst_sub"),
+        F.expr("max(tot) div max(n)").cast("bigint").alias(
+            "worst_sub_mse_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index self-containment: fits ride INSIDE the index under _fits/
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_save_fits(
+    spark,
+    path: str,
+    *,
+    centroids: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> None:
+    """Persist the index's fitted state (IVF centroids, SQ8 bounds,
+    PQ codebook — whichever apply) under `<path>/_fits/<name>` so the
+    on-disk index is SELF-CONTAINED: a reader needs only the path.
+    The underscore prefix keeps the subtree invisible to Spark's file
+    index (data scans of the index never touch it) and to the
+    compaction walker. Fits are tiny (k rows / 1 row / m*k rows) —
+    coalesce(1) so each is a single file."""
+    for name, df in (
+        ("centroids", centroids),
+        ("bounds", bounds),
+        ("codebook", codebook),
+    ):
+        if df is not None:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{path.rstrip('/')}/_fits/{name}"
+            )
+
+
+def ivf_index_load_fits(spark, path: str) -> dict[str, DataFrame]:
+    """Load whatever fits ivf_index_save_fits persisted for this index
+    — {'centroids': df, 'bounds': df, 'codebook': df} with only the
+    present keys. Raises if the index carries no _fits at all (an
+    index written before save_fits was adopted: pass the fits
+    explicitly)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    root = f"{path.rstrip('/')}/_fits"
+    fs, jroot = _hadoop_fs(spark, root)
+    out: dict[str, DataFrame] = {}
+    for name in ("centroids", "bounds", "codebook"):
+        d = f"{root}/{name}"
+        _, jd = _hadoop_fs(spark, d)
+        if fs.exists(jd):
+            out[name] = spark.read.parquet(d)
+    if not out:
+        raise ValueError(
+            f"ivf_index_load_fits: no _fits under {path!r} — the index "
+            "was written without save_fits; pass centroids/bounds/"
+            "codebook explicitly"
+        )
+    return out
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-cluster health of an on-disk IVF index: (cluster, n_rows,
+    n_files) plus a final total row (cluster = -1) — the operational
+    check behind probe-latency skew (a cluster holding 30% of the
+    corpus makes every probe that routes to it a straggler; the fix is
+    a re-fit with more clusters or splitting hot clusters). The row
+    count reads ONLY the partition column (parquet metadata-weight
+    scan); file counts come from input_file_name over the same scan —
+    one job, no vector bytes read."""
+    idx = spark.read.parquet(path).select(
+        "cluster", F.input_file_name().alias("_f")
+    )
+    per = idx.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_f").alias("n_files"),
+    )
+    total = per.agg(
+        F.lit(-1).alias("cluster"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_files").alias("n_files"),
+    )
+    return per.unionByName(total).orderBy("cluster")

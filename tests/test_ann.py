@@ -324,6 +324,10 @@ def test_ivf_sq8_index_roundtrip_pruned(spark, vectors, tmp_path):
     import glob as _glob
 
     assert len(_glob.glob(f"{path}/cluster=*")) == 8
+    # file-count discipline: default files_per_cluster=1 means ONE
+    # file per cluster, not one per (task, cluster) — the r11 scale
+    # audit measured 32x file debris without the pre-write repartition
+    assert len(_glob.glob(f"{path}/cluster=*/*.parquet")) == 8
 
     queries = vectors.filter(F.col("vec_id") < 4)
     got = ivf_sq8_search_index(
@@ -377,6 +381,8 @@ def test_ivf_sq8_index_append(spark, vectors, tmp_path):
     after = {f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")}
     assert set(before) < set(after)  # new files appeared...
     assert all(after[f] == before[f] for f in before)  # ...none rewritten
+    # append I/O ∝ batch clusters: at most one new file per cluster
+    assert len(after) - len(before) <= 8
 
     assert spark.read.parquet(path).count() == vectors.count()
     # an appended vector's exact duplicate neighborhood is searchable:
@@ -447,6 +453,7 @@ def test_ivf_pq_index_roundtrip_pruned(spark, vectors, tmp_path):
     import glob as _glob
 
     assert len(_glob.glob(f"{path}/cluster=*")) == 8
+    assert len(_glob.glob(f"{path}/cluster=*/*.parquet")) == 8  # 1/cluster
 
     queries = vectors.filter(F.col("vec_id") < 4)
     got = ivf_pq_search_index(spark, path, queries, centroids, cb, k=5, nprobe=2)
@@ -522,3 +529,124 @@ def test_sq8_drift_stats(spark):
     assert row.n_clamped == 3  # dim1: 5.0, -3.0; dim0: 2.0
     assert row.clamp_rate_micro == 375_000  # 3/8
     assert row.worst_dim == 1 and row.worst_dim_rate_micro == 500_000  # 2/4
+
+
+def test_pq_drift_stats_exact(spark):
+    """PQ drift stats must report the exact integer-micro squared
+    reconstruction error of the codes pq_encode would assign, flag the
+    subspace concentrating the distortion, and count every subvector —
+    pinned on a hand-built 2-sub codebook with known centroids."""
+    from idhub_spark.operators.ann import pq_drift_stats
+
+    # sub 0 and sub 1 each have centroids {0.0, 1.0} (n=1 exact sums)
+    codebook = spark.createDataFrame(
+        [
+            (0, 0, [0.0], 1, [0]),
+            (0, 1, [1.0], 1, [1000]),
+            (1, 0, [0.0], 1, [0]),
+            (1, 1, [1.0], 1, [1000]),
+        ],
+        "sub int, cluster int, centroid array<double>, _n long, _s array<long>",
+    )
+    batch = spark.createDataFrame(
+        [(1, [0.1, 0.9]), (2, [0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    row = pq_drift_stats(batch, codebook).collect()[0]
+    # v1: sub0 err (0.1-0)^2=0.01 -> 10000 micro; sub1 (0.9-1)^2 -> 10000
+    # v2: sub0 0; sub1 (0.5-0)^2 = (0.5-1)^2 = 0.25 -> 250000
+    assert row.n_vectors == 2 and row.n_subvectors == 4
+    assert row.mse_micro == (10000 + 10000 + 0 + 250000) // 4
+    assert row.max_se_micro == 250000
+    assert row.worst_sub == 1 and row.worst_sub_mse_micro == 260000 // 2
+
+
+def test_ivf_index_compaction_composition(spark, vectors, tmp_path):
+    """Maintenance composition: repeated appends leave one file per
+    cluster per batch; compact_small_files on the Hive-partitioned
+    index glues them per-leaf, and a search over the COMPACTED index
+    returns byte-identical results (partition columns survive the
+    mirror layout)."""
+    import glob as _glob
+
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+    from idhub_spark.storage import compact_small_files
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    thirds = [
+        vectors.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    ivf_sq8_index_write(thirds[0], centroids, bounds, path)
+    ivf_sq8_index_append(thirds[1], centroids, bounds, path)
+    ivf_sq8_index_append(thirds[2], centroids, bounds, path)
+    n_before = len(_glob.glob(f"{path}/cluster=*/*.parquet"))
+    assert n_before > 8  # append debris: up to one file per batch per cluster
+
+    packed = str(tmp_path / "idx_packed")
+    n_src, n_out = compact_small_files(spark, path, packed, target_bytes=10**9)
+    assert n_src == n_before and n_out == 8  # one packed file per cluster
+
+    queries = vectors.filter(F.col("vec_id") < 4)
+    got = ivf_sq8_search_index(spark, packed, queries, centroids, bounds, k=5, nprobe=3)
+    want = ivf_sq8_search_index(spark, path, queries, centroids, bounds, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_index_fits_roundtrip_and_stats(spark, vectors, tmp_path):
+    """Self-contained index contract: fits persisted under _fits/ are
+    invisible to data scans of the index root, round-trip exactly
+    (searching with LOADED fits returns byte-identical results), a
+    fitless index raises on load, and ivf_index_stats reports the
+    per-cluster row/file layout without reading vector bytes."""
+    from idhub_spark.operators.ann import (
+        ivf_index_load_fits,
+        ivf_index_save_fits,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    ivf_index_save_fits(spark, path, centroids=centroids, bounds=bounds)
+
+    # _fits is invisible to a data read of the index root
+    back = spark.read.parquet(path)
+    assert back.count() == vectors.count()
+    assert "mins" not in back.columns and "_n" not in back.columns
+
+    fits = ivf_index_load_fits(spark, path)
+    assert set(fits) == {"centroids", "bounds"}
+    queries = vectors.filter(F.col("vec_id") < 4)
+    got = ivf_sq8_search_index(
+        spark, path, queries, fits["centroids"], fits["bounds"], k=5, nprobe=2
+    )
+    want = ivf_sq8_search_index(
+        spark, path, queries, centroids, bounds, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    import pytest as _pytest
+
+    bare = str(tmp_path / "bare")
+    ivf_sq8_index_write(vectors, centroids, bounds, bare)
+    with _pytest.raises(ValueError, match="no _fits"):
+        ivf_index_load_fits(spark, bare)
+
+    stats = {r.cluster: (r.n_rows, r.n_files) for r in ivf_index_stats(spark, path).collect()}
+    assert stats[-1][0] == vectors.count()
+    per = {c: v for c, v in stats.items() if c >= 0}
+    assert len(per) == 8 and all(v[1] == 1 for v in per.values())
+    assert sum(v[0] for v in per.values()) == vectors.count()

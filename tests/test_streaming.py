@@ -488,3 +488,34 @@ def test_stateful_sessionize_batch_slicing_invariance(spark, tmp_path):
     third = len(rows) // 3
     sliced = _run("sliced", [rows[:third], rows[third : 2 * third], rows[2 * third :]])
     assert one_batch == sliced and len(one_batch) >= 9
+
+
+def test_auto_state_partitions_keyed_by_source(spark):
+    """The volume-derived state-store sizing must key on the DRAINED
+    stream's own source path: a small stream in a session that earlier
+    observed a big one must NOT inherit the big store count (r10
+    ADVICE). Conf override beats everything."""
+    from idhub_spark.plans.streaming_q import (
+        _STREAM_ROWS,
+        _auto_state_partitions,
+    )
+
+    saved = dict(_STREAM_ROWS)
+    try:
+        _STREAM_ROWS.clear()
+        _STREAM_ROWS["/big/events.parquet"] = 100_000
+        _STREAM_ROWS["/small/events.parquet"] = 4_000
+        assert _auto_state_partitions(spark, "/big/events.parquet") == 8
+        # the small stream sizes to ITS volume, not the session max
+        assert _auto_state_partitions(spark, "/small/events.parquet") == 2
+        # unknown path falls back to the session max (conservative)
+        assert _auto_state_partitions(spark, "/other/events.parquet") == 8
+        assert _auto_state_partitions(spark, None) == 8
+        spark.conf.set("spark.idhub.streaming.statePartitions", "16")
+        try:
+            assert _auto_state_partitions(spark, "/small/events.parquet") == 16
+        finally:
+            spark.conf.unset("spark.idhub.streaming.statePartitions")
+    finally:
+        _STREAM_ROWS.clear()
+        _STREAM_ROWS.update(saved)

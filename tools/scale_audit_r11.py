@@ -93,7 +93,11 @@ def main() -> None:
     centroids = kmeans_fit(sample, k=K_CLUSTERS, max_iter=3)
     bounds = sq8_fit(sample)
     codebook = pq_fit(sample, m=8, k=16, max_iter=2)
-    queries = synth_vectors(spark, 8)
+    # 2 queries: the measured read fraction is the probe-set UNION, so
+    # the query batch must stay small relative to k for the per-query
+    # nprobe/k bound to be visible (8 queries x nprobe 2 saturated the
+    # 16-cluster union in the first pass of this audit)
+    queries = synth_vectors(spark, 2)
 
     for tag, n in {"S": 20_000, "XL": 200_000}.items():
         vecs = synth_vectors(spark, n)
@@ -123,7 +127,7 @@ def main() -> None:
 
             m = re.search(
                 r"PartitionFilters: \[[^\]]*cluster[^\]]*?"
-                r"(?:IN \(([^)]+)\)|INSET ([^\]]+))",
+                r"(?:IN \(([^)]+)\)|INSET ([\d,\s]+))",
                 plan,
             )
             probed = (
