@@ -900,6 +900,16 @@ def _ivf_index_search(
     a join (a join would defeat pruning: partition filters must be
     literal at planning time).
 
+    Usage boundary: this is the INTERACTIVE/batch-lookup path — the
+    probed-set collect is bounded by distinct clusters (<= k), but the
+    pruning PAYOFF shrinks as |Q| grows: a query batch big enough to
+    route to most clusters reads ~the whole index anyway. For
+    corpus-scale query sides (e.g. joining a full ingest batch against
+    the index) run the in-memory composition (ivf_sq8_topk /
+    ivf_pq_topk) over spark.read.parquet(index_path) instead — same
+    plan shape, no driver round-trip, and the broadcast probe join
+    does the routing.
+
     Deterministic output contract (query_id, neighbor_id, cosine,
     rank); equivalence tests pin byte-identical results vs the
     in-memory compositions."""

@@ -342,6 +342,8 @@ def test_ivf_sq8_index_roundtrip_pruned(spark, vectors, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+    # the rescore tail must broadcast the candidate frame here too
+    assert "SortMergeJoin" not in plan
     # the probed set is < all 8 clusters for 4 queries x nprobe 2
     import re
 
@@ -466,6 +468,7 @@ def test_ivf_pq_index_roundtrip_pruned(spark, vectors, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+    assert "SortMergeJoin" not in plan  # broadcast rescore tail
     import re
 
     m = re.search(r"PartitionFilters: \[([^\]]*cluster[^\]]*)\]", plan)
