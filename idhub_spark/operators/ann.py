@@ -981,8 +981,13 @@ def ivf_sq8_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
+    save_fits: bool = True,
 ) -> None:
-    """Materialize the IVF-SQ8 index (see _ivf_index_materialize)."""
+    """Materialize the IVF-SQ8 index (see _ivf_index_materialize).
+    save_fits (default on) persists centroids+bounds under
+    <path>/_fits/ so the index is self-contained — readers recover
+    them with ivf_index_load_fits instead of tracking fit state
+    externally."""
     _ivf_index_materialize(
         vectors,
         centroids,
@@ -994,14 +999,18 @@ def ivf_sq8_index_write(
         mode="overwrite",
         files_per_cluster=files_per_cluster,
     )
+    if save_fits:
+        ivf_index_save_fits(
+            vectors.sparkSession, path, centroids=centroids, bounds=bounds
+        )
 
 
 def ivf_sq8_search_index(
     spark,
     path: str,
     queries: DataFrame,
-    centroids: DataFrame,
-    bounds: DataFrame,
+    centroids: DataFrame | None = None,
+    bounds: DataFrame | None = None,
     *,
     k: int = 5,
     nprobe: int = 2,
@@ -1010,7 +1019,13 @@ def ivf_sq8_search_index(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Search a persisted ivf_sq8_index_write layout: partition-pruned
-    probes, int8 ranking, exact rescore (see _ivf_index_search)."""
+    probes, int8 ranking, exact rescore (see _ivf_index_search).
+    centroids/bounds default to the index's own _fits (self-contained
+    usage: search needs only spark + path + queries)."""
+    if centroids is None or bounds is None:
+        fits = ivf_index_load_fits(spark, path)
+        centroids = centroids if centroids is not None else fits["centroids"]
+        bounds = bounds if bounds is not None else fits["bounds"]
     return _ivf_index_search(
         spark,
         path,
@@ -1063,11 +1078,14 @@ def ivf_pq_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
+    save_fits: bool = True,
 ) -> None:
     """Materialize the IVF-PQ index: the same cluster-partitioned Hive
     layout as SQ8 with the 8-byte pq_code column as the scan payload —
     the bottom of the on-disk candidate-scan I/O ladder (float32 256 B
-    -> SQ8 64 B -> PQ 8 B per 64-dim vector)."""
+    -> SQ8 64 B -> PQ 8 B per 64-dim vector). save_fits (default on)
+    persists centroids+codebook under <path>/_fits/ (self-contained
+    index; ivf_index_load_fits recovers them)."""
     _ivf_index_materialize(
         vectors,
         centroids,
@@ -1079,14 +1097,18 @@ def ivf_pq_index_write(
         mode="overwrite",
         files_per_cluster=files_per_cluster,
     )
+    if save_fits:
+        ivf_index_save_fits(
+            vectors.sparkSession, path, centroids=centroids, codebook=codebook
+        )
 
 
 def ivf_pq_search_index(
     spark,
     path: str,
     queries: DataFrame,
-    centroids: DataFrame,
-    codebook: DataFrame,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
     *,
     k: int = 5,
     nprobe: int = 2,
@@ -1098,7 +1120,12 @@ def ivf_pq_search_index(
     probes, integer-ADC-LUT ranking over the m-byte codes, exact
     rescore from the same pruned partitions. Default rescore matches
     ivf_pq_topk's deeper setting (PQ's coarser codes push more of the
-    quality budget into the rescore stage)."""
+    quality budget into the rescore stage). centroids/codebook default
+    to the index's own _fits (search needs only spark+path+queries)."""
+    if centroids is None or codebook is None:
+        fits = ivf_index_load_fits(spark, path)
+        centroids = centroids if centroids is not None else fits["centroids"]
+        codebook = codebook if codebook is not None else fits["codebook"]
     by_sub = _pq_codebook_rows(codebook)
 
     def query_side(probes):

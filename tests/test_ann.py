@@ -633,9 +633,8 @@ def test_ivf_index_fits_roundtrip_and_stats(spark, vectors, tmp_path):
     fits = ivf_index_load_fits(spark, path)
     assert set(fits) == {"centroids", "bounds"}
     queries = vectors.filter(F.col("vec_id") < 4)
-    got = ivf_sq8_search_index(
-        spark, path, queries, fits["centroids"], fits["bounds"], k=5, nprobe=2
-    )
+    # self-contained usage: no fit args — search loads them from _fits
+    got = ivf_sq8_search_index(spark, path, queries, k=5, nprobe=2)
     want = ivf_sq8_search_index(
         spark, path, queries, centroids, bounds, k=5, nprobe=2
     )
@@ -644,7 +643,7 @@ def test_ivf_index_fits_roundtrip_and_stats(spark, vectors, tmp_path):
     import pytest as _pytest
 
     bare = str(tmp_path / "bare")
-    ivf_sq8_index_write(vectors, centroids, bounds, bare)
+    ivf_sq8_index_write(vectors, centroids, bounds, bare, save_fits=False)
     with _pytest.raises(ValueError, match="no _fits"):
         ivf_index_load_fits(spark, bare)
 
