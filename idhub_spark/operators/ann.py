@@ -446,24 +446,9 @@ def ivf_sq8_topk(
     )
     q = base if query_ids is None else base.filter(F.col("_id").isin(query_ids))
     probes = _assign(q, centroids, nprobe=nprobe)
-    qw = probes.crossJoin(F.broadcast(bounds)).select(
-        F.col("_id").alias("query_id"),
-        "cluster",
-        F.transform(
-            F.col("_v"),
-            lambda qi, i: F.round(
-                qi
-                * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
-                * 1000000.0,
-                0,
-            ).cast("bigint"),
-        ).alias("_w"),
-    )
-    ascore = F.aggregate(
-        F.zip_with("_w", "code", lambda w, c: w * (c.cast("long") + 128)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # per-query folded weights + pure-int64 asymmetric score — the
+    # SAME expressions the on-disk index search uses (shared helpers)
+    qw = _sq8_query_weights(bounds)(probes)
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("_ascore"), F.asc("neighbor_id")
     )
@@ -472,7 +457,7 @@ def ivf_sq8_topk(
         # corpus side streams, no shuffle on cluster
         F.broadcast(qw).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", ascore.alias("_ascore"))
+        .select("query_id", "neighbor_id", _sq8_score().alias("_ascore"))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= rescore * k)
         .select("query_id", "neighbor_id")
