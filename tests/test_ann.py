@@ -652,3 +652,33 @@ def test_ivf_index_fits_roundtrip_and_stats(spark, vectors, tmp_path):
     per = {c: v for c, v in stats.items() if c >= 0}
     assert len(per) == 8 and all(v[1] == 1 for v in per.values())
     assert sum(v[0] for v in per.values()) == vectors.count()
+
+
+def test_ann_results_partitioning_invariant(spark, vectors):
+    """The determinism claim behind every ANN hash oracle: identical
+    results whatever the corpus partitioning. Integer scores + integer
+    tie-breaks mean nothing depends on partial-sum or scan order —
+    pinned by running the same searches on 2- and 17-partition copies
+    of the corpus (fits held constant)."""
+    from idhub_spark.operators.ann import (
+        ivf_sq8_topk,
+        kmeans_fit,
+        pq_fit,
+        pq_topk,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    bounds = sq8_fit(vectors)
+    cb = pq_fit(vectors, m=8, k=8, max_iter=1)
+
+    def run(corpus):
+        a = ivf_sq8_topk(
+            corpus, centroids, bounds, query_ids=[0, 1, 2, 3], k=5, nprobe=2
+        )
+        b = pq_topk(corpus.filter(F.col("vec_id") < 4), corpus, cb, k=5)
+        return sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+
+    r2 = run(vectors.repartition(2))
+    r17 = run(vectors.repartition(17))
+    assert r2 == r17
