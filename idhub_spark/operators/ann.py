@@ -1009,6 +1009,13 @@ def ivf_sq8_search_index(
     usage: search needs only spark + path + queries)."""
     if centroids is None or bounds is None:
         fits = ivf_index_load_fits(spark, path)
+        missing = {"centroids", "bounds"} - set(fits)
+        if missing:
+            raise ValueError(
+                f"ivf_sq8_search_index: index at {path!r} lacks _fits/"
+                f"{sorted(missing)} — is this an SQ8 index? Pass the "
+                "fits explicitly if managed externally"
+            )
         centroids = centroids if centroids is not None else fits["centroids"]
         bounds = bounds if bounds is not None else fits["bounds"]
     return _ivf_index_search(
@@ -1109,6 +1116,13 @@ def ivf_pq_search_index(
     to the index's own _fits (search needs only spark+path+queries)."""
     if centroids is None or codebook is None:
         fits = ivf_index_load_fits(spark, path)
+        missing = {"centroids", "codebook"} - set(fits)
+        if missing:
+            raise ValueError(
+                f"ivf_pq_search_index: index at {path!r} lacks _fits/"
+                f"{sorted(missing)} — is this a PQ index? Pass the "
+                "fits explicitly if managed externally"
+            )
         centroids = centroids if centroids is not None else fits["centroids"]
         codebook = codebook if codebook is not None else fits["codebook"]
     by_sub = _pq_codebook_rows(codebook)

@@ -465,6 +465,14 @@ def test_ivf_pq_index_roundtrip_pruned(spark, vectors, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) == 20
+    # self-contained usage: fits recovered from the index's own _fits
+    no_args = ivf_pq_search_index(spark, path, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, no_args.collect())) == g
+    # opening a PQ index through the SQ8 entry point fails clearly
+    from idhub_spark.operators.ann import ivf_sq8_search_index
+
+    with pytest.raises(ValueError, match="lacks _fits"):
+        ivf_sq8_search_index(spark, path, queries, k=5)
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
