@@ -221,12 +221,23 @@ def _exact_cosine_topk(
     k: int,
     id_col: str,
     vec_col: str,
+    broadcast_cand: bool = True,
 ) -> DataFrame:
     """Shared exact-rescore tail of every quantized search: join the
     (query_id, neighbor_id) candidate pairs back to full-precision
     vectors (point lookups at scale — the candidate set is
     rescore*k per query) and return the exact scaled-int64-cosine
-    top-k as (query_id, neighbor_id, cosine, rank)."""
+    top-k as (query_id, neighbor_id, cosine, rank).
+
+    broadcast_cand: the candidate frame is |Q|*rescore*k rows BY
+    CONSTRUCTION but exits a window+filter whose size Catalyst cannot
+    estimate — unhinted, both joins compile to SortMergeJoins that
+    shuffle the full-corpus scaled-vector projection. The hint is
+    correct whenever |Q| is a bounded query batch; callers whose
+    query side is the CORPUS (all-pairs, query_ids=None) must pass
+    False — a forced broadcast of |corpus|*rescore*k rows would
+    exceed the broadcast-table/driver limits, and SMJ is the right
+    plan for that join anyway."""
 
     def _si(df, idname):
         si = _quantize(
@@ -244,16 +255,14 @@ def _exact_cosine_topk(
         F.sqrt(F.col("_qnrm").cast("double")) * F.sqrt(F.col("_nnrm").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if broadcast_cand:
+        joined = F.broadcast(F.broadcast(cand).join(qv, "query_id")).join(
+            nv, "neighbor_id"
+        )
+    else:
+        joined = cand.join(qv, "query_id").join(nv, "neighbor_id")
     return (
-        # the candidate side is |Q|*rescore*k rows BY CONSTRUCTION, but
-        # it exits a window+filter whose size Catalyst cannot estimate —
-        # without the hint both joins compile to SortMergeJoins that
-        # shuffle the full-corpus scaled-vector projection (the same
-        # size-estimate hazard the probe-side joins hit; the corpus must
-        # STREAM through a BroadcastHashJoin instead)
-        F.broadcast(F.broadcast(cand).join(qv, "query_id"))
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -316,10 +325,15 @@ def ivf_topk(
         F.sqrt(F.col("q_nrm").cast("double")) * F.sqrt(F.col("n_nrm").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # the probe side is |Q| x nprobe rows by construction — broadcast
+    # it so the inverted-list join never shuffles the corpus. Bounded
+    # |Q| means the caller narrowed the query side (ids or a filter);
+    # all-pairs queries make the probe side corpus-sized, where the
+    # shuffle join is the right plan and a forced broadcast would blow
+    # the broadcast/driver limits.
+    bounded = query_ids is not None or query_filter is not None
     return (
-        # the probe side is |Q| x nprobe rows by construction — broadcast
-        # it so the inverted-list join never shuffles the corpus
-        F.broadcast(probes).join(corpus, "cluster")
+        (F.broadcast(probes) if bounded else probes).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
         # a (query, neighbor) pair can appear via two probed lists only
@@ -409,7 +423,11 @@ def ivf_sq8_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF x SQ8: the 100 TB ANN plan — probe-bounded candidate scans
-    over int8 codes, exact rescoring of the survivors.
+    over int8 codes, exact rescoring of the survivors. With query_ids
+    the probe and rescore joins broadcast the bounded query side
+    (0-SMJ, the corpus streams); query_ids=None is the ALL-PAIRS form
+    where the query side IS the corpus — the hints switch off and the
+    shuffle joins are the correct plan.
 
     sq8_topk alone is a flat scan (4x less I/O than float brute force
     but still O(|Q|*|N|) compute); ivf_topk alone scans full-precision
@@ -449,13 +467,17 @@ def ivf_sq8_topk(
     # per-query folded weights + pure-int64 asymmetric score — the
     # SAME expressions the on-disk index search uses (shared helpers)
     qw = _sq8_query_weights(bounds)(probes)
+    # the query side is |Q| x nprobe rows: broadcast it so the corpus
+    # streams with no shuffle on cluster — but ONLY when query_ids
+    # bounds |Q|; all-pairs (query_ids=None) makes the query side the
+    # corpus, where a forced broadcast would blow the broadcast/driver
+    # limits and the shuffle join is the right plan
+    bounded = query_ids is not None
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("_ascore"), F.asc("neighbor_id")
     )
     cand = (
-        # broadcast the per-query weights (|Q| x nprobe rows) — the
-        # corpus side streams, no shuffle on cluster
-        F.broadcast(qw).join(corpus, "cluster")
+        (F.broadcast(qw) if bounded else qw).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _sq8_score().alias("_ascore"))
         .withColumn("_r", F.row_number().over(w1))
@@ -465,7 +487,10 @@ def ivf_sq8_topk(
 
     # exact rescore: full-precision point lookups for survivors only
     qsrc = vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids))
-    return _exact_cosine_topk(cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col)
+    return _exact_cosine_topk(
+        cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col,
+        broadcast_cand=bounded,
+    )
 
 
 def sq8_topk(
@@ -477,6 +502,7 @@ def sq8_topk(
     rescore: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: rank candidates on the int8 codes
     (queries stay full-precision — the transformed query q'_i =
@@ -533,11 +559,15 @@ def sq8_topk(
     nv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
+    # same size-estimate hazard as _exact_cosine_topk: the candidate
+    # frame (|Q|*rescore*k rows by construction) must broadcast so
+    # the corpus-vector join streams instead of shuffling the corpus
+    # (broadcast_queries=False for a query side too big to broadcast —
+    # though a flat scan with a corpus-sized query side is the wrong
+    # tool regardless; see the docstring)
+    cq = F.broadcast(cand).join(qv, "query_id") if broadcast_queries else cand.join(qv, "query_id")
     exact = (
-        # same size-estimate hazard as _exact_cosine_topk: the candidate
-        # frame (|Q|*rescore*k rows by construction) must broadcast so
-        # the corpus-vector join streams instead of shuffling the corpus
-        F.broadcast(F.broadcast(cand).join(qv, "query_id"))
+        (F.broadcast(cq) if broadcast_queries else cq)
         .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id", _dot(F.col("_qv"), F.col("_nv")).alias("score"))
     )
@@ -709,6 +739,7 @@ def pq_topk(
     rescore: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance PQ top-k with exact rescore: each query
     builds an integer lookup table L[sub][j] = round(1e6 * dot(q_sub,
@@ -730,14 +761,17 @@ def pq_topk(
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
     cand = (
-        F.broadcast(qb)
+        (F.broadcast(qb) if broadcast_queries else qb)
         .join(enc, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _pq_score().alias("_pqs"))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= rescore * k)
         .select("query_id", "neighbor_id")
     )
-    return _exact_cosine_topk(cand, queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    return _exact_cosine_topk(
+        cand, queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+        broadcast_cand=broadcast_queries,
+    )
 
 
 def ivf_pq_topk(
@@ -774,11 +808,12 @@ def ivf_pq_topk(
         "cluster",
         _pq_lut_col(by_sub, "_v").alias("_lut"),
     )
+    # probe side is |Q| x nprobe rows: broadcast only when query_ids
+    # bounds |Q| (all-pairs would broadcast the corpus — see ivf_sq8_topk)
+    bounded = query_ids is not None
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_pqs"), F.asc("neighbor_id"))
     cand = (
-        # the probe side is |Q| x nprobe rows by construction — broadcast
-        # it so the inverted-list join never shuffles the corpus
-        F.broadcast(probes).join(corpus, "cluster")
+        (F.broadcast(probes) if bounded else probes).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _pq_score().alias("_pqs"))
         .withColumn("_r", F.row_number().over(w1))
@@ -786,7 +821,10 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
     qsrc = vectors if query_ids is None else vectors.filter(F.col(id_col).isin(query_ids))
-    return _exact_cosine_topk(cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col)
+    return _exact_cosine_topk(
+        cand, qsrc, vectors, k=k, id_col=id_col, vec_col=vec_col,
+        broadcast_cand=bounded,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -829,14 +867,19 @@ def _ivf_index_materialize(
     writes one file per (task, cluster) pair, so a naive write lands
     O(shuffle_partitions * k) small files — 32x the minimum at
     defaults, and every append scatters another task-multiple. The
-    repartition below clusters rows by (cluster [, salt]) FIRST, so a
-    write lands exactly files_per_cluster files per touched cluster:
-    probe I/O and file listing become truly ∝ nprobe/k. The shuffle
-    this adds is a one-time cost of the build/append job itself (the
-    pass over the batch was already being paid); raise
-    files_per_cluster when single clusters outgrow one task's write
-    throughput (giant clusters at 100 TB) — it salts the shuffle key
-    to spread each cluster over that many tasks/files."""
+    repartition below clusters rows by (cluster [, salt]) FIRST:
+    files_per_cluster=1 lands EXACTLY one file per touched cluster
+    (hash-colliding clusters share a task but partitionBy still splits
+    their files); files_per_cluster>1 spreads each cluster over UP TO
+    that many tasks/files — salt buckets can hash-collide into one
+    task, so the spread is probabilistic, an upper bound on files and
+    a best-effort write-parallelism knob for giant clusters, not an
+    exact count. Probe I/O and file listing stay ∝ nprobe/k either
+    way. The shuffle this adds is a one-time cost of the build/append
+    job itself (the pass over the batch was already being paid).
+    Parquet stays splittable, so read-side parallelism of a giant
+    cluster does not depend on this knob — row groups fan out to
+    tasks regardless."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # carry the ORIGINAL vector column into the index (float stays
     # float — storing the double working copy would double the bytes)
@@ -1009,7 +1052,15 @@ def ivf_sq8_search_index(
     usage: search needs only spark + path + queries)."""
     if centroids is None or bounds is None:
         fits = ivf_index_load_fits(spark, path)
-        missing = {"centroids", "bounds"} - set(fits)
+        # require from _fits only what the caller did NOT pass — mixed
+        # usage (e.g. bounds managed externally, centroids persisted)
+        # is legitimate
+        needed = {
+            name
+            for name, val in (("centroids", centroids), ("bounds", bounds))
+            if val is None
+        }
+        missing = needed - set(fits)
         if missing:
             raise ValueError(
                 f"ivf_sq8_search_index: index at {path!r} lacks _fits/"
@@ -1116,7 +1167,12 @@ def ivf_pq_search_index(
     to the index's own _fits (search needs only spark+path+queries)."""
     if centroids is None or codebook is None:
         fits = ivf_index_load_fits(spark, path)
-        missing = {"centroids", "codebook"} - set(fits)
+        needed = {
+            name
+            for name, val in (("centroids", centroids), ("codebook", codebook))
+            if val is None
+        }
+        missing = needed - set(fits)
         if missing:
             raise ValueError(
                 f"ivf_pq_search_index: index at {path!r} lacks _fits/"
@@ -1210,11 +1266,15 @@ def sq8_drift_stats(
     )
     # n_vectors = per-dim value count (every vector contributes one
     # value to every dim), derived in the SAME aggregate — no second
-    # scan of the batch
+    # scan of the batch. Counts coalesce to 0 for an EMPTY batch (the
+    # aggregates would be NULL over zero per-dim rows); rates stay
+    # NULL there — 0/0 has no honest number. Rows with NULL/empty
+    # vectors contribute no values and are not counted: the stats
+    # describe the ENCODABLE content of the batch.
     return per_dim.agg(
-        F.max("n").alias("n_vectors"),
-        F.sum("n").alias("n_values"),
-        F.sum("c").alias("n_clamped"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("n_vectors"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_values"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_clamped"),
         F.expr("(1000000 * sum(c)) div sum(n)").cast("bigint").alias(
             "clamp_rate_micro"
         ),
@@ -1264,9 +1324,12 @@ def pq_drift_stats(
         F.sum("se").alias("tot"),
         F.max("se").alias("mx"),
     )
+    # counts coalesce to 0 on an empty batch; distortion columns stay
+    # NULL there (no honest number); NULL/empty-vector rows contribute
+    # no subvectors (same encodable-content contract as sq8_drift_stats)
     return agg.agg(
-        F.max("n").alias("n_vectors"),  # every vector hits every sub
-        F.sum("n").alias("n_subvectors"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("n_vectors"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_subvectors"),
         F.expr("sum(tot) div sum(n)").cast("bigint").alias("mse_micro"),
         F.max("mx").alias("max_se_micro"),
         # deterministic tie-break: highest total distortion, lowest sub
@@ -1335,7 +1398,8 @@ def ivf_index_load_fits(spark, path: str) -> dict[str, DataFrame]:
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-cluster health of an on-disk IVF index: (cluster, n_rows,
-    n_files) plus a final total row (cluster = -1) — the operational
+    n_files) plus a total row that SORTS FIRST (cluster = -1, so it
+    leads the ascending output — take row 0, not the tail) — the operational
     check behind probe-latency skew (a cluster holding 30% of the
     corpus makes every probe that routes to it a straggler; the fix is
     a re-fit with more clusters or splitting hot clusters). The row
@@ -1355,3 +1419,29 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         F.sum("n_files").alias("n_files"),
     )
     return per.unionByName(total).orderBy("cluster")
+
+
+def ivf_index_compact(
+    spark, src_path: str, dst_path: str, *, target_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Compact an on-disk IVF index's append debris AND carry its
+    _fits sidecar to the compacted copy. The generic
+    storage.compact_small_files deliberately skips '_'-prefixed
+    directories (stale _spark_metadata must NOT be copied), so
+    compacting a self-contained index through it alone would produce
+    a dst whose no-arg search raises 'no _fits' — this wrapper is the
+    index-aware maintenance entry point: per-cluster coalesce (zero
+    shuffle, partition boundaries preserved) plus a fits re-save.
+    Returns compact_small_files' (n_source_files, n_output_files)."""
+    from idhub_spark.storage import compact_small_files
+
+    n_src, n_out = compact_small_files(
+        spark, src_path, dst_path, target_bytes=target_bytes
+    )
+    try:
+        fits = ivf_index_load_fits(spark, src_path)
+    except ValueError:
+        fits = {}  # externally-managed fits: nothing to carry
+    if fits:
+        ivf_index_save_fits(spark, dst_path, **fits)
+    return n_src, n_out

@@ -541,6 +541,12 @@ def test_sq8_drift_stats(spark):
     assert row.clamp_rate_micro == 375_000  # 3/8
     assert row.worst_dim == 1 and row.worst_dim_rate_micro == 500_000  # 2/4
 
+    # empty batch: counts are 0 (not NULL); rates stay NULL (0/0)
+    empty = batch.filter(F.col("vec_id") < 0)
+    erow = sq8_drift_stats(empty, bounds).collect()[0]
+    assert erow.n_vectors == 0 and erow.n_values == 0 and erow.n_clamped == 0
+    assert erow.clamp_rate_micro is None
+
 
 def test_pq_drift_stats_exact(spark):
     """PQ drift stats must report the exact integer-micro squared
@@ -574,20 +580,21 @@ def test_pq_drift_stats_exact(spark):
 
 def test_ivf_index_compaction_composition(spark, vectors, tmp_path):
     """Maintenance composition: repeated appends leave one file per
-    cluster per batch; compact_small_files on the Hive-partitioned
-    index glues them per-leaf, and a search over the COMPACTED index
-    returns byte-identical results (partition columns survive the
-    mirror layout)."""
+    cluster per batch; ivf_index_compact glues them per-leaf AND
+    carries the _fits sidecar (the generic compactor deliberately
+    skips '_'-dirs, which would strand a self-contained index), so
+    the COMPACTED index answers a no-fit-args search byte-identically
+    (partition columns survive the mirror layout)."""
     import glob as _glob
 
     from idhub_spark.operators.ann import (
+        ivf_index_compact,
         ivf_sq8_index_append,
         ivf_sq8_index_write,
         ivf_sq8_search_index,
         kmeans_fit,
         sq8_fit,
     )
-    from idhub_spark.storage import compact_small_files
 
     centroids = kmeans_fit(vectors, k=8, max_iter=2)
     bounds = sq8_fit(vectors)
@@ -602,11 +609,12 @@ def test_ivf_index_compaction_composition(spark, vectors, tmp_path):
     assert n_before > 8  # append debris: up to one file per batch per cluster
 
     packed = str(tmp_path / "idx_packed")
-    n_src, n_out = compact_small_files(spark, path, packed, target_bytes=10**9)
+    n_src, n_out = ivf_index_compact(spark, path, packed, target_bytes=10**9)
     assert n_src == n_before and n_out == 8  # one packed file per cluster
 
     queries = vectors.filter(F.col("vec_id") < 4)
-    got = ivf_sq8_search_index(spark, packed, queries, centroids, bounds, k=5, nprobe=3)
+    # no fit args on the compacted copy: _fits must have been carried
+    got = ivf_sq8_search_index(spark, packed, queries, k=5, nprobe=3)
     want = ivf_sq8_search_index(spark, path, queries, centroids, bounds, k=5, nprobe=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
@@ -655,11 +663,42 @@ def test_ivf_index_fits_roundtrip_and_stats(spark, vectors, tmp_path):
     with _pytest.raises(ValueError, match="no _fits"):
         ivf_index_load_fits(spark, bare)
 
+    # mixed usage: index persists ONLY centroids, bounds managed
+    # externally — search with explicit bounds must work, and a call
+    # that needs the absent fit must name exactly it
+    half = str(tmp_path / "half")
+    ivf_sq8_index_write(vectors, centroids, bounds, half, save_fits=False)
+    ivf_index_save_fits(spark, half, centroids=centroids)
+    mixed = ivf_sq8_search_index(spark, half, queries, bounds=bounds, k=5, nprobe=2)
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, want.collect()))
+    with _pytest.raises(ValueError, match=r"lacks _fits/\['bounds'\]"):
+        ivf_sq8_search_index(spark, half, queries, k=5)
+
     stats = {r.cluster: (r.n_rows, r.n_files) for r in ivf_index_stats(spark, path).collect()}
     assert stats[-1][0] == vectors.count()
     per = {c: v for c, v in stats.items() if c >= 0}
     assert len(per) == 8 and all(v[1] == 1 for v in per.values())
     assert sum(v[0] for v in per.values()) == vectors.count()
+
+
+def test_ivf_sq8_all_pairs_runs_unhinted(spark, vectors):
+    """query_ids=None is the ALL-PAIRS form: the query side is the
+    corpus, so the probe/rescore broadcast hints must switch OFF (a
+    forced broadcast of a corpus-sized frame dies at scale). Pin that
+    the all-pairs plan executes and covers every vector as a query,
+    and that its per-query top-k agrees with the bounded form."""
+    from idhub_spark.operators.ann import ivf_sq8_topk, kmeans_fit, sq8_fit
+
+    centroids = kmeans_fit(vectors, k=8, max_iter=2)
+    bounds = sq8_fit(vectors)
+    allp = ivf_sq8_topk(vectors, centroids, bounds, k=3, nprobe=2)
+    rows = allp.filter(F.col("query_id") < 4).collect()
+    n_queries = allp.select("query_id").distinct().count()
+    assert n_queries == vectors.count()
+    bounded = ivf_sq8_topk(
+        vectors, centroids, bounds, query_ids=[0, 1, 2, 3], k=3, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, bounded))
 
 
 def test_ann_results_partitioning_invariant(spark, vectors):

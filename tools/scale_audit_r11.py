@@ -130,23 +130,16 @@ def main() -> None:
                 r"(?:IN \(([^)]+)\)|INSET ([\d,\s]+))",
                 plan,
             )
-            probed = (
-                sorted(
-                    {
-                        int(x)
-                        for x in re.findall(r"-?\d+", m.group(1) or m.group(2))
-                    }
+            if not m:
+                raise AssertionError(
+                    "audit regex found no cluster IN/INSET in "
+                    f"PartitionFilters — plan format changed?\n{plan[:2000]}"
                 )
-                if m
-                else None
+            probed = sorted(
+                {int(x) for x in re.findall(r"-?\d+", m.group(1) or m.group(2))}
             )
-            probed_files = (
-                sum(
-                    len(glob.glob(f"{path}/cluster={c}/*.parquet"))
-                    for c in probed
-                )
-                if probed
-                else -1
+            probed_files = sum(
+                len(glob.glob(f"{path}/cluster={c}/*.parquet")) for c in probed
             )
             print(
                 f"{tag} ivf_index_io[{codec}]: corpus={n} files={len(all_files)} "
