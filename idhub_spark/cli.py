@@ -269,13 +269,23 @@ def _cmd_compact(args) -> int:
     accrete small files; this glues them into ~target-size files per
     leaf directory with zero shuffle, then (optionally) proves the
     copy lossless via order-independent bucket checksums before the
-    operator swaps directories."""
+    operator swaps directories. --index uses the IVF-index-aware
+    path, which also carries the _fits sidecar so the compacted index
+    stays self-contained."""
     from idhub_spark.storage import bucket_checksum, compact_small_files
 
     spark = get_spark("compact")
-    n_src, n_out = compact_small_files(
-        spark, args.src, args.dst, target_bytes=args.target_mb * 1024 * 1024
-    )
+    if args.index:
+        from idhub_spark.operators.ann import ivf_index_compact
+
+        n_src, n_out = ivf_index_compact(
+            spark, args.src, args.dst,
+            target_bytes=args.target_mb * 1024 * 1024,
+        )
+    else:
+        n_src, n_out = compact_small_files(
+            spark, args.src, args.dst, target_bytes=args.target_mb * 1024 * 1024
+        )
     verified = None
     if args.verify_key and args.verify_cols:
         cols = args.verify_cols.split(",")
@@ -378,6 +388,12 @@ def main(argv: list[str] | None = None) -> int:
         "(count, checksum) before reporting success",
     )
     c.add_argument("--verify-cols", help="comma-separated identity+content columns")
+    c.add_argument(
+        "--index",
+        action="store_true",
+        help="src is an on-disk IVF index: carry its _fits sidecar to "
+        "dst so the compacted index stays self-contained",
+    )
     c.set_defaults(fn=_cmd_compact)
 
     b = sub.add_parser("bench")

@@ -357,3 +357,40 @@ def test_cli_compact_partitioned_with_verification(spark, tmp_path, capsys):
     assert rc == 0
     assert out["verified"] is True
     assert out["n_source_files"] == 10 and out["n_output_files"] == 2
+
+
+def test_cli_compact_index_carries_fits(spark, tmp_path, capsys):
+    """`idhub_spark compact --index` must compact an on-disk IVF index
+    AND carry its _fits sidecar, so the compacted index answers a
+    no-fit-args search (the generic path would strand it)."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    vectors = spark.read.parquet(
+        os.path.join(
+            os.environ.get("IDHUB_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            "embeddings.parquet",
+        )
+    )
+    centroids = kmeans_fit(vectors, k=8, max_iter=1)
+    bounds = sq8_fit(vectors)
+    src = str(tmp_path / "idx")
+    dst = str(tmp_path / "idx_packed")
+    halves = [vectors.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    ivf_sq8_index_write(halves[0], centroids, bounds, src)
+    ivf_sq8_index_append(halves[1], centroids, bounds, src)
+
+    rc = cli.main(["compact", "--src", src, "--dst", dst, "--index"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_output_files"] == 8
+    got = ivf_sq8_search_index(
+        spark, dst, vectors.filter(F.col("vec_id") < 2), k=5, nprobe=2
+    )
+    assert got.count() == 10
