@@ -501,8 +501,11 @@ _Q8_TOT = _sql_scaled("volume")
     """,
     doc="TPC-H Q8 shape (national market share): the 6-way "
     "fact-to-dims join — lineitem joins orders (fact-fact, shuffle "
-    "on orderkey), every dim side (customer/supplier/nation/region) "
-    "broadcasts, the region predicate prunes INSIDE the join, and "
+    "on orderkey), the FIXED-size dims (nation 25 rows, region 5) "
+    "carry explicit broadcast hints while the SF-scaling dims "
+    "(customer, supplier) are left to Catalyst — auto-broadcast under "
+    "the threshold, shuffle join at SFs where a forced broadcast "
+    "would die; the region predicate prunes INSIDE the join, and "
     "the share is a conditional scaled-int sum over the same rows as "
     "the total (one pass, no self-join). mkt_share division of two "
     "exact int64-derived doubles — identical expression shape both "
@@ -524,7 +527,11 @@ def nation_market_share(spark, sf_dir):
             (F.col("n1.n_regionkey") == F.col("r_regionkey"))
             & (F.col("r_name") == "ASIA"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier SCALES with SF (unlike nation/region's fixed 25/5
+        # rows): no forced hint — Catalyst auto-broadcasts it under
+        # the threshold (the plan at harness scale) and falls back to
+        # a shuffle join at SFs where a forced broadcast would die
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
