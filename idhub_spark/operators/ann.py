@@ -1445,3 +1445,106 @@ def ivf_index_compact(
     if fits:
         ivf_index_save_fits(spark, dst_path, **fits)
     return n_src, n_out
+
+
+def ivf_index_split_cluster(
+    spark,
+    path: str,
+    cluster: int,
+    *,
+    k2: int = 2,
+    centroids: DataFrame | None = None,
+    sample_n: int = 4_000,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cluster: int = 1,
+) -> DataFrame:
+    """Split ONE hot cluster of an on-disk IVF index into k2
+    sub-clusters — the maintenance action ivf_index_stats' skew report
+    motivates (a cluster holding a large corpus share makes every
+    probe that routes to it a straggler; splitting it shrinks the
+    candidate scan without re-fitting the whole index).
+
+    I/O ∝ the split cluster: only its directory is read (partition-
+    pruned), only the new sub-cluster directories are written, every
+    other directory is untouched (mtime-stable, test-pinned). The
+    stored codes/vectors are REUSED — codec state (bounds/codebook)
+    does not change when cluster geometry does, so no re-encode.
+    Sub-centroids are fit with the exact-integer kmeans on a
+    deterministic hash-sample of the members (the standard envelope
+    recipe) and renumbered above the current max cluster id; the old
+    centroid row is dropped. Flat-IVF routing is unchanged — searches
+    simply see k+k2-1 centroids.
+
+    Returns the UPDATED centroids frame (localCheckpointed — safe to
+    use immediately), and refreshes _fits/centroids when the index is
+    self-contained (mixed/external-fits indexes: pass `centroids` and
+    persist the returned frame yourself).
+
+    Ordering discipline: the members re-assignment is WRITTEN (append
+    to the new directories) before the old directory is deleted via
+    the Hadoop FS API — dynamic partition overwrite cannot empty a
+    partition, and any read of the pre-split file index must complete
+    before the delete (the append job is that read)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    had_fits = False
+    fits: dict[str, DataFrame] = {}
+    if centroids is None:
+        fits = ivf_index_load_fits(spark, path)
+        if "centroids" not in fits:
+            raise ValueError(
+                f"ivf_index_split_cluster: no _fits/centroids under "
+                f"{path!r}; pass centroids= explicitly"
+            )
+        centroids = fits["centroids"]
+        had_fits = True
+    members = spark.read.parquet(path).filter(F.col("cluster") == cluster)
+    if not members.head(1):
+        raise ValueError(
+            f"ivf_index_split_cluster: cluster {cluster} of {path!r} "
+            "is empty or absent"
+        )
+    # deterministic hash-sample inside the exact-arithmetic envelope
+    sample = (
+        members.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_n)
+    )
+    sub = kmeans_fit(sample, k=k2, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    max_id = centroids.agg(F.max("cluster")).first()[0]
+    sub_renum = sub.withColumn(
+        "cluster", (F.col("cluster") + max_id + 1).cast(dict(centroids.dtypes)["cluster"])
+    )
+    new_centroids = (
+        centroids.filter(F.col("cluster") != cluster)
+        .unionByName(sub_renum)
+        # materialize BEFORE _fits/centroids is overwritten below —
+        # the lineage READS that parquet (self-overwrite trap)
+        .localCheckpoint(eager=True)
+    )
+    # re-assign the members among the new sub-centroids; codes/vectors
+    # ride along unchanged
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")), sub_renum
+    ).select(F.col("_id").alias(id_col), "cluster")
+    out = members.drop("cluster").join(assigned, id_col)
+    if files_per_cluster == 1:
+        out = out.repartition(F.col("cluster"))
+    else:
+        out = out.repartition(
+            F.col("cluster"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
+        )
+    out.write.mode("append").partitionBy("cluster").parquet(path)
+    fs, jold = _hadoop_fs(spark, f"{path.rstrip('/')}/cluster={cluster}")
+    fs.delete(jold, True)
+    if had_fits:
+        # refresh ONLY _fits/centroids: re-saving the unchanged
+        # bounds/codebook would overwrite their parquet from frames
+        # whose lineage READS it (the self-overwrite trap, one level
+        # removed), and they did not change
+        ivf_index_save_fits(spark, path, centroids=new_centroids)
+    return new_centroids

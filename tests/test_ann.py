@@ -729,3 +729,88 @@ def test_ann_results_partitioning_invariant(spark, vectors):
     r2 = run(vectors.repartition(2))
     r17 = run(vectors.repartition(17))
     assert r2 == r17
+
+
+def test_ivf_index_split_cluster(spark, vectors, tmp_path):
+    """Splitting a hot cluster must touch ONLY its directory (others
+    mtime-stable), preserve every row, renumber sub-clusters above the
+    existing max, refresh _fits/centroids, and leave the index fully
+    searchable at the recall bar. Members re-route within the split
+    cell only (the Faiss split behavior), so the pin is structural +
+    recall, not byte-equivalence to a global re-assignment."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        _dot,
+        ivf_index_load_fits,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    hot = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+    before = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+        if f"cluster={hot}/" not in f
+    }
+
+    new_centroids = ivf_index_split_cluster(spark, path, hot, k2=2)
+    assert new_centroids.count() == 5  # 4 - 1 + 2
+    clusters = {r.cluster for r in new_centroids.select("cluster").collect()}
+    assert hot not in clusters and {4, 5} <= clusters  # renumbered above max
+
+    # only the hot directory changed
+    assert not os.path.isdir(f"{path}/cluster={hot}")
+    after = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+        if f"cluster={hot}/" not in f
+    }
+    assert all(after[f] == before[f] for f in before)
+    # rows preserved; _fits refreshed
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == n_total and hot not in s2
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 5
+
+    # still searchable at the recall bar (no-arg: uses refreshed fits)
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") < 8), k=5, nprobe=3
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = vectors.select(F.col("vec_id").alias("_id"), vec_d.alias("_v"))
+    q = v.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("q_v")
+    )
+    n = v.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("n_v"))
+    from pyspark.sql import Window
+
+    cosine = _dot(F.col("q_v"), F.col("n_v")) / (
+        F.sqrt(_dot(F.col("q_v"), F.col("q_v")))
+        * F.sqrt(_dot(F.col("n_v"), F.col("n_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    recall = (
+        got.select("query_id", "neighbor_id").intersect(exact).count()
+        / exact.count()
+    )
+    assert recall >= 0.8, f"post-split recall@5 {recall}"
