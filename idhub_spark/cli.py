@@ -263,6 +263,42 @@ def _cmd_scd2(args) -> int:
     return 0
 
 
+def _cmd_split_cluster(args) -> int:
+    """Maintenance entrypoint for the IVF hot-cluster split: picks the
+    biggest cluster from ivf_index_stats unless --cluster is given,
+    splits it into --k2 sub-clusters (only that directory is
+    rewritten; _fits/centroids refreshed), and reports the before and
+    after layout as one JSON line."""
+    from idhub_spark.operators.ann import (
+        ivf_index_split_cluster,
+        ivf_index_stats,
+    )
+
+    spark = get_spark("split-cluster")
+    stats = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, args.index).collect()
+    }
+    cluster = args.cluster
+    if cluster is None:
+        cluster = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+    new_centroids = ivf_index_split_cluster(
+        spark, args.index, cluster, k2=args.k2
+    )
+    after = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, args.index).collect()
+    }
+    print(json.dumps({
+        "index": args.index,
+        "split_cluster": cluster,
+        "split_rows": stats[cluster],
+        "k2": args.k2,
+        "n_clusters": new_centroids.count(),
+        "rows_total": after[-1],
+        "rows_preserved": after[-1] == stats[-1],
+    }))
+    return 0 if after[-1] == stats[-1] else 3
+
+
 def _cmd_compact(args) -> int:
     """Maintenance entrypoint for storage.compact_small_files: the
     incremental sinks (streaming micro-batches, per-batch staging)
@@ -395,6 +431,20 @@ def main(argv: list[str] | None = None) -> int:
         "dst so the compacted index stays self-contained",
     )
     c.set_defaults(fn=_cmd_compact)
+
+    sc = sub.add_parser(
+        "split-cluster",
+        help="split a hot cluster of an on-disk IVF index into k2 "
+        "sub-clusters (only its directory is rewritten)",
+    )
+    sc.add_argument("--index", required=True, help="index root path")
+    sc.add_argument(
+        "--cluster",
+        type=int,
+        help="cluster id to split (default: the biggest by row count)",
+    )
+    sc.add_argument("--k2", type=int, default=2)
+    sc.set_defaults(fn=_cmd_split_cluster)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)

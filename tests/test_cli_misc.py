@@ -394,3 +394,35 @@ def test_cli_compact_index_carries_fits(spark, tmp_path, capsys):
         spark, dst, vectors.filter(F.col("vec_id") < 2), k=5, nprobe=2
     )
     assert got.count() == 10
+
+
+def test_cli_split_cluster_hottest(spark, tmp_path, capsys):
+    """`idhub_spark split-cluster` with no --cluster picks the biggest
+    cluster, splits it, preserves every row, and reports the layout
+    change as one JSON line."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    vectors = spark.read.parquet(
+        os.path.join(
+            os.environ.get("IDHUB_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            "embeddings.parquet",
+        )
+    )
+    centroids = kmeans_fit(vectors, k=4, max_iter=1)
+    bounds = sq8_fit(vectors)
+    idx = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, idx)
+
+    rc = cli.main(["split-cluster", "--index", idx, "--k2", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["rows_preserved"] is True
+    assert out["n_clusters"] == 5
+    assert out["rows_total"] == vectors.count()
+    assert not os.path.isdir(f"{idx}/cluster={out['split_cluster']}")

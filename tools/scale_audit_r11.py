@@ -192,6 +192,41 @@ def main() -> None:
             flush=True,
         )
 
+    # --- 2b. hot-cluster split I/O ∝ split cluster ------------------------
+    # split the biggest cluster of each index scale: wall must track the
+    # SPLIT CLUSTER's rows (≈ corpus/k here), untouched dirs mtime-stable
+    from idhub_spark.operators.ann import (
+        ivf_index_split_cluster,
+        ivf_index_stats,
+    )
+
+    for tag, n in {"S": 20_000, "XL": 200_000}.items():
+        path = os.path.join(audit_root, f"ivf_sq8_{tag}")
+        st = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+        hot = max((c for c in st if c >= 0), key=lambda c: st[c])
+        others_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/cluster=*/*.parquet")
+            if f"cluster={hot}/" not in f
+        }
+        w_sp, _ = timed(
+            lambda: ivf_index_split_cluster(spark, path, hot, k2=2), reps=1
+        )
+        others_after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/cluster=*/*.parquet")
+            if f"cluster={hot}/" not in f
+        }
+        stable = all(others_after.get(f) == t for f, t in others_before.items())
+        s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+        print(
+            f"{tag} ivf_index_split: hot={hot} rows={st[hot]} "
+            f"untouched_dirs_stable={'YES' if stable else 'NO'} "
+            f"rows_preserved={'YES' if s2[-1] == st[-1] else 'NO'} "
+            f"wall={w_sp:.2f}s",
+            flush=True,
+        )
+
     # --- 3. KMV at 10x distinct keys -------------------------------------
     KSK = 512
     for tag, n_distinct in {"S": 20_000, "XL": 200_000}.items():
