@@ -246,6 +246,61 @@ def main() -> None:
                 flush=True,
             )
 
+    # --- 4. incremental dedup probe cost ∝ batch, not history -------------
+    # history 10x (20k -> 200k docs), batch FIXED (500 docs incl. 250
+    # planted exact copies): probe wall must track the batch, recall of
+    # planted copies must stay 100% (exact copies match every band).
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    def synth_docs(n, offset=0):
+        # ~20-word deterministic texts over a 500-word vocab; text is a
+        # function of the OFFSET id so offset>0 yields genuinely new docs
+        return spark.range(n).select(
+            (F.col("id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda w: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id") + offset, w), F.lit(500)
+                        ).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    for tag, n_hist in {"S": 20_000, "XL": 200_000}.items():
+        hist = synth_docs(n_hist)
+        path = os.path.join(audit_root, f"mh_{tag}")
+        w_build, _ = timed(
+            lambda: minhash_index_write(hist, path, n_hashes=16, bands=4),
+            reps=1,
+        )
+        batch = synth_docs(250, offset=10_000_000).unionByName(
+            # 250 exact copies of history docs, new ids
+            synth_docs(250).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        w_probe, found = timed(
+            lambda: minhash_index_probe(
+                spark, path, batch, include_batch_pairs=False
+            )
+            .filter(F.col("est_jaccard") == 1.0)
+            .filter(F.col("dup_id") == F.col("new_id") - 20_000_000)
+            .count()
+        )
+        print(
+            f"{tag} dedup_index: history={n_hist} build_wall={w_build:.2f}s "
+            f"probe_wall={w_probe:.2f}s planted_found={found}/250",
+            flush=True,
+        )
+
     shutil.rmtree(audit_root, ignore_errors=True)
 
 
