@@ -1478,19 +1478,56 @@ def ivf_index_split_cluster(
     simply see k+k2-1 centroids.
 
     Returns the UPDATED centroids frame (localCheckpointed — safe to
-    use immediately), and refreshes _fits/centroids when the index is
-    self-contained (mixed/external-fits indexes: pass `centroids` and
-    persist the returned frame yourself).
+    use immediately). _fits/centroids is refreshed whenever it EXISTS
+    on disk — including when `centroids` was passed explicitly — since
+    a stale persisted copy would route later no-arg searches to the
+    deleted cluster (silent empty results).
 
-    Ordering discipline: the members re-assignment is WRITTEN (append
-    to the new directories) before the old directory is deleted via
-    the Hadoop FS API — dynamic partition overwrite cannot empty a
-    partition, and any read of the pre-split file index must complete
-    before the delete (the append job is that read)."""
+    Crash safety — a two-phase STAGED apply, never a live append:
+    (1) the re-assigned members and the full updated centroid set are
+    written under <path>/_split_staging (underscore — invisible to
+    every data scan); (2) the old cluster directory is deleted;
+    (3) staged sub-cluster directories are FS-renamed into the index;
+    (4) fits refresh; (5) staging removed. A crash before (2) leaves
+    the index untouched (a rerun discards the stale staging and starts
+    over); a crash after (2) leaves the index temporarily MISSING the
+    split members — detectable, never duplicated — and a rerun resumes
+    from the staging (finishes the renames + fits from the staged
+    centroid set). The unstaged variant could double every member of
+    the cluster on a rerun after a mid-failure, with no way to tell
+    duplicates from data."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
-    had_fits = False
-    fits: dict[str, DataFrame] = {}
+    root = path.rstrip("/")
+    staging = f"{root}/_split_staging"
+    jvm_path = lambda p: _hadoop_fs(spark, p)  # noqa: E731
+    fs, jstag = jvm_path(staging)
+
+    def _apply_staged(new_centroids_df):
+        """Phase 2: rename staged cluster dirs in, refresh fits, clean."""
+        st_fs, jst = jvm_path(staging)
+        for status in st_fs.listStatus(jst):
+            name = status.getPath().getName()
+            if name.startswith("cluster="):
+                _, jdst = jvm_path(f"{root}/{name}")
+                st_fs.rename(status.getPath(), jdst)
+        _, jfits = jvm_path(f"{root}/_fits/centroids")
+        if st_fs.exists(jfits):
+            ivf_index_save_fits(spark, root, centroids=new_centroids_df)
+        st_fs.delete(jst, True)
+
+    if fs.exists(jstag):
+        _, jold = jvm_path(f"{root}/cluster={cluster}")
+        if fs.exists(jold):
+            # crashed before the delete: nothing was applied — discard
+            fs.delete(jstag, True)
+        else:
+            # crashed mid-apply: resume from the staged state
+            resumed = spark.read.parquet(f"{staging}/_new_centroids")
+            resumed = resumed.localCheckpoint(eager=True)
+            _apply_staged(resumed)
+            return resumed
+
     if centroids is None:
         fits = ivf_index_load_fits(spark, path)
         if "centroids" not in fits:
@@ -1499,7 +1536,6 @@ def ivf_index_split_cluster(
                 f"{path!r}; pass centroids= explicitly"
             )
         centroids = fits["centroids"]
-        had_fits = True
     members = spark.read.parquet(path).filter(F.col("cluster") == cluster)
     if not members.head(1):
         raise ValueError(
@@ -1520,12 +1556,15 @@ def ivf_index_split_cluster(
     new_centroids = (
         centroids.filter(F.col("cluster") != cluster)
         .unionByName(sub_renum)
-        # materialize BEFORE _fits/centroids is overwritten below —
-        # the lineage READS that parquet (self-overwrite trap)
+        # materialize BEFORE _fits/centroids is overwritten in the
+        # apply phase — the lineage READS that parquet (self-overwrite
+        # trap)
         .localCheckpoint(eager=True)
     )
-    # re-assign the members among the new sub-centroids; codes/vectors
-    # ride along unchanged
+    # phase 1 — STAGE: re-assign the members among the new
+    # sub-centroids (codes/vectors ride along unchanged) and persist
+    # the updated centroid set alongside, so a resume never needs the
+    # (soon-deleted) old directory
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = _assign(
         members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")), sub_renum
@@ -1538,13 +1577,12 @@ def ivf_index_split_cluster(
             F.col("cluster"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
         )
-    out.write.mode("append").partitionBy("cluster").parquet(path)
-    fs, jold = _hadoop_fs(spark, f"{path.rstrip('/')}/cluster={cluster}")
+    out.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    new_centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/_new_centroids"
+    )
+    # phase 2 — APPLY: delete old, rename staged dirs in, refresh fits
+    _, jold = jvm_path(f"{root}/cluster={cluster}")
     fs.delete(jold, True)
-    if had_fits:
-        # refresh ONLY _fits/centroids: re-saving the unchanged
-        # bounds/codebook would overwrite their parquet from frames
-        # whose lineage READS it (the self-overwrite trap, one level
-        # removed), and they did not change
-        ivf_index_save_fits(spark, path, centroids=new_centroids)
+    _apply_staged(new_centroids)
     return new_centroids

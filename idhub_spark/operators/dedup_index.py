@@ -6,8 +6,10 @@ when the whole corpus is in hand. The production cadence is
 different: a crawl/ingest batch arrives and must be deduped against
 everything already accepted. Recomputing shingles+signatures for a
 100 TB history per batch is the dominant cost; this module persists
-the per-document MinHash STATE once and makes each batch's dedup cost
-∝ batch + candidate pairs:
+the per-document MinHash STATE once, so a probe pays for the BATCH's
+shingle work plus a stream of history's two narrow state tables
+(~(bands+n_hashes)*8 B per doc — a 100-1000x byte reduction vs the
+raw text; bucket the tables for true pruning at extreme scale):
 
   <path>/docs/   (doc_id, sig array<bigint>, n_sh)  — one row per doc
   <path>/bands/  (band, bkey bigint, doc_id)        — bands rows per doc
@@ -45,51 +47,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sig_and_bands(
+def _doc_state(
     docs: DataFrame,
     *,
     n_hashes: int,
-    bands: int,
     id_col: str,
     text_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """(docs_state, band_rows) for a batch: per-doc int64 MinHash
-    signature + shingle count, and the banded bucket rows."""
-    from idhub_spark.operators.shingles import word_shingles as _shingles
+) -> DataFrame:
+    """Per-doc MinHash state (doc_id, sig array<bigint>, n_sh) — ONE
+    aggregation over the shingle set.
 
-    rows = n_hashes // bands
-    if rows * bands != n_hashes:
-        raise ValueError("n_hashes must be divisible by bands")
-    sh = _shingles(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    Short-doc fallback: word_shingles emits nothing for documents
+    under 3 words, which would silently exclude them from the index
+    AND from probes — an exact copy of a short doc would never be
+    detected. Such docs contribute their whole (trimmed) text as a
+    single shingle instead: exact copies still collide on every band
+    deterministically; near-dup sensitivity for them degenerates to
+    exact match, which is the honest best available without n-grams.
+    """
+    from idhub_spark.operators.shingles import word_shingles
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sh = word_shingles(base).unionByName(
+        base.filter(F.size(F.split("text", " ")) < 3).select(
+            "doc_id", F.trim(F.col("text")).alias("sh")
+        )
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(
-        *mins, F.count(F.lit(1)).alias("n_sh")
-    )
-    docs_state = sigs.select(
+    sigs = sh.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+    return sigs.select(
         "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
         "n_sh",
     )
-    band_rows = None
-    for bi in range(bands):
-        cols = [F.col(f"h{bi * rows + r}") for r in range(rows)]
-        part = sigs.select(
+
+
+def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFrame:
+    """Band rows (doc_id, band, bkey) derived from the sig ARRAY — a
+    pure projection, so it can run over the just-written docs table
+    (one read of narrow columns) instead of recomputing the
+    shingle+signature aggregation per output table."""
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("n_hashes must be divisible by bands")
+    parts = [
+        state.select(
             "doc_id",
             F.lit(bi).alias("band"),
-            F.xxhash64(*cols).alias("bkey"),
+            F.xxhash64(
+                *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+            ).alias("bkey"),
         )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
-    return docs_state, band_rows
+        for bi in range(bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _load_params(spark, root: str) -> tuple[int, int]:
     row = spark.read.parquet(f"{root}/_params").collect()[0]
     return int(row.n_hashes), int(row.bands)
+
+
+def _write_state(docs, root, *, n_hashes, bands, id_col, text_col, mode) -> None:
+    """One shingle+signature pass per batch: the docs table is written
+    from the aggregation, then the band rows are DERIVED from the
+    just-written parquet (a narrow re-read + projection) — writing
+    both tables from the live lineage would run the whole
+    explode+distinct+groupBy twice (once per write job)."""
+    spark = docs.sparkSession
+    state = _doc_state(docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
+    state.write.mode(mode).parquet(f"{root}/docs")
+    # derive bands from THIS batch's just-written rows only: on append,
+    # re-reading the whole docs table would duplicate history's bands
+    written = spark.read.parquet(f"{root}/docs")
+    if mode == "append":
+        written = written.join(
+            docs.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
+        )
+    _bands_from_state(written, n_hashes=n_hashes, bands=bands).write.mode(
+        mode
+    ).parquet(f"{root}/bands")
 
 
 def minhash_index_write(
@@ -111,11 +156,15 @@ def minhash_index_write(
     (the ingest key discipline every upsert in this engine already
     follows)."""
     root = path.rstrip("/")
-    docs_state, band_rows = _sig_and_bands(
-        docs, n_hashes=n_hashes, bands=bands, id_col=id_col, text_col=text_col
+    _write_state(
+        docs,
+        root,
+        n_hashes=n_hashes,
+        bands=bands,
+        id_col=id_col,
+        text_col=text_col,
+        mode="overwrite",
     )
-    docs_state.write.mode("overwrite").parquet(f"{root}/docs")
-    band_rows.write.mode("overwrite").parquet(f"{root}/bands")
     docs.sparkSession.createDataFrame(
         [(n_hashes, bands)], "n_hashes int, bands int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_params")
@@ -133,11 +182,15 @@ def minhash_index_append(
     itself."""
     root = path.rstrip("/")
     n_hashes, bands = _load_params(docs.sparkSession, root)
-    docs_state, band_rows = _sig_and_bands(
-        docs, n_hashes=n_hashes, bands=bands, id_col=id_col, text_col=text_col
+    _write_state(
+        docs,
+        root,
+        n_hashes=n_hashes,
+        bands=bands,
+        id_col=id_col,
+        text_col=text_col,
+        mode="append",
     )
-    docs_state.write.mode("append").parquet(f"{root}/docs")
-    band_rows.write.mode("append").parquet(f"{root}/bands")
 
 
 def minhash_index_probe(
@@ -159,15 +212,20 @@ def minhash_index_probe(
     functions of them — a mismatched probe would silently find
     nothing, so the caller is not trusted with them).
 
-    Cost ∝ batch + candidates: the batch computes its own shingle
-    state once; history contributes only its (band, bkey) rows to the
-    candidate join and its signatures to the estimate join — both
-    point lookups at scale."""
+    Cost shape: the batch computes its own shingle state once;
+    history contributes its (band, bkey) rows to the candidate join
+    and matched signatures to the estimate join — the probe STREAMS
+    those two narrow tables (~(bands+n_hashes)*8 B per history doc,
+    a 100-1000x byte reduction vs re-shingling raw text) rather than
+    point-looking them up; at extreme history scale, bucket bands by
+    bkey and docs by doc_id (storage.write_bucketed) so the joins
+    prune to the batch's buckets. The r11 scale audit measured the
+    streaming term directly: +0.2 s at 10x history with a fixed
+    batch."""
     root = path.rstrip("/")
     n_hashes, bands = _load_params(spark, root)
-    b_state, b_bands = _sig_and_bands(
-        batch, n_hashes=n_hashes, bands=bands, id_col=id_col, text_col=text_col
-    )
+    b_state = _doc_state(batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
+    b_bands = _bands_from_state(b_state, n_hashes=n_hashes, bands=bands)
     idx_bands = spark.read.parquet(f"{root}/bands")
     idx_docs = spark.read.parquet(f"{root}/docs")
 

@@ -124,10 +124,17 @@ _DRIVER_ORDER = [
     # of _exact_cosine_topk now carries the hint — hash must be
     # UNCHANGED, plan now 0-SMJ); (3) compaction_roundtrip re-evidences
     # the compactor after the explicit-file-list read + metadata-dir
-    # skip (ADVICE r10 medium).
+    # skip (ADVICE r10 medium); (4) nation_market_share re-evidences
+    # the Q8 plan after the supplier broadcast hint was dropped
+    # (SF-scaling dim left to Catalyst; hash verified unchanged in the
+    # full sf0.01 sim). To keep the window at exactly 50, the
+    # rows-only-by-design sketch_profile yields its slot to the
+    # changed query (its hash-green accuracy twin sketch_profile_check
+    # stays in-window; the rows-only row is the least evidence loss).
     "kmv_accuracy_check",
     "ivf_sq8_topk",
     "compaction_roundtrip",
+    "nation_market_share",
     # (tfidf_keywords / weighted_mixture_sample: code UNCHANGED this
     # round — their r9 driver rows stay in-policy until r12, when they
     # rotate with the rest of the r9 cohort. The streaming family's
@@ -180,10 +187,13 @@ _DRIVER_ORDER = [
     "sessionize",
     "shipping_priority",
     "simhash_hamming_pairs",
-    "sketch_profile",
     "sketch_profile_check",
     "streaming_interval_join",
     "table_profile",
+    # position 51+ (outside the checked window): sketch_profile ceded
+    # its slot to nation_market_share this round — rows-only by design,
+    # accuracy pinned by the in-window sketch_profile_check
+    "sketch_profile",
 ]
 
 

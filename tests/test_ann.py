@@ -766,7 +766,15 @@ def test_ivf_index_split_cluster(spark, vectors, tmp_path):
         if f"cluster={hot}/" not in f
     }
 
+    # stale staging from a run that crashed BEFORE the apply phase
+    # (old dir still present) must be discarded, not resumed
+    stale = tmp_path / "idx" / "_split_staging" / "cluster=999"
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_bytes(b"xx")
+
     new_centroids = ivf_index_split_cluster(spark, path, hot, k2=2)
+    assert not os.path.isdir(f"{path}/_split_staging")  # staging cleaned
+    assert not os.path.isdir(f"{path}/cluster=999")  # stale junk discarded
     assert new_centroids.count() == 5  # 4 - 1 + 2
     clusters = {r.cluster for r in new_centroids.select("cluster").collect()}
     assert hot not in clusters and {4, 5} <= clusters  # renumbered above max
