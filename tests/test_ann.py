@@ -822,3 +822,52 @@ def test_ivf_index_split_cluster(spark, vectors, tmp_path):
         / exact.count()
     )
     assert recall >= 0.8, f"post-split recall@5 {recall}"
+
+
+def test_ivf_index_split_resume_after_crash(spark, vectors, tmp_path):
+    """A split that crashed AFTER deleting the old directory (staged
+    members + centroid set present, old dir gone, rows temporarily
+    missing from the index) must RESUME on rerun: staged directories
+    renamed in, _fits/centroids refreshed, staging cleaned, all rows
+    restored — and never duplicated."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        ivf_index_load_fits,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    hot = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+
+    # run the split fully, then rewind it to the crashed-mid-apply
+    # state: new sub-cluster dirs back into staging (+ the staged
+    # centroid set), old dir still absent
+    done = ivf_index_split_cluster(spark, path, hot, k2=2)
+    staging = os.path.join(path, "_split_staging")
+    os.makedirs(staging)
+    for d in _glob.glob(f"{path}/cluster=*"):
+        cid = int(d.rsplit("=", 1)[1])
+        if cid in (4, 5):  # the renumbered sub-clusters of a k=4 index
+            shutil.move(d, os.path.join(staging, os.path.basename(d)))
+    done.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    # sanity: the index is now missing the split members
+    assert spark.read.parquet(path).count() < n_total
+
+    resumed = ivf_index_split_cluster(spark, path, hot, k2=2)
+    assert not os.path.isdir(staging)
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == n_total  # restored, not duplicated
+    assert resumed.count() == 5
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 5
