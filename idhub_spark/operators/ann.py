@@ -326,12 +326,15 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     # the probe side is |Q| x nprobe rows by construction — broadcast
-    # it so the inverted-list join never shuffles the corpus. Bounded
-    # |Q| means the caller narrowed the query side (ids or a filter);
-    # all-pairs queries make the probe side corpus-sized, where the
-    # shuffle join is the right plan and a forced broadcast would blow
-    # the broadcast/driver limits.
-    bounded = query_ids is not None or query_filter is not None
+    # it so the inverted-list join never shuffles the corpus. The hint
+    # is gated on query_ids ONLY (the r11 boundedness rule: hint only
+    # sides bounded BY CONSTRUCTION): a query_filter NARROWS the query
+    # side but bounds nothing — a broad filter leaves it ~|corpus| x
+    # nprobe rows, where the forced broadcast would blow the driver/
+    # broadcast limits at scale. Filtered-but-unbounded query sides
+    # are left to Catalyst (AQE sizes the post-filter side at runtime),
+    # exactly as ivf_sq8_topk and ivf_pq_topk already do.
+    bounded = query_ids is not None
     return (
         (F.broadcast(probes) if bounded else probes).join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1318,7 +1321,16 @@ def pq_drift_stats(
             for s in range(m)
         ]
     )
-    ex = batch.select(F.posexplode(per_sub).alias("sub", "se"))
+    # per_sub is a CONSTRUCTED array — non-null even when every element
+    # is NULL (NULL/empty/short vector), so posexplode still emits m
+    # rows with se=NULL; count(lit(1)) would include them in n while
+    # sum skips the NULL se, deflating mse_micro and inflating
+    # n_vectors/n_subvectors. Dropping NULL se restores the documented
+    # encodable-content contract (sq8_drift_stats' direct
+    # posexplode(vec_col) gets the same behavior for free).
+    ex = batch.select(F.posexplode(per_sub).alias("sub", "se")).filter(
+        F.col("se").isNotNull()
+    )
     agg = ex.groupBy("sub").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("se").alias("tot"),
@@ -1484,7 +1496,8 @@ def ivf_index_split_cluster(
     deleted cluster (silent empty results).
 
     Crash safety — a two-phase STAGED apply, never a live append:
-    (1) the re-assigned members and the full updated centroid set are
+    (1) the re-assigned members, the full updated centroid set, AND a
+    _source_cluster marker recording WHICH cluster is being split are
     written under <path>/_split_staging (underscore — invisible to
     every data scan); (2) the old cluster directory is deleted;
     (3) staged sub-cluster directories are FS-renamed into the index;
@@ -1495,7 +1508,22 @@ def ivf_index_split_cluster(
     from the staging (finishes the renames + fits from the staged
     centroid set). The unstaged variant could double every member of
     the cluster on a rerun after a mid-failure, with no way to tell
-    duplicates from data."""
+    duplicates from data.
+
+    The discard-vs-resume decision keys on the id RECORDED IN the
+    staging, never on this call's `cluster` argument: after a crash
+    mid-apply splitting cluster A, a rerun targeting any other cluster
+    B would find root/cluster=B present and — keyed on the argument —
+    wrongly take the 'crashed before delete' branch, silently deleting
+    the staging that holds A's only surviving copy (and the CLI's
+    auto-pick makes that rerun shape the DEFAULT: A is absent from
+    post-crash stats, so it picks a different cluster). Keyed on the
+    marker, such a rerun first RESUMES A's interrupted split, then
+    proceeds with the requested split of B on the resumed centroid set
+    (any caller-passed set predates the resume and would keep routing
+    to the deleted directory). A staging without the marker can never
+    have been applied — the marker write precedes the delete — so it
+    is always safe to discard."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     root = path.rstrip("/")
@@ -1517,16 +1545,35 @@ def ivf_index_split_cluster(
         st_fs.delete(jst, True)
 
     if fs.exists(jstag):
-        _, jold = jvm_path(f"{root}/cluster={cluster}")
-        if fs.exists(jold):
-            # crashed before the delete: nothing was applied — discard
+        _, jmark = jvm_path(f"{staging}/_source_cluster")
+        if not fs.exists(jmark):
+            # the marker is written before the old-dir delete, so a
+            # markerless staging can never have been applied — discard
             fs.delete(jstag, True)
         else:
-            # crashed mid-apply: resume from the staged state
-            resumed = spark.read.parquet(f"{staging}/_new_centroids")
-            resumed = resumed.localCheckpoint(eager=True)
-            _apply_staged(resumed)
-            return resumed
+            staged_cluster = int(
+                spark.read.parquet(f"{staging}/_source_cluster")
+                .collect()[0]
+                .cluster
+            )
+            _, jold = jvm_path(f"{root}/cluster={staged_cluster}")
+            if fs.exists(jold):
+                # crashed before the delete: nothing was applied — discard
+                fs.delete(jstag, True)
+            else:
+                # crashed mid-apply: resume the STAGED cluster's split —
+                # keyed on the marker, not this call's argument (a rerun
+                # targeting a different cluster must never discard
+                # another split's only surviving rows)
+                resumed = spark.read.parquet(f"{staging}/_new_centroids")
+                resumed = resumed.localCheckpoint(eager=True)
+                _apply_staged(resumed)
+                if staged_cluster == cluster:
+                    return resumed
+                # caller asked for a DIFFERENT cluster: the interrupted
+                # split is now complete; proceed with the requested one
+                # on the resumed (authoritative) centroid set
+                centroids = resumed
 
     if centroids is None:
         fits = ivf_index_load_fits(spark, path)
@@ -1581,6 +1628,12 @@ def ivf_index_split_cluster(
     new_centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{staging}/_new_centroids"
     )
+    # the marker is the LAST staging write and precedes the delete: its
+    # presence certifies a complete staging; its content keys a later
+    # rerun's discard-vs-resume decision to THIS cluster
+    spark.createDataFrame([(int(cluster),)], "cluster int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{staging}/_source_cluster")
     # phase 2 — APPLY: delete old, rename staged dirs in, refresh fits
     _, jold = jvm_path(f"{root}/cluster={cluster}")
     fs.delete(jold, True)

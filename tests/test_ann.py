@@ -565,8 +565,13 @@ def test_pq_drift_stats_exact(spark):
         ],
         "sub int, cluster int, centroid array<double>, _n long, _s array<long>",
     )
+    # NULL and empty vectors must contribute NO subvectors (the
+    # encodable-content contract; ADVICE r11: the constructed per_sub
+    # array is non-null even when every element is, so the unfixed
+    # posexplode emitted m NULL-se rows per such vector, inflating
+    # counts and deflating mse)
     batch = spark.createDataFrame(
-        [(1, [0.1, 0.9]), (2, [0.0, 0.5])],
+        [(1, [0.1, 0.9]), (2, [0.0, 0.5]), (3, None), (4, [])],
         "vec_id long, embedding array<double>",
     )
     row = pq_drift_stats(batch, codebook).collect()[0]
@@ -853,7 +858,8 @@ def test_ivf_index_split_resume_after_crash(spark, vectors, tmp_path):
 
     # run the split fully, then rewind it to the crashed-mid-apply
     # state: new sub-cluster dirs back into staging (+ the staged
-    # centroid set), old dir still absent
+    # centroid set + the _source_cluster marker the real phase-1
+    # writes before the delete), old dir still absent
     done = ivf_index_split_cluster(spark, path, hot, k2=2)
     staging = os.path.join(path, "_split_staging")
     os.makedirs(staging)
@@ -862,6 +868,9 @@ def test_ivf_index_split_resume_after_crash(spark, vectors, tmp_path):
         if cid in (4, 5):  # the renumbered sub-clusters of a k=4 index
             shutil.move(d, os.path.join(staging, os.path.basename(d)))
     done.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    spark.createDataFrame([(int(hot),)], "cluster int").coalesce(
+        1
+    ).write.parquet(f"{staging}/_source_cluster")
     # sanity: the index is now missing the split members
     assert spark.read.parquet(path).count() < n_total
 
@@ -871,3 +880,68 @@ def test_ivf_index_split_resume_after_crash(spark, vectors, tmp_path):
     assert s2[-1] == n_total  # restored, not duplicated
     assert resumed.count() == 5
     assert ivf_index_load_fits(spark, path)["centroids"].count() == 5
+
+
+def test_ivf_index_split_rerun_other_cluster_resumes_first(
+    spark, vectors, tmp_path
+):
+    """The ADVICE-r11 scenario: a split of cluster A crashes mid-apply
+    (A's members exist ONLY in staging), and the rerun targets a
+    DIFFERENT cluster B — the default shape, since the CLI auto-pick
+    reads post-crash stats where A is absent. Keyed on the caller's
+    argument this used to hit the 'crashed before delete' branch
+    (root/cluster=B exists) and delete the staging, silently losing
+    every member of A. Keyed on the staged _source_cluster marker, the
+    rerun must first RESUME A's split, then perform B's on the resumed
+    centroid set: all rows preserved, nothing duplicated."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        ivf_index_load_fits,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    hot = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+
+    # rewind a completed split of `hot` to the crashed-mid-apply state
+    done = ivf_index_split_cluster(spark, path, hot, k2=2)
+    staging = os.path.join(path, "_split_staging")
+    os.makedirs(staging)
+    for d in _glob.glob(f"{path}/cluster=*"):
+        if int(d.rsplit("=", 1)[1]) in (4, 5):
+            shutil.move(d, os.path.join(staging, os.path.basename(d)))
+    done.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    spark.createDataFrame([(int(hot),)], "cluster int").coalesce(
+        1
+    ).write.parquet(f"{staging}/_source_cluster")
+    lost_rows = n_total - spark.read.parquet(path).count()
+    assert lost_rows > 0  # A's members live only in staging
+
+    # rerun targets the biggest SURVIVING cluster (the CLI auto-pick)
+    post_crash = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+    other = max((c for c in post_crash if c >= 0), key=lambda c: post_crash[c])
+    assert other != hot
+
+    out = ivf_index_split_cluster(spark, path, other, k2=2)
+    assert not os.path.isdir(staging)
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == n_total  # A's members restored AND B's split applied
+    # 4 originals - hot + 2 subs - other + 2 subs
+    assert out.count() == 6
+    got = {r.cluster for r in out.select("cluster").collect()}
+    assert hot not in got and other not in got and {4, 5, 6, 7} <= got
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 6
