@@ -268,13 +268,54 @@ def _cmd_split_cluster(args) -> int:
     biggest cluster from ivf_index_stats unless --cluster is given,
     splits it into --k2 sub-clusters (only that directory is
     rewritten; _fits/centroids refreshed), and reports the before and
-    after layout as one JSON line."""
+    after layout as one JSON line. With --max-share/--max-rows it runs
+    the split_hot_clusters POLICY instead: split every cluster above
+    the threshold, biggest first, until none remain."""
     from idhub_spark.operators.ann import (
         ivf_index_split_cluster,
         ivf_index_stats,
+        split_hot_clusters,
     )
 
     spark = get_spark("split-cluster")
+    if args.max_share is not None or args.max_rows is not None:
+        if args.max_share is not None and args.max_rows is not None:
+            print("split-cluster: --max-share and --max-rows are "
+                  "mutually exclusive", file=sys.stderr)
+            return 2
+        before = {
+            r.cluster: r.n_rows
+            for r in ivf_index_stats(spark, args.index).collect()
+        }
+        new_centroids, report = split_hot_clusters(
+            spark,
+            args.index,
+            max_share=args.max_share,
+            max_rows=args.max_rows,
+            k2=args.k2,
+            max_splits=args.max_splits,
+        )
+        after = {
+            r.cluster: r.n_rows
+            for r in ivf_index_stats(spark, args.index).collect()
+        }
+        print(json.dumps({
+            "index": args.index,
+            "policy": {
+                "max_share": args.max_share,
+                "max_rows": args.max_rows,
+                "k2": args.k2,
+                "max_splits": args.max_splits,
+            },
+            "splits": report,
+            "n_clusters": new_centroids.count(),
+            "max_cluster_rows": max(
+                (n for c, n in after.items() if c >= 0), default=0
+            ),
+            "rows_total": after[-1],
+            "rows_preserved": after[-1] == before[-1],
+        }))
+        return 0 if after[-1] == before[-1] else 3
     stats = {
         r.cluster: r.n_rows for r in ivf_index_stats(spark, args.index).collect()
     }
@@ -444,6 +485,25 @@ def main(argv: list[str] | None = None) -> int:
         help="cluster id to split (default: the biggest by row count)",
     )
     sc.add_argument("--k2", type=int, default=2)
+    sc.add_argument(
+        "--max-share",
+        type=float,
+        help="POLICY mode: split every cluster holding more than this "
+        "row share, biggest first, until none remain (see "
+        "docs/operations.md for the threshold heuristic)",
+    )
+    sc.add_argument(
+        "--max-rows",
+        type=int,
+        help="POLICY mode: split every cluster above this absolute row "
+        "count (mutually exclusive with --max-share)",
+    )
+    sc.add_argument(
+        "--max-splits",
+        type=int,
+        default=16,
+        help="policy-mode runaway guard (default 16 splits per run)",
+    )
     sc.set_defaults(fn=_cmd_split_cluster)
 
     b = sub.add_parser("bench")

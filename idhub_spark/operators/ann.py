@@ -1639,3 +1639,95 @@ def ivf_index_split_cluster(
     fs.delete(jold, True)
     _apply_staged(new_centroids)
     return new_centroids
+
+
+def split_hot_clusters(
+    spark,
+    path: str,
+    *,
+    max_share: float | None = None,
+    max_rows: int | None = None,
+    k2: int = 2,
+    max_splits: int = 16,
+    centroids: DataFrame | None = None,
+    **split_kwargs,
+) -> tuple[DataFrame, list[dict]]:
+    """Auto-split POLICY for hot clusters: the loop that connects
+    ivf_index_stats' skew report to ivf_index_split_cluster's staged
+    apply — split every cluster above the threshold, biggest first,
+    until none remain (or max_splits, the runaway guard).
+
+    Exactly one of max_share / max_rows names the threshold:
+    - max_share: a cluster is hot when it holds more than this
+      fraction of the index's rows — the probe-LATENCY policy (a
+      cluster at share s makes every probe routed to it scan ~s*N
+      candidates; the operations doc derives the heuristic value from
+      nprobe/k_clusters).
+    - max_rows: absolute row cap — the task-MEMORY policy (one
+      cluster's candidate scan must fit an executor's working set).
+
+    Children of a split can themselves exceed the threshold (the hot
+    mass may be concentrated); the loop re-reads stats and keeps
+    going. A child that comes back the SAME SIZE as its parent is
+    geometrically unsplittable at this k2 (duplicate/near-identical
+    vectors all assigned to one sub-centroid) — it is excluded from
+    further targeting instead of looping forever, and reported with
+    did_split=False.
+
+    Each iteration reuses the crash-staged single-cluster split, so an
+    interruption anywhere leaves the index recoverable by ANY rerun
+    (the staged _source_cluster marker keys the resume); the returned
+    centroid frame threads through iterations so only the first may
+    read _fits. Returns (final centroids, report) where report is one
+    dict per attempted split: {cluster, rows_before, share_before,
+    did_split}. I/O per iteration ∝ the split cluster (stats is a
+    metadata-weight scan of the partition column only)."""
+    if (max_share is None) == (max_rows is None):
+        raise ValueError(
+            "split_hot_clusters: exactly one of max_share / max_rows"
+        )
+
+    def _stats() -> tuple[dict[int, int], int]:
+        s = {
+            r.cluster: r.n_rows
+            for r in ivf_index_stats(spark, path).collect()
+        }
+        total = s.pop(-1)
+        return s, total
+
+    report: list[dict] = []
+    unsplittable: set[int] = set()
+    cents = centroids
+    stats, total = _stats()
+    for _ in range(max_splits):
+        limit = (
+            max_rows if max_rows is not None else max_share * total
+        )
+        hot = [
+            c
+            for c, n in stats.items()
+            if n > limit and c not in unsplittable
+        ]
+        if not hot:
+            break
+        target = max(hot, key=lambda c: (stats[c], -c))
+        before = stats[target]
+        cents = ivf_index_split_cluster(
+            spark, path, target, k2=k2, centroids=cents, **split_kwargs
+        )
+        after, total = _stats()
+        new_ids = set(after) - set(stats)
+        stuck = {c for c in new_ids if after[c] == before}
+        unsplittable |= stuck
+        report.append(
+            {
+                "cluster": int(target),
+                "rows_before": int(before),
+                "share_before": before / total,
+                "did_split": not stuck,
+            }
+        )
+        stats = after
+    return cents if cents is not None else ivf_index_load_fits(
+        spark, path
+    )["centroids"], report

@@ -945,3 +945,99 @@ def test_ivf_index_split_rerun_other_cluster_resumes_first(
     got = {r.cluster for r in out.select("cluster").collect()}
     assert hot not in got and other not in got and {4, 5, 6, 7} <= got
     assert ivf_index_load_fits(spark, path)["centroids"].count() == 6
+
+
+def test_split_hot_clusters_policy_skewed(spark, tmp_path):
+    """The auto-split POLICY on a genuinely SKEWED index (the r11
+    audit's split rows used uniform batches — splits exist because of
+    skew): one handcrafted cluster holds 70% of the rows; with
+    max_share=0.45 the policy must keep splitting until every cluster
+    is at or under the threshold, preserve every row, never rewrite an
+    untouched sibling file, and leave the index searchable at the
+    recall bar through the refreshed _fits."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        _dot,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        split_hot_clusters,
+        sq8_fit,
+    )
+    from pyspark.sql import Window
+
+    dim = 8
+    rows = []
+    for i in range(240):
+        if i < 168:  # 70%: two tight sub-blobs around 10.0 / 10.6
+            off = 0.0 if i % 2 == 0 else 0.6
+            rows.append(
+                (i, [10.0 + off + ((i * 7 + d * 3) % 11) * 0.01 for d in range(dim)])
+            )
+        else:  # 30%: spread over two far regions
+            sgn = -1.0 if i % 2 == 0 else 1.0
+            rows.append(
+                (i, [sgn * (4.0 + ((i * 13 + d * 5) % 17) * 0.1) for d in range(dim)])
+            )
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # handcrafted centroids pin the skew: cluster 0 captures the whole
+    # blob (kmeans_fit at max_iter=0 turns the three representative
+    # vectors into init centroids carrying the exact _n/_s integer rep)
+    reps = spark.createDataFrame(
+        [(0, [10.3] * dim), (1, [-4.8] * dim), (2, [4.8] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = kmeans_fit(reps, k=3, max_iter=0)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    total = stats.pop(-1)
+    assert max(stats.values()) / total > 0.5  # genuinely skewed
+
+    before = {
+        f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+    }
+
+    cents, report = split_hot_clusters(spark, path, max_share=0.45, k2=2)
+
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    t2 = s2.pop(-1)
+    assert t2 == total  # rows preserved across the loop
+    assert max(s2.values()) / t2 <= 0.45  # policy goal reached
+    assert report and all(r["did_split"] for r in report)
+    assert report[0]["cluster"] == 0 and report[0]["rows_before"] == 168
+    # centroid frame and refreshed fits agree with the on-disk layout
+    assert {r.cluster for r in cents.select("cluster").collect()} == set(s2)
+    # no surviving original file was rewritten in place
+    after = {
+        f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+    }
+    survivors = set(before) & set(after)
+    assert survivors and all(after[f] == before[f] for f in survivors)
+    assert not os.path.isdir(f"{path}/_split_staging")
+
+    # still searchable through the refreshed fits: the blob's 0.01
+    # jitter sits BELOW the SQ8 quantization step (~0.067 on this
+    # range), so exact-float rank order is not recoverable from codes
+    # (candidates tie at quantized precision) — the post-split property
+    # that matters is ROUTING: every blob query must still reach the
+    # blob's sub-clusters and return k near-identical neighbors
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") < 8), k=5, nprobe=3
+    )
+    per_q = got.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("neighbor_id").alias("min_nb"),
+        F.max("neighbor_id").alias("max_nb"),
+        F.min("cosine").alias("min_cos"),
+    )
+    checks = per_q.agg(
+        F.min("n").alias("min_n"),
+        F.max("max_nb").alias("max_nb"),
+        F.min("min_cos").alias("min_cos"),
+    ).collect()[0]
+    assert checks.min_n == 5  # full result set per query
+    assert checks.max_nb < 168  # every neighbor is a blob member
+    assert checks.min_cos > 0.999  # routed to the true near-dup mass
