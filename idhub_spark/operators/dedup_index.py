@@ -7,12 +7,35 @@ different: a crawl/ingest batch arrives and must be deduped against
 everything already accepted. Recomputing shingles+signatures for a
 100 TB history per batch is the dominant cost; this module persists
 the per-document MinHash STATE once, so a probe pays for the BATCH's
-shingle work plus a stream of history's two narrow state tables
-(~(bands+n_hashes)*8 B per doc — a 100-1000x byte reduction vs the
-raw text; bucket the tables for true pruning at extreme scale):
+shingle work plus a PRUNED read of history's two narrow state tables:
 
-  <path>/docs/   (doc_id, sig array<bigint>, n_sh)  — one row per doc
-  <path>/bands/  (band, bkey bigint, doc_id)        — bands rows per doc
+  <path>/docs/   (doc_id, sig array<bigint>, n_sh)  — one row per doc,
+                 hash-partitioned by db = pmod(xxhash64(doc_id), D)
+  <path>/bands/  (band, bkey bigint, doc_id)        — bands rows/doc,
+                 hash-partitioned by pb = pmod(bkey, P)
+
+The partition columns make the probe's two history reads prune at the
+FILE level (Hive layout → PartitionFilters in the scan, the same
+mechanism as the on-disk IVF index): the candidate join can only
+match history band rows whose bkey equals a batch bkey, so reading
+only the batch's pb partitions is lossless; the estimate join only
+needs the matched candidates' doc rows, so reading only their db
+partitions is lossless too. Both prune sets are collected as bounded
+literals (≤ P and ≤ D values — partition ids, never keys). A batch
+touching t of P band partitions reads t/P of history's band files
+regardless of history size; state rows are ~(bands+n_hashes)*8 B per
+doc — a 100-1000x byte reduction vs the raw text even unpruned.
+
+Why Hive partitioning rather than catalog bucketing
+(storage.write_bucketed): bucketBy metadata lives in the session
+metastore, but this index is SELF-CONTAINED on a path — the round
+driver (and any production reader) opens it from a bare SparkSession
+where catalog bucket info would silently vanish and the table would
+read as plain parquet. Path-based partition pruning needs no catalog
+and shows up verifiably in the executed plan. Set pb_buckets /
+db_buckets to 0 at write time for the flat (unpruned, stream-all)
+layout; probe results are byte-identical either way (pruning only
+removes partitions that cannot join).
 
 Signatures are int64 minima of per-component xxhash64 — 8 bytes per
 component vs the 32-byte md5 hex the in-memory path uses (an index
@@ -30,21 +53,34 @@ exact thing an index exists to avoid); callers needing exact J on
 the survivors re-verify against retained raw text, which the
 candidate set has already narrowed to ~pairs.
 
-Scale shape: the probe joins the batch's band rows against the
-index's band table on (band, bkey) — Catalyst broadcasts the batch
-side when it is small (the common case) and falls back to a shuffle
-join for bulk backfills; NO forced hint (the batch side is not
-bounded by construction — the r11 broadcast-boundedness rule).
-Appends write only new rows (files ∝ batch; existing files never
-rewritten). Reference anchor: the reference has no dedup at all —
-this extends plans/dedup_q.py's training-data operators to the
-incremental regime.
+Scale shape: the candidate join runs batch bands against the PRUNED
+history band partitions — Catalyst broadcasts the batch side when it
+is small (the common case) and falls back to a shuffle join for bulk
+backfills; NO forced hint (the batch side is not bounded by
+construction — the r11 broadcast-boundedness rule).
+
+Crash safety: a batch append stages its two tables under
+<path>/_append_staging, writes a _COMMITTED marker as the LAST
+staging write, then FS-renames the staged part-files into the live
+partition directories (append-only: existing files never touched).
+A crash before the marker leaves provably-unapplied staging (the next
+append discards it); a crash during the rename-in is resumed by the
+next append (each file lives in exactly one place, so the promotion
+is idempotent and rows are never duplicated). A full rebuild
+(minhash_index_write) deletes _params FIRST and rewrites it LAST, so
+a crashed rebuild raises 'no _params' on the next probe instead of
+serving a half-old, half-new index. Reference anchor: the reference
+has no dedup at all — this extends plans/dedup_q.py's training-data
+operators to the incremental regime.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_STAGING = "_append_staging"
+_COMMITTED = "_COMMITTED"
 
 
 def _doc_state(
@@ -89,9 +125,9 @@ def _doc_state(
 
 def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFrame:
     """Band rows (doc_id, band, bkey) derived from the sig ARRAY — a
-    pure projection, so it can run over the just-written docs table
-    (one read of narrow columns) instead of recomputing the
-    shingle+signature aggregation per output table."""
+    pure projection over the (checkpointed) per-doc state, so deriving
+    the second table never re-runs the shingle aggregation or touches
+    history."""
     rows = n_hashes // bands
     if rows * bands != n_hashes:
         raise ValueError("n_hashes must be divisible by bands")
@@ -111,30 +147,105 @@ def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFra
     return out
 
 
-def _load_params(spark, root: str) -> tuple[int, int]:
-    row = spark.read.parquet(f"{root}/_params").collect()[0]
-    return int(row.n_hashes), int(row.bands)
+def _load_params(spark, root: str) -> tuple[int, int, int, int]:
+    from idhub_spark.operators.merge_into import _hadoop_fs
 
-
-def _write_state(docs, root, *, n_hashes, bands, id_col, text_col, mode) -> None:
-    """One shingle+signature pass per batch: the docs table is written
-    from the aggregation, then the band rows are DERIVED from the
-    just-written parquet (a narrow re-read + projection) — writing
-    both tables from the live lineage would run the whole
-    explode+distinct+groupBy twice (once per write job)."""
-    spark = docs.sparkSession
-    state = _doc_state(docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
-    state.write.mode(mode).parquet(f"{root}/docs")
-    # derive bands from THIS batch's just-written rows only: on append,
-    # re-reading the whole docs table would duplicate history's bands
-    written = spark.read.parquet(f"{root}/docs")
-    if mode == "append":
-        written = written.join(
-            docs.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
+    fs, jp = _hadoop_fs(spark, f"{root}/_params")
+    if not fs.exists(jp):
+        raise ValueError(
+            f"minhash index at {root!r} has no _params — not an index, "
+            "or a rebuild crashed mid-write (rerun minhash_index_write)"
         )
-    _bands_from_state(written, n_hashes=n_hashes, bands=bands).write.mode(
-        mode
-    ).parquet(f"{root}/bands")
+    row = spark.read.parquet(f"{root}/_params").collect()[0]
+    # pre-r12 indexes carry no bucket columns: flat layout, no pruning
+    pb = int(getattr(row, "pb_buckets", 0) or 0)
+    db = int(getattr(row, "db_buckets", 0) or 0)
+    return int(row.n_hashes), int(row.bands), pb, db
+
+
+def _tables(
+    state: DataFrame, *, n_hashes: int, bands: int, pb_buckets: int, db_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The index's two tables for one batch's state, with partition
+    columns attached when the layout is bucketed. Both derive from the
+    same (checkpointed) state — one shingle pass per batch, no history
+    read (the r11 append re-scanned history's docs table to re-derive
+    the batch's bands; deriving from the live state makes append I/O
+    strictly ∝ batch)."""
+    docs_df = state
+    bands_df = _bands_from_state(state, n_hashes=n_hashes, bands=bands)
+    if db_buckets:
+        docs_df = docs_df.withColumn(
+            "db", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(db_buckets))
+        )
+    if pb_buckets:
+        bands_df = bands_df.withColumn(
+            "pb", F.pmod(F.col("bkey"), F.lit(pb_buckets))
+        )
+    return docs_df, bands_df
+
+
+def _write_table(df: DataFrame, path: str, part_col: str | None) -> None:
+    """One file per touched partition (pre-write repartition by the
+    partition column — the IVF index writer's file-count discipline),
+    Hive layout for PartitionFilters pruning; flat write when the
+    layout is unbucketed."""
+    if part_col:
+        df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _move_tree(spark, fs, src: str, dst: str) -> None:
+    """Rename every data file under src into the mirrored path under
+    dst (creating directories as needed). Files are never overwritten
+    or copied — each lives in exactly one place, so a crashed promotion
+    resumes idempotently."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    _, jsrc = _hadoop_fs(spark, src)
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isFile():
+            _, jdst_dir = _hadoop_fs(spark, dst)
+            fs.mkdirs(jdst_dir)
+            _, jdst = _hadoop_fs(spark, f"{dst}/{name}")
+            fs.rename(st.getPath(), jdst)
+        else:
+            _move_tree(spark, fs, f"{src}/{name}", f"{dst}/{name}")
+
+
+def _resume_or_discard_staging(spark, root: str) -> None:
+    """Append crash protocol: a staging WITH the _COMMITTED marker was
+    fully written and is promoted (finishing an interrupted rename-in);
+    a staging without it can never have been applied — discard."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/{_STAGING}"
+    fs, jstag = _hadoop_fs(spark, staging)
+    if not fs.exists(jstag):
+        return
+    _, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
+    if fs.exists(jmark):
+        _promote_staging(spark, root)
+    else:
+        fs.delete(jstag, True)
+
+
+def _promote_staging(spark, root: str) -> None:
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/{_STAGING}"
+    fs, jstag = _hadoop_fs(spark, staging)
+    for table in ("docs", "bands"):
+        _, jsrc = _hadoop_fs(spark, f"{staging}/{table}")
+        if fs.exists(jsrc):
+            _move_tree(spark, fs, f"{staging}/{table}", f"{root}/{table}")
+    fs.delete(jstag, True)
 
 
 def minhash_index_write(
@@ -143,30 +254,46 @@ def minhash_index_write(
     *,
     n_hashes: int = 16,
     bands: int = 4,
+    pb_buckets: int = 64,
+    db_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
     """Materialize the MinHash dedup index for a document frame and
     record its build parameters under <path>/_params (underscore dir —
     invisible to data scans, same convention as the ANN _fits): band
-    keys are positional functions of (n_hashes, bands), so a probe
-    built with different parameters would silently find NOTHING;
-    append/probe read the stored parameters instead of trusting the
-    caller. doc_ids are assumed unique across the index's lifetime
-    (the ingest key discipline every upsert in this engine already
-    follows)."""
+    keys are positional functions of (n_hashes, bands) and the
+    partition layout of (pb_buckets, db_buckets), so a probe built
+    with different parameters would silently find NOTHING; append and
+    probe read the stored parameters instead of trusting the caller.
+    _params doubles as the build's COMMIT marker (deleted first,
+    rewritten last), so a crashed rebuild raises on the next use
+    instead of serving a half-written index. doc_ids are assumed
+    unique across the index's lifetime (the ingest key discipline
+    every upsert in this engine already follows)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
     root = path.rstrip("/")
-    _write_state(
-        docs,
-        root,
+    spark = docs.sparkSession
+    fs, jparams = _hadoop_fs(spark, f"{root}/_params")
+    if fs.exists(jparams):
+        fs.delete(jparams, True)
+    state = _doc_state(
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    docs_df, bands_df = _tables(
+        state,
         n_hashes=n_hashes,
         bands=bands,
-        id_col=id_col,
-        text_col=text_col,
-        mode="overwrite",
+        pb_buckets=pb_buckets,
+        db_buckets=db_buckets,
     )
-    docs.sparkSession.createDataFrame(
-        [(n_hashes, bands)], "n_hashes int, bands int"
+    _write_table(docs_df, f"{root}/docs", "db" if db_buckets else None)
+    _write_table(bands_df, f"{root}/bands", "pb" if pb_buckets else None)
+    state.unpersist()
+    spark.createDataFrame(
+        [(n_hashes, bands, pb_buckets, db_buckets)],
+        "n_hashes int, bands int, pb_buckets int, db_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_params")
 
 
@@ -178,19 +305,36 @@ def minhash_index_append(
     text_col: str = "text",
 ) -> None:
     """Accept a batch INTO the index (after its probe survived review):
-    append-only, I/O ∝ batch, build parameters read from the index
-    itself."""
+    I/O strictly ∝ batch (the batch's state is checkpointed once and
+    both tables derive from it — history is never read), build
+    parameters from the index itself, crash-safe via the staged
+    _COMMITTED-marker promotion (see module docstring). Existing files
+    are never rewritten — promotion RENAMES the batch's part-files into
+    the live partition directories."""
     root = path.rstrip("/")
-    n_hashes, bands = _load_params(docs.sparkSession, root)
-    _write_state(
-        docs,
-        root,
+    spark = docs.sparkSession
+    n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    _resume_or_discard_staging(spark, root)
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/{_STAGING}"
+    state = _doc_state(
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    docs_df, bands_df = _tables(
+        state,
         n_hashes=n_hashes,
         bands=bands,
-        id_col=id_col,
-        text_col=text_col,
-        mode="append",
+        pb_buckets=pb_buckets,
+        db_buckets=db_buckets,
     )
+    _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
+    _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
+    state.unpersist()
+    fs, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
+    fs.create(jmark, True).close()
+    _promote_staging(spark, root)
 
 
 def minhash_index_probe(
@@ -212,22 +356,39 @@ def minhash_index_probe(
     functions of them — a mismatched probe would silently find
     nothing, so the caller is not trusted with them).
 
-    Cost shape: the batch computes its own shingle state once;
-    history contributes its (band, bkey) rows to the candidate join
-    and matched signatures to the estimate join — the probe STREAMS
-    those two narrow tables (~(bands+n_hashes)*8 B per history doc,
-    a 100-1000x byte reduction vs re-shingling raw text) rather than
-    point-looking them up; at extreme history scale, bucket bands by
-    bkey and docs by doc_id (storage.write_bucketed) so the joins
-    prune to the batch's buckets. The r11 scale audit measured the
-    streaming term directly: +0.2 s at 10x history with a fixed
-    batch."""
+    Cost shape: the batch computes its own shingle state ONCE (the
+    state is checkpointed; every downstream job reuses it); history
+    contributes only (a) the band partitions whose pb matches a batch
+    band key — lossless pruning, since the candidate join requires
+    bkey equality — and (b) the doc partitions whose db matches a
+    matched candidate — lossless for the same reason. Both prune sets
+    are bounded literal lists of PARTITION ids (≤ pb_buckets /
+    ≤ db_buckets values), so file-level PartitionFilters do the work;
+    a batch touching t of P band partitions reads t/P of history's
+    band files at ANY history size. On a flat (unbucketed) index the
+    probe degrades to streaming the two narrow tables — the r11
+    behavior, still 100-1000x less I/O than re-shingling raw text.
+    The returned frame is deterministic and byte-identical across
+    layouts."""
     root = path.rstrip("/")
-    n_hashes, bands = _load_params(spark, root)
-    b_state = _doc_state(batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
+    n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    b_state = _doc_state(
+        batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     b_bands = _bands_from_state(b_state, n_hashes=n_hashes, bands=bands)
+
     idx_bands = spark.read.parquet(f"{root}/bands")
-    idx_docs = spark.read.parquet(f"{root}/docs")
+    if pb_buckets:
+        pbs = [
+            r.pb
+            for r in b_bands.select(
+                F.pmod(F.col("bkey"), F.lit(pb_buckets)).alias("pb")
+            )
+            .distinct()
+            .collect()
+        ]
+        idx_bands = idx_bands.filter(F.col("pb").isin(pbs))
+    idx_bands = idx_bands.select("band", "bkey", "doc_id")
 
     est = (
         F.aggregate(
@@ -266,6 +427,26 @@ def minhash_index_probe(
         )
         .distinct()
     )
+    idx_docs = spark.read.parquet(f"{root}/docs")
+    if db_buckets:
+        # the estimate join needs only matched candidates' doc rows;
+        # their db partitions are a bounded literal set (≤ db_buckets
+        # ids). The candidates are checkpointed so collecting the set
+        # doesn't re-run the candidate join for the main plan.
+        hist_cand = hist_cand.localCheckpoint(eager=True)
+        dbs = [
+            r.db
+            for r in hist_cand.select(
+                F.pmod(F.xxhash64(F.col("dup_id")), F.lit(db_buckets)).alias(
+                    "db"
+                )
+            )
+            .distinct()
+            .collect()
+        ]
+        idx_docs = idx_docs.filter(F.col("db").isin(dbs))
+    idx_docs = idx_docs.select("doc_id", "sig", "n_sh")
+
     out = scored(hist_cand, idx_docs, "history")
     if include_batch_pairs:
         a, b = b_bands.alias("a"), b_bands.alias("b")

@@ -86,24 +86,23 @@ def test_probe_finds_history_and_batch_dups(spark, docs, tmp_path):
     assert all(p[0] in new_ids for p in hist | bat)
 
 
+def _state_files(path):
+    return glob.glob(f"{path}/docs/**/*.parquet", recursive=True) + glob.glob(
+        f"{path}/bands/**/*.parquet", recursive=True
+    )
+
+
 def test_append_only_and_param_discipline(spark, docs, tmp_path):
     path = str(tmp_path / "mh_idx2")
     half_a = docs.filter(F.col("doc_id") % 2 == 0)
     half_b = docs.filter(F.col("doc_id") % 2 == 1)
     minhash_index_write(half_a, path, n_hashes=8, bands=2)
-    before = {
-        f: os.path.getmtime(f)
-        for f in glob.glob(f"{path}/docs/*.parquet")
-        + glob.glob(f"{path}/bands/*.parquet")
-    }
+    before = {f: os.path.getmtime(f) for f in _state_files(path)}
     minhash_index_append(half_b, path)
-    after = {
-        f: os.path.getmtime(f)
-        for f in glob.glob(f"{path}/docs/*.parquet")
-        + glob.glob(f"{path}/bands/*.parquet")
-    }
+    after = {f: os.path.getmtime(f) for f in _state_files(path)}
     assert set(before) < set(after)  # new files appeared...
     assert all(after[f] == before[f] for f in before)  # ...none rewritten
+    assert not os.path.isdir(f"{path}/_append_staging")  # staging cleaned
     assert (
         spark.read.parquet(f"{path}/docs").count() == docs.count()
     )
@@ -119,3 +118,139 @@ def test_append_only_and_param_discipline(spark, docs, tmp_path):
     # _params rides inside the index, invisible to data reads
     assert spark.read.parquet(f"{path}/_params").collect()[0].n_hashes == 8
     assert "n_hashes" not in spark.read.parquet(f"{path}/docs").columns
+
+
+def test_bucketed_probe_matches_flat_and_prunes(spark, docs, tmp_path):
+    """The partitioned (pb/db) layout is a pure LAYOUT change: probe
+    results must be byte-identical to the flat index (pruning only
+    removes partitions that cannot join), and the executed plans of
+    both history reads must show file-level PartitionFilters — the
+    scan ∝ batch-buckets contract."""
+    flat = str(tmp_path / "mh_flat")
+    buck = str(tmp_path / "mh_buck")
+    minhash_index_write(
+        docs, flat, n_hashes=16, bands=4, pb_buckets=0, db_buckets=0
+    )
+    minhash_index_write(
+        docs, buck, n_hashes=16, bands=4, pb_buckets=32, db_buckets=32
+    )
+
+    batch = _exact_copies(docs, 11, 100_000).unionByName(
+        _trimmed_copies(docs, 13, 200_000)
+    )
+    got_flat = minhash_index_probe(spark, flat, batch, threshold_est=0.5)
+    got_buck = minhash_index_probe(spark, buck, batch, threshold_est=0.5)
+    rows_flat = sorted(map(tuple, got_flat.collect()))
+    rows_buck = sorted(map(tuple, got_buck.collect()))
+    assert rows_flat == rows_buck and rows_buck
+
+    # the docs-side db pruning is visible in the probe's own executed
+    # plan; the bands-side pb pruning runs inside the candidate
+    # checkpoint job (test_probe_reads_only_batch_band_partitions pins
+    # it on a pb-only index where the scan stays in the main plan)
+    plan = got_buck._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert any("db" in f for f in pf), plan[:3000]
+    # the flat plan must NOT carry partition filters (nothing to prune)
+    plan_flat = got_flat._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"PartitionFilters: \[[^\]]*(?:pb|db)[^\]]*\]", plan_flat)
+
+
+def test_probe_reads_only_batch_band_partitions(spark, docs, tmp_path):
+    """File-level pruning measured from the scan itself: a one-band-key
+    probe batch must read at most its touched pb partitions of the
+    band table, not all of them (the linear band-scan term the
+    bucketed layout exists to remove)."""
+    path = str(tmp_path / "mh_pr")
+    # db_buckets=0 keeps the bands scan in the probe's main plan (with
+    # doc pruning on, the candidate stage runs inside a checkpoint job
+    # whose plan isn't attached to the returned frame)
+    minhash_index_write(
+        docs, path, n_hashes=16, bands=4, pb_buckets=32, db_buckets=0
+    )
+    n_part_total = len(glob.glob(f"{path}/bands/pb=*"))
+    assert n_part_total > 8  # corpus populates most partitions
+
+    one = _exact_copies(docs.filter(F.col("doc_id") == 7), 1, 500_000)
+    got = minhash_index_probe(
+        spark, path, one, threshold_est=0.5, include_batch_pairs=False
+    )
+    assert got.count() >= 1  # the planted copy is found
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"pb#\d+ (?:IN|INSET) \(?([0-9, ]+)\)?", plan)
+    assert m, plan[:3000]
+    n_probed = len(m.group(1).split(","))
+    # one doc has at most `bands` distinct band keys -> <= 4 partitions
+    assert n_probed <= 4 < n_part_total
+
+
+def test_append_crash_protocol(spark, docs, tmp_path):
+    """Uncommitted staging (crash before the marker) is discarded; a
+    committed staging (crash during the rename-in) is promoted by the
+    NEXT append — rows restored, never duplicated."""
+    import pathlib
+
+    from idhub_spark.operators.dedup_index import (
+        _COMMITTED,
+        _STAGING,
+        _doc_state,
+        _load_params,
+        _tables,
+        _write_table,
+    )
+
+    path = str(tmp_path / "mh_crash")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    minhash_index_write(base, path, n_hashes=8, bands=2)
+
+    # (a) crash BEFORE the marker: junk staging without _COMMITTED
+    junk = pathlib.Path(path) / _STAGING / "docs" / "db=0"
+    junk.mkdir(parents=True)
+    (junk / "junk.parquet").write_bytes(b"xx")
+    minhash_index_append(b1, path)
+    assert not os.path.isdir(f"{path}/{_STAGING}")
+    n_after_b1 = spark.read.parquet(f"{path}/docs").count()
+    assert n_after_b1 == base.count() + b1.count()  # junk discarded
+
+    # (b) crash AFTER the marker, before promotion: fabricate b2's
+    # staging exactly as the real append would, with the marker, but
+    # never promote — the next (empty-batch) append must resume it
+    n_hashes, bands, pb_b, db_b = _load_params(spark, path)
+    staging = f"{path}/{_STAGING}"
+    state = _doc_state(b2, n_hashes=n_hashes, id_col="doc_id", text_col="text")
+    docs_df, bands_df = _tables(
+        state, n_hashes=n_hashes, bands=bands, pb_buckets=pb_b, db_buckets=db_b
+    )
+    _write_table(docs_df, f"{staging}/docs", "db" if db_b else None)
+    _write_table(bands_df, f"{staging}/bands", "pb" if pb_b else None)
+    pathlib.Path(staging, _COMMITTED).touch()
+
+    empty = b2.limit(0)
+    minhash_index_append(empty, path)  # resumes b2's staged batch
+    assert not os.path.isdir(staging)
+    assert (
+        spark.read.parquet(f"{path}/docs").count()
+        == base.count() + b1.count() + b2.count()
+    )
+    # no duplicates: every doc_id appears exactly once
+    dup = (
+        spark.read.parquet(f"{path}/docs")
+        .groupBy("doc_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+    # and the resumed rows are probe-visible (an exact copy of a b2 doc)
+    b2_id = b2.select(F.min("doc_id")).first()[0]
+    probe = _exact_copies(docs.filter(F.col("doc_id") == b2_id), 1, 700_000)
+    got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
+    assert (b2_id + 700_000, b2_id, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
