@@ -549,3 +549,179 @@ def ivf_sq8_topk_q(spark, sf_dir):
     return ivf_sq8_topk(
         e, centroids, bounds, query_ids=list(range(8)), k=5, nprobe=2, rescore=4
     )
+
+
+@query(
+    "split_hot_clusters_state",
+    """
+    SELECT metric, CAST(1 AS BIGINT) AS ok FROM (VALUES
+      ('rows_preserved'), ('max_share_ok'), ('split_happened'),
+      ('staging_clean'), ('fits_match')) AS t(metric)
+    """,
+    doc="The hot-cluster auto-split POLICY (operators/ann.py "
+    "split_hot_clusters) driven end to end on a skewed on-disk index: "
+    "70% of a bounded embeddings slice is compressed into one tight "
+    "blob captured by a single centroid, the policy must keep "
+    "splitting (staged, crash-safe apply per iteration) until no "
+    "cluster holds more than max_share=0.45 of the rows. kmeans "
+    "sub-fits have no tractable SQL twin, so the oracle pins the "
+    "policy's INVARIANTS as verdict rows (the kmv_accuracy_check "
+    "pattern), each computed Spark-side from the post-split index: "
+    "rows preserved through every staged apply; max cluster share at "
+    "or under the threshold; at least one split performed (the "
+    "fixture is skewed by construction); staging cleaned; and the "
+    "refreshed _fits/centroids agreeing exactly with the on-disk "
+    "cluster directories. All state reads are bounded (per-cluster "
+    "stats rows, k-row centroid frames).",
+)
+def split_hot_clusters_state(spark, sf_dir):
+    import os
+    import tempfile
+
+    from idhub_spark.operators.ann import (
+        ivf_index_load_fits,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        split_hot_clusters,
+        sq8_fit,
+    )
+
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].filter(F.col("vec_id") < 400)
+    # blob spread must survive the exact-integer assignment grid
+    # (_ASSIGN_SCALE quantizes at 1e-3): 0.1x the source embedding
+    # keeps the blob tightly around 10.0 (captured by one centroid)
+    # while leaving sub-kmeans enough variance to split it
+    blob = e.filter(F.col("vec_id") % 10 < 7).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.1 + 10.0
+        ).alias("embedding"),
+    )
+    rest = e.filter(F.col("vec_id") % 10 >= 7).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    vectors = blob.unionByName(rest)
+    dim = e.select(F.size("embedding")).first()[0]
+    reps = spark.createDataFrame(
+        [(0, [10.0] * dim), (1, [-0.5] * dim), (2, [0.5] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = kmeans_fit(reps, k=3, max_iter=0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "idhub_split_policy",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    n_before = vectors.count()
+
+    cents, report = split_hot_clusters(spark, path, max_share=0.45, k2=2)
+
+    stats = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+    total = stats.pop(-1)
+    fits = {
+        r.cluster
+        for r in ivf_index_load_fits(spark, path)["centroids"]
+        .select("cluster")
+        .collect()
+    }
+    cent_set = {r.cluster for r in cents.select("cluster").collect()}
+    checks = [
+        ("rows_preserved", total == n_before),
+        ("max_share_ok", max(stats.values()) / total <= 0.45),
+        ("split_happened", len(report) >= 1 and report[0]["did_split"]),
+        ("staging_clean", not os.path.isdir(f"{path}/_split_staging")),
+        ("fits_match", fits == set(stats) == cent_set),
+    ]
+    return spark.createDataFrame(
+        [(m, 1 if ok else 0) for m, ok in checks], "metric string, ok bigint"
+    )
+
+
+@query(
+    "pq_drift_check",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(1 AS BIGINT) AS nv_ok,
+           CAST(1 AS BIGINT) AS nsv_ok,
+           CAST(1 AS BIGINT) AS null_invariant_ok,
+           CAST(1 AS BIGINT) AS bounds_ok
+    FROM embeddings
+    WHERE vec_id < 256 AND embedding IS NOT NULL AND len(embedding) > 0
+    """,
+    doc="pq_drift_stats' contracts pinned at driver level (the "
+    "kmv_accuracy_check pattern; the codebook itself has no DuckDB "
+    "twin): (a) n_vectors equals the exact count of encodable (non-"
+    "null, non-empty) batch rows — the oracle computes that count "
+    "over the same slice; (b) n_subvectors = n_vectors * m; (c) the "
+    "six reported stats are IDENTICAL whether or not NULL/empty "
+    "vector rows ride along in the batch (the r11 ADVICE defect: the "
+    "constructed per-subspace array is non-null even when every "
+    "element is, so the unfixed posexplode emitted m NULL rows per "
+    "such vector, inflating counts and deflating mse); (d) "
+    "max_se_micro >= mse_micro. A regression flips a flag to 0 and "
+    "fails the hash.",
+)
+def pq_drift_check(spark, sf_dir):
+    from idhub_spark.operators.ann import pq_drift_stats, pq_fit
+
+    t = tables(spark, sf_dir, "embeddings")
+    base = (
+        t["embeddings"]
+        .filter(
+            (F.col("vec_id") < 256)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
+        .select("vec_id", "embedding")
+    )
+    m = 4
+    codebook = pq_fit(base, m=m, k=8, max_iter=2)
+    vtype = dict(base.dtypes)["embedding"]
+    one = base.limit(1)
+    nulls = one.select(
+        (F.col("vec_id") + 10**9).alias("vec_id"),
+        F.lit(None).cast(vtype).alias("embedding"),
+    )
+    empties = one.select(
+        (F.col("vec_id") + 10**9 + 1).alias("vec_id"),
+        F.expr("slice(embedding, 1, 0)").alias("embedding"),
+    )
+    with_nulls = base.unionByName(nulls).unionByName(empties)
+
+    clean = pq_drift_stats(base, codebook)
+    dirty = pq_drift_stats(with_nulls, codebook)
+    exact_n = base.agg(F.count(F.lit(1)).cast("bigint").alias("_exact"))
+
+    ok = lambda cond: F.when(cond, 1).otherwise(0).cast("bigint")  # noqa: E731
+    d, c = dirty.alias("d"), clean.alias("c")
+    return (
+        d.crossJoin(c)
+        .crossJoin(exact_n)
+        .select(
+            F.col("d.n_vectors").cast("bigint").alias("n_vectors"),
+            ok(F.col("d.n_vectors") == F.col("_exact")).alias("nv_ok"),
+            ok(
+                F.col("d.n_subvectors") == F.col("d.n_vectors") * m
+            ).alias("nsv_ok"),
+            ok(
+                (F.col("d.n_vectors") == F.col("c.n_vectors"))
+                & (F.col("d.n_subvectors") == F.col("c.n_subvectors"))
+                & (F.col("d.mse_micro") == F.col("c.mse_micro"))
+                & (F.col("d.max_se_micro") == F.col("c.max_se_micro"))
+                & (F.col("d.worst_sub") == F.col("c.worst_sub"))
+                & (
+                    F.col("d.worst_sub_mse_micro")
+                    == F.col("c.worst_sub_mse_micro")
+                )
+            ).alias("null_invariant_ok"),
+            ok(F.col("d.max_se_micro") >= F.col("d.mse_micro")).alias(
+                "bounds_ok"
+            ),
+        )
+    )

