@@ -1681,7 +1681,14 @@ def split_hot_clusters(
     read _fits. Returns (final centroids, report) where report is one
     dict per attempted split: {cluster, rows_before, share_before,
     did_split}. I/O per iteration ∝ the split cluster (stats is a
-    metadata-weight scan of the partition column only)."""
+    metadata-weight scan of the partition column only).
+
+    split_kwargs ride through to ivf_index_split_cluster — notably
+    sample_n: large-MAGNITUDE embedding spaces must size it to the
+    exact-arithmetic kmeans envelope (dims*(2*n*S*|x|max)^2 < 2^53;
+    kmeans_fit fails loudly with the corrective message). Normalized
+    embeddings (|x| <= 1) keep the 4000-row default safe
+    (docs/scale_audit_r12.md §2)."""
     if (max_share is None) == (max_rows is None):
         raise ValueError(
             "split_hot_clusters: exactly one of max_share / max_rows"
