@@ -340,6 +340,91 @@ def _cmd_split_cluster(args) -> int:
     return 0 if after[-1] == stats[-1] else 3
 
 
+def _cmd_dedup_index(args) -> int:
+    """Maintenance entrypoints for the incremental MinHash dedup index
+    (operators/dedup_index.py): build or append persisted per-doc
+    state; probe a batch against history and report/persist the
+    near-duplicate pairs. One JSON line per invocation."""
+    from idhub_spark.operators.dedup_index import (
+        _load_params,
+        minhash_index_append,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from idhub_spark.sources.files import csv_scan, parquet_scan
+
+    spark = get_spark("dedup-index")
+
+    def _read(path):
+        return (
+            csv_scan(spark, path) if path.endswith(".csv") else parquet_scan(spark, path)
+        )
+
+    if args.action == "build":
+        docs = _read(args.docs)
+        minhash_index_write(
+            docs,
+            args.index,
+            n_hashes=args.n_hashes,
+            bands=args.bands,
+            pb_buckets=args.pb_buckets,
+            db_buckets=args.db_buckets,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        n = spark.read.parquet(f"{args.index.rstrip('/')}/docs").count()
+        print(json.dumps({
+            "index": args.index, "action": "build", "n_docs": n,
+            "n_hashes": args.n_hashes, "bands": args.bands,
+            "pb_buckets": args.pb_buckets, "db_buckets": args.db_buckets,
+        }))
+        return 0
+    if args.action == "append":
+        docs = _read(args.docs)
+        minhash_index_append(
+            docs, args.index, id_col=args.id_col, text_col=args.text_col
+        )
+        n = spark.read.parquet(f"{args.index.rstrip('/')}/docs").count()
+        print(json.dumps({
+            "index": args.index, "action": "append",
+            "n_batch": docs.count(), "n_docs_total": n,
+        }))
+        return 0
+    # probe
+    batch = _read(args.docs)
+    pairs = minhash_index_probe(
+        spark,
+        args.index,
+        batch,
+        threshold_est=args.threshold,
+        include_batch_pairs=not args.no_batch_pairs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    if args.out:
+        pairs.write.mode("overwrite").parquet(args.out)
+        pairs = spark.read.parquet(args.out)  # count what was written
+    from pyspark.sql import functions as F
+
+    summary = {
+        r.dup_source: r.n
+        for r in pairs.groupBy("dup_source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_exact = pairs.filter(F.col("est_jaccard") == 1.0).count()
+    n_hashes, bands, pb, db = _load_params(spark, args.index.rstrip("/"))
+    print(json.dumps({
+        "index": args.index, "action": "probe",
+        "threshold_est": args.threshold,
+        "pairs_by_source": summary, "n_exact": n_exact,
+        "params": {"n_hashes": n_hashes, "bands": bands,
+                   "pb_buckets": pb, "db_buckets": db},
+        "out": args.out,
+    }))
+    return 0
+
+
 def _cmd_compact(args) -> int:
     """Maintenance entrypoint for storage.compact_small_files: the
     incremental sinks (streaming micro-batches, per-batch staging)
@@ -505,6 +590,38 @@ def main(argv: list[str] | None = None) -> int:
         help="policy-mode runaway guard (default 16 splits per run)",
     )
     sc.set_defaults(fn=_cmd_split_cluster)
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="incremental MinHash dedup index: build/append persisted "
+        "per-doc state, or probe a batch against history",
+    )
+    di.add_argument(
+        "action", choices=["build", "append", "probe"],
+        help="build (overwrite), append a reviewed batch, or probe a "
+        "new batch for near-duplicates against history",
+    )
+    di.add_argument("--index", required=True, help="index root path")
+    di.add_argument(
+        "--docs", required=True,
+        help="document frame (parquet dir or .csv) with id/text columns",
+    )
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--n-hashes", type=int, default=16)
+    di.add_argument("--bands", type=int, default=4)
+    di.add_argument(
+        "--pb-buckets", type=int, default=64,
+        help="band-table partition count (0 = flat layout; size a few "
+        "times the typical batch's band rows — docs/operations.md)",
+    )
+    di.add_argument("--db-buckets", type=int, default=64)
+    di.add_argument("--threshold", type=float, default=0.5,
+                    help="probe: min est_jaccard to report")
+    di.add_argument("--no-batch-pairs", action="store_true",
+                    help="probe: suppress within-batch pairs")
+    di.add_argument("--out", help="probe: write the pair relation here")
+    di.set_defaults(fn=_cmd_dedup_index)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)

@@ -460,3 +460,55 @@ def minhash_index_probe(
         )
         out = out.unionByName(scored(batch_cand, b_state, "batch"))
     return out
+
+
+def minhash_index_stats(spark, path: str) -> DataFrame:
+    """Operational health of a persisted dedup index — the
+    ivf_index_stats twin: one row per state table with
+    (tbl, n_rows, n_files, n_partitions, hot_bucket_rows).
+
+    hot_bucket_rows (bands row only) is the largest (band, bkey)
+    bucket — THE candidate-join cost signal: a probe that hits a hot
+    bucket pairs against every doc in it, so a bucket holding 10^5
+    docs makes any colliding batch row emit 10^5 candidates (the
+    stop-shingle phenomenon at index scale: templated/boilerplate
+    documents collapse onto few band keys). The fix is upstream
+    (boilerplate stripping, or raising bands/rows so templated docs
+    stop colliding) — this report is what tells an operator it's
+    needed, and its aggregate shuffles one row per (band, bkey), not
+    per doc. n_partitions counts the Hive layout's directories (0 on
+    a flat index); n_rows/n_files come from the same single scan per
+    table."""
+    rows = []
+    for tbl, part_col, bucket_cols in (
+        ("docs", "db", None),
+        ("bands", "pb", ["band", "bkey"]),
+    ):
+        df = spark.read.parquet(f"{path.rstrip('/')}/{tbl}")
+        has_part = part_col in df.columns
+        agg = df.select(
+            F.input_file_name().alias("_f"),
+            *( [F.col(part_col).alias("_p")] if has_part else [F.lit(0).alias("_p")] ),
+            *(bucket_cols or []),
+        )
+        base = agg.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_f").alias("n_files"),
+            (
+                F.countDistinct("_p") if has_part else F.lit(0).cast("bigint")
+            ).alias("n_partitions"),
+        )
+        if bucket_cols:
+            hot = (
+                agg.groupBy(*bucket_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.coalesce(F.max("_n"), F.lit(0)).alias("hot_bucket_rows"))
+            )
+            base = base.crossJoin(hot)
+        else:
+            base = base.withColumn("hot_bucket_rows", F.lit(None).cast("bigint"))
+        rows.append(base.select(F.lit(tbl).alias("tbl"), "*"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tbl")

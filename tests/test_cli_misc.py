@@ -426,3 +426,47 @@ def test_cli_split_cluster_hottest(spark, tmp_path, capsys):
     assert out["n_clusters"] == 5
     assert out["rows_total"] == vectors.count()
     assert not os.path.isdir(f"{idx}/cluster={out['split_cluster']}")
+
+
+def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
+    """dedup-index build -> probe (--out persisted pairs) -> append ->
+    totals: the CLI front over operators/dedup_index.py."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 7} common text body number {i} tail words here")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    rc = cli.main(
+        ["dedup-index", "build", "--index", idx, "--docs", src,
+         "--pb-buckets", "8", "--db-buckets", "8"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 40 and rep["pb_buckets"] == 8
+
+    batch = docs.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    bsrc = str(tmp_path / "batch")
+    batch.write.parquet(bsrc)
+    pairs_out = str(tmp_path / "pairs")
+    rc = cli.main(
+        ["dedup-index", "probe", "--index", idx, "--docs", bsrc,
+         "--out", pairs_out, "--no-batch-pairs"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_exact"] >= 1
+    assert rep["pairs_by_source"].get("history", 0) >= 1
+    got = {(r.new_id, r.dup_id) for r in spark.read.parquet(pairs_out).collect()}
+    assert (1007, 7) in got
+
+    rc = cli.main(["dedup-index", "append", "--index", idx, "--docs", bsrc])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs_total"] == 41

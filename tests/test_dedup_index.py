@@ -254,3 +254,44 @@ def test_append_crash_protocol(spark, docs, tmp_path):
     assert (b2_id + 700_000, b2_id, 1.0, "history") in {
         tuple(r) for r in got.collect()
     }
+
+
+def test_minhash_index_stats(spark, docs, tmp_path):
+    """The dedup index's health report: per-table rows/files/partition
+    counts and the hot-band-bucket size (the candidate-join straggler
+    signal). Planted: 5 exact copies of one doc collapse onto the same
+    band keys, so the hottest (band, bkey) bucket must hold >= 6 docs."""
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_stats,
+        minhash_index_write,
+    )
+
+    path = str(tmp_path / "mh_stats")
+    one = docs.filter(F.col("doc_id") == docs.select(F.min("doc_id")).first()[0])
+    copies = [
+        one.select((F.col("doc_id") + 1000 + i).alias("doc_id"), "text")
+        for i in range(5)
+    ]
+    corpus = docs
+    for c in copies:
+        corpus = corpus.unionByName(c)
+    minhash_index_write(corpus, path, n_hashes=16, bands=4, pb_buckets=16)
+
+    st = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    n = corpus.count()
+    assert st["docs"].n_rows == n
+    assert st["bands"].n_rows == 4 * n
+    assert st["bands"].n_partitions <= 16 and st["bands"].n_partitions > 1
+    assert st["docs"].n_partitions > 1  # db layout present (default 64)
+    assert st["bands"].hot_bucket_rows >= 6  # the planted hot bucket
+    assert st["docs"].hot_bucket_rows is None
+    assert st["docs"].n_files >= st["docs"].n_partitions
+
+    # flat layout: no partitions, stats still well-formed
+    flat = str(tmp_path / "mh_stats_flat")
+    minhash_index_write(
+        corpus, flat, n_hashes=8, bands=2, pb_buckets=0, db_buckets=0
+    )
+    st2 = {r.tbl: r for r in minhash_index_stats(spark, flat).collect()}
+    assert st2["docs"].n_partitions == 0 and st2["bands"].n_partitions == 0
+    assert st2["bands"].n_rows == 2 * n
