@@ -1630,8 +1630,13 @@ def ivf_index_split_cluster(
     )
     # the marker is the LAST staging write and precedes the delete: its
     # presence certifies a complete staging; its content keys a later
-    # rerun's discard-vs-resume decision to THIS cluster
-    spark.createDataFrame([(int(cluster),)], "cluster int").coalesce(
+    # rerun's discard-vs-resume decision to THIS cluster. JVM literal
+    # frame: a createDataFrame+coalesce(1) write costs ~5 s per split
+    # iteration (sequentialized Python partitions — literal_frame
+    # docstring)
+    from idhub_spark.session import literal_frame
+
+    literal_frame(spark, [(int(cluster),)], "cluster int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{staging}/_source_cluster")
     # phase 2 — APPLY: delete old, rename staged dirs in, refresh fits

@@ -291,7 +291,13 @@ def minhash_index_write(
     _write_table(docs_df, f"{root}/docs", "db" if db_buckets else None)
     _write_table(bands_df, f"{root}/bands", "pb" if pb_buckets else None)
     state.unpersist()
-    spark.createDataFrame(
+    from idhub_spark.session import literal_frame
+
+    # JVM literal, not createDataFrame: a parallelize-backed 1-row
+    # frame under coalesce(1) runs its Python partitions sequentially
+    # (~5 s measured for this exact write; literal_frame docstring)
+    literal_frame(
+        spark,
         [(n_hashes, bands, pb_buckets, db_buckets)],
         "n_hashes int, bands int, pb_buckets int, db_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_params")
@@ -369,7 +375,15 @@ def minhash_index_probe(
     probe degrades to streaming the two narrow tables — the r11
     behavior, still 100-1000x less I/O than re-shingling raw text.
     The returned frame is deterministic and byte-identical across
-    layouts."""
+    layouts.
+
+    Bulk-backfill caveat: on a db-bucketed index the candidate set is
+    localCheckpointed (executor memory/disk, ∝ matched candidates) to
+    derive the doc-partition prune set without recomputing the join —
+    right for the ingest-batch cadence this index serves; a backfill
+    the size of history touches every bucket anyway, so run those
+    against a flat (pb=db=0) index, which skips both the checkpoint
+    and the pointless prune (docs/operations.md sizing note)."""
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
     b_state = _doc_state(

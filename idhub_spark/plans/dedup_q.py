@@ -1219,7 +1219,13 @@ def minhash_index_probe_state(spark, sf_dir):
         "idhub_mh_index",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
-    minhash_index_write(hist, path, n_hashes=16, bands=4)
+    # pb/db sized to THIS history per the operations.md rule (a few
+    # times the batch's band rows / candidate volume — 4096-dir
+    # layouts are for 10^7+ histories and only add per-probe file
+    # overhead here; the pruning CONTRACT is plan-asserted in pytest)
+    minhash_index_write(
+        hist, path, n_hashes=16, bands=4, pb_buckets=16, db_buckets=16
+    )
 
     exact = hist.filter(F.col("doc_id") % 21 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"

@@ -605,7 +605,10 @@ def split_hot_clusters_state(spark, sf_dir):
     )
     vectors = blob.unionByName(rest)
     dim = e.select(F.size("embedding")).first()[0]
-    reps = spark.createDataFrame(
+    from idhub_spark.session import literal_frame
+
+    reps = literal_frame(
+        spark,
         [(0, [10.0] * dim), (1, [-0.5] * dim), (2, [0.5] * dim)],
         "vec_id long, embedding array<double>",
     )
@@ -618,7 +621,11 @@ def split_hot_clusters_state(spark, sf_dir):
     ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
     n_before = vectors.count()
 
-    cents, report = split_hot_clusters(spark, path, max_share=0.45, k2=2)
+    # max_iter=2 on the sub-fit: the blob is two clean half-blobs, so
+    # Lloyd's converges immediately and extra iterations only add jobs
+    cents, report = split_hot_clusters(
+        spark, path, max_share=0.45, k2=2, max_iter=2
+    )
 
     stats = {
         r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
@@ -638,8 +645,12 @@ def split_hot_clusters_state(spark, sf_dir):
         ("staging_clean", not os.path.isdir(f"{path}/_split_staging")),
         ("fits_match", fits == set(stats) == cent_set),
     ]
-    return spark.createDataFrame(
-        [(m, 1 if ok else 0) for m, ok in checks], "metric string, ok bigint"
+    from idhub_spark.session import literal_frame
+
+    return literal_frame(
+        spark,
+        [(m, 1 if ok else 0) for m, ok in checks],
+        "metric string, ok bigint",
     )
 
 
@@ -680,8 +691,11 @@ def pq_drift_check(spark, sf_dir):
         )
         .select("vec_id", "embedding")
     )
-    m = 4
-    codebook = pq_fit(base, m=m, k=8, max_iter=2)
+    # smallest codebook that still exercises every contract (the
+    # checks are m-generic; pq_fit runs one kmeans per subspace per
+    # iteration, so m x max_iter is the query's job count)
+    m = 2
+    codebook = pq_fit(base, m=m, k=4, max_iter=1)
     vtype = dict(base.dtypes)["embedding"]
     one = base.limit(1)
     nulls = one.select(

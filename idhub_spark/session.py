@@ -103,3 +103,40 @@ ALL_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def literal_frame(spark: SparkSession, rows: list[tuple], schema: str):
+    """JVM-side twin of spark.createDataFrame(rows, schema) for SMALL
+    driver-side literal relations (markers, params, verdict rows):
+    range(1) + explode(array(struct(lit...))) keeps the plan entirely
+    in the JVM.
+
+    Why it exists (measured, local[32]): createDataFrame parallelizes
+    even a 1-row list over defaultParallelism Python slices; an action
+    runs them as Python tasks (fine in parallel, ~1 s), but
+    .coalesce(1) — the natural move before writing a tiny sidecar —
+    collapses them into ONE task that executes all 32 Python partition
+    computations SEQUENTIALLY: ~5 s for a 1-row parquet write vs
+    ~0.2 s for this JVM literal. The same serialization happens on a
+    cluster; tiny control-plane writes should never ride a Python RDD.
+
+    `schema` is the same "name type, name type" DDL string
+    createDataFrame takes; values are F.lit()-able scalars (None ok).
+    """
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    if not rows:
+        raise ValueError("literal_frame: rows must be non-empty")
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n.strip())
+                for v, (n, t) in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
