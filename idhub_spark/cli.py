@@ -348,6 +348,7 @@ def _cmd_dedup_index(args) -> int:
     from idhub_spark.operators.dedup_index import (
         _load_params,
         minhash_index_append,
+        minhash_index_delete,
         minhash_index_probe,
         minhash_index_write,
     )
@@ -360,6 +361,13 @@ def _cmd_dedup_index(args) -> int:
             csv_scan(spark, path) if path.endswith(".csv") else parquet_scan(spark, path)
         )
 
+    if args.action == "delete":
+        ids = _read(args.docs).select(args.id_col)
+        rep = minhash_index_delete(
+            spark, args.index, ids, id_col=args.id_col
+        )
+        print(json.dumps({"index": args.index, "action": "delete", **rep}))
+        return 0
     if args.action == "build":
         docs = _read(args.docs)
         minhash_index_write(
@@ -422,6 +430,25 @@ def _cmd_dedup_index(args) -> int:
                    "pb_buckets": pb, "db_buckets": db},
         "out": args.out,
     }))
+    return 0
+
+
+def _cmd_index_delete(args) -> int:
+    """Retract vectors from an on-disk IVF index: only their cluster
+    directories are rewritten (emptied ones dropped); one JSON line."""
+    from idhub_spark.operators.ann import ivf_index_delete
+    from idhub_spark.sources.files import parquet_scan
+
+    spark = get_spark("index-delete")
+    if args.ids_path:
+        ids = parquet_scan(spark, args.ids_path).select(args.id_col)
+    elif args.ids:
+        ids = [int(x) for x in args.ids.split(",")]
+    else:
+        print("index-delete: pass --ids or --ids-path", file=sys.stderr)
+        return 2
+    rep = ivf_index_delete(spark, args.index, ids, id_col=args.id_col)
+    print(json.dumps({"index": args.index, **rep}))
     return 0
 
 
@@ -597,9 +624,10 @@ def main(argv: list[str] | None = None) -> int:
         "per-doc state, or probe a batch against history",
     )
     di.add_argument(
-        "action", choices=["build", "append", "probe"],
-        help="build (overwrite), append a reviewed batch, or probe a "
-        "new batch for near-duplicates against history",
+        "action", choices=["build", "append", "probe", "delete"],
+        help="build (overwrite), append a reviewed batch, probe a new "
+        "batch for near-duplicates against history, or delete "
+        "(retract) documents — --docs then carries the id frame",
     )
     di.add_argument("--index", required=True, help="index root path")
     di.add_argument(
@@ -622,6 +650,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="probe: suppress within-batch pairs")
     di.add_argument("--out", help="probe: write the pair relation here")
     di.set_defaults(fn=_cmd_dedup_index)
+
+    idel = sub.add_parser(
+        "index-delete",
+        help="retract vectors from an on-disk IVF index (only their "
+        "cluster directories are rewritten; emptied ones dropped)",
+    )
+    idel.add_argument("--index", required=True, help="index root path")
+    idel.add_argument("--ids", help="comma-separated integer vector ids")
+    idel.add_argument("--ids-path", help="parquet frame of ids")
+    idel.add_argument("--id-col", default="vec_id")
+    idel.set_defaults(fn=_cmd_index_delete)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)

@@ -1743,3 +1743,96 @@ def split_hot_clusters(
     return cents if cents is not None else ivf_index_load_fits(
         spark, path
     )["centroids"], report
+
+
+def ivf_index_delete(
+    spark,
+    path: str,
+    ids: "DataFrame | list",
+    *,
+    id_col: str = "vec_id",
+) -> dict:
+    """Retract vectors from an on-disk IVF index (takedown/expiry
+    path): rewrite ONLY the cluster directories that hold them.
+
+    Finding the work costs ONE columnar scan of (id, cluster) over the
+    index — the id column is a few bytes/row against the code+vector
+    payload, so the scan is metadata-weight; there is no id→cluster
+    map to consult (and maintaining one would tax every append). The
+    touched-cluster set is bounded by k and collected as literals; the
+    rewrite is the partition_pruned_upsert discipline
+    (operators/merge_into.py): stage each touched cluster's SURVIVING
+    rows to _delete_staging, dynamic-overwrite the live dirs from the
+    staged copy, and explicitly drop any cluster directory whose every
+    row was deleted (dynamic overwrite cannot replace a partition with
+    empty). Centroids are left alone — an emptied cluster simply
+    yields no candidates; reclaim it at the next re-fit or via
+    split/compact maintenance. Rerunning after a crash is idempotent
+    (already-deleted ids match nothing). Untouched directories are
+    never rewritten (mtime-stable, test-pinned).
+
+    Returns {"rows_deleted", "clusters_rewritten", "clusters_dropped"}.
+    """
+    from pyspark.sql import Observation
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+    from idhub_spark.session import literal_frame
+
+    root = path.rstrip("/")
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(id_col).alias(id_col)).distinct()
+    else:
+        if not ids:
+            raise ValueError("ivf_index_delete: empty id list")
+        dtype = "bigint" if all(isinstance(i, int) for i in ids) else "string"
+        ids_df = literal_frame(
+            spark, [(i,) for i in ids], f"{id_col} {dtype}"
+        ).distinct()
+
+    hits = (
+        spark.read.parquet(root)
+        .select(id_col, "cluster")
+        .join(ids_df, id_col, "semi")
+    )
+    per_cluster = hits.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    touched = [int(r.cluster) for r in per_cluster]
+    rows_deleted = int(sum(r.n for r in per_cluster))
+    if not touched:
+        return {"rows_deleted": 0, "clusters_rewritten": 0, "clusters_dropped": 0}
+
+    staging = f"{root}/_delete_staging"
+    survivors = (
+        spark.read.parquet(root)
+        .filter(F.col("cluster").isin(touched))
+        .join(ids_df, id_col, "anti")
+    )
+    obs = Observation()
+    (
+        survivors.observe(obs, F.collect_set(F.col("cluster")).alias("present"))
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staging)
+    )
+    present = {int(c) for c in obs.get["present"]}
+    if present:
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster")
+            .parquet(root)
+        )
+    fs, jstag = _hadoop_fs(spark, staging)
+    dropped = set(touched) - present
+    for c in dropped:
+        _, jdir = _hadoop_fs(spark, f"{root}/cluster={c}")
+        fs.delete(jdir, True)
+    fs.delete(jstag, True)
+    return {
+        "rows_deleted": rows_deleted,
+        "clusters_rewritten": len(present),
+        "clusters_dropped": len(dropped),
+    }

@@ -526,3 +526,158 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("tbl")
+
+
+def minhash_index_delete(
+    spark,
+    path: str,
+    ids: DataFrame | list,
+    *,
+    id_col: str = "doc_id",
+) -> dict:
+    """Retract documents from the index (takedown/expiry/GDPR path):
+    rewrite ONLY the partitions that can hold their state, leave every
+    other file untouched.
+
+    Pruning needs no index scan to FIND the work: a doc's db partition
+    is pmod(xxhash64(doc_id), D) — computable from the ids alone — and
+    its band partitions derive from its stored sig (a projection over
+    the db-pruned doomed rows). Per-table rewrite is the
+    partition_pruned_upsert discipline (operators/merge_into.py):
+    stage the touched partitions' SURVIVING image to a sibling
+    _delete_staging, dynamic-overwrite the live table from the staged
+    copy, and explicitly drop any partition directory whose every row
+    was deleted (dynamic overwrite can only replace partitions present
+    in the written data). On a FLAT (pb/db=0) index there is nothing
+    to prune and both tables rewrite wholesale — correct, I/O ∝ table;
+    use the bucketed layout where deletes are routine.
+
+    Order is load-bearing: BANDS rewrite first. Band partitions are
+    derived from the doomed docs' stored sigs, so deleting the docs
+    rows first would strand unreachable band rows if the run crashed
+    between the two rewrites. Bands-first is idempotently resumable:
+    a rerun re-derives everything from the still-present docs rows
+    (the bands anti-join is a no-op where already applied). A stale
+    _delete_staging from a crashed run is overwritten by the next run
+    and invisible to scans (underscore prefix).
+
+    Returns {"rows_deleted", "docs_partitions_rewritten",
+    "bands_partitions_rewritten"} (0-partition values on flat
+    layouts mean 'whole table')."""
+    from idhub_spark.session import literal_frame
+
+    root = path.rstrip("/")
+    n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    else:
+        if not ids:
+            raise ValueError("minhash_index_delete: empty id list")
+        dtype = "bigint" if all(isinstance(i, int) for i in ids) else "string"
+        ids_df = literal_frame(
+            spark, [(i,) for i in ids], f"doc_id {dtype}"
+        ).distinct()
+
+    staging = f"{root}/_delete_staging"
+
+    def _pruned(table, part_col, buckets, parts):
+        df = spark.read.parquet(f"{root}/{table}")
+        if buckets and parts is not None:
+            df = df.filter(F.col(part_col).isin(parts))
+        return df
+
+    def _rewrite(table, part_col, buckets, parts, survivors):
+        """Stage survivors, dynamic-overwrite live, drop emptied dirs."""
+        from pyspark.sql import Observation
+
+        from idhub_spark.operators.merge_into import _hadoop_fs
+
+        st = f"{staging}/{table}"
+        if buckets:
+            obs = Observation()
+            (
+                survivors.observe(
+                    obs, F.collect_set(F.col(part_col)).alias("present")
+                )
+                .repartition(F.col(part_col))
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(st)
+            )
+            present = set(obs.get["present"])
+            if present:
+                (
+                    spark.read.parquet(st)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(part_col)
+                    .parquet(f"{root}/{table}")
+                )
+            fs, _ = _hadoop_fs(spark, root)
+            for p in set(parts) - present:
+                _, jdir = _hadoop_fs(spark, f"{root}/{table}/{part_col}={p}")
+                fs.delete(jdir, True)
+        else:
+            # flat layout: whole-table rewrite through the staged copy
+            # (never overwrite a path the plan also reads)
+            survivors.write.mode("overwrite").parquet(st)
+            spark.read.parquet(st).write.mode("overwrite").parquet(
+                f"{root}/{table}"
+            )
+
+    dbs = None
+    if db_buckets:
+        dbs = [
+            r.db
+            for r in ids_df.select(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(db_buckets)).alias(
+                    "db"
+                )
+            )
+            .distinct()
+            .collect()
+        ]
+    docs_tbl = _pruned("docs", "db", db_buckets, dbs)
+    doomed = docs_tbl.join(ids_df, "doc_id", "semi").localCheckpoint(
+        eager=True
+    )
+    rows_deleted = doomed.count()
+
+    pbs = None
+    if pb_buckets:
+        pbs = [
+            r.pb
+            for r in _bands_from_state(
+                doomed.select("doc_id", "sig", "n_sh"),
+                n_hashes=n_hashes,
+                bands=bands,
+            )
+            .select(F.pmod(F.col("bkey"), F.lit(pb_buckets)).alias("pb"))
+            .distinct()
+            .collect()
+        ]
+    bands_tbl = _pruned("bands", "pb", pb_buckets, pbs)
+    _rewrite(
+        "bands",
+        "pb",
+        pb_buckets,
+        pbs,
+        bands_tbl.join(ids_df, "doc_id", "anti"),
+    )
+    _rewrite(
+        "docs",
+        "db",
+        db_buckets,
+        dbs,
+        docs_tbl.join(ids_df, "doc_id", "anti"),
+    )
+    doomed.unpersist()
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jstag = _hadoop_fs(spark, staging)
+    fs.delete(jstag, True)
+    return {
+        "rows_deleted": int(rows_deleted),
+        "docs_partitions_rewritten": len(dbs) if dbs is not None else 0,
+        "bands_partitions_rewritten": len(pbs) if pbs is not None else 0,
+    }

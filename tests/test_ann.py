@@ -1041,3 +1041,74 @@ def test_split_hot_clusters_policy_skewed(spark, tmp_path):
     assert checks.min_n == 5  # full result set per query
     assert checks.max_nb < 168  # every neighbor is a blob member
     assert checks.min_cos > 0.999  # routed to the true near-dup mass
+
+
+def test_ivf_index_delete(spark, vectors, tmp_path):
+    """Vector retraction: deleted ids vanish from the index and from
+    search results, only their cluster directories are rewritten
+    (others mtime-stable), an entirely-emptied cluster's directory is
+    dropped outright, staging is cleaned, and a rerun is a no-op."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_index_delete,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    n_total = vectors.count()
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    small = min((c for c in stats if c >= 0), key=lambda c: stats[c])
+    big = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+
+    # victims: the ENTIRE smallest cluster + one row of the biggest
+    idx = spark.read.parquet(path)
+    victims = [
+        r.vec_id for r in idx.filter(F.col("cluster") == small).collect()
+    ] + [
+        idx.filter(F.col("cluster") == big).select(F.min("vec_id")).first()[0]
+    ]
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+        if f"cluster={small}/" not in f and f"cluster={big}/" not in f
+    }
+
+    rep = ivf_index_delete(spark, path, [int(v) for v in victims])
+    assert rep["rows_deleted"] == len(victims)
+    assert rep["clusters_dropped"] == 1 and rep["clusters_rewritten"] == 1
+    assert not os.path.isdir(f"{path}/_delete_staging")
+    assert not os.path.isdir(f"{path}/cluster={small}")  # emptied -> dropped
+
+    post = spark.read.parquet(path)
+    assert post.count() == n_total - len(victims)
+    assert post.filter(F.col("vec_id").isin([int(v) for v in victims])).count() == 0
+    after = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+        if f"cluster={small}/" not in f and f"cluster={big}/" not in f
+    }
+    assert untouched and after == untouched  # other dirs never rewritten
+
+    # search: full k results, none of them deleted (fits untouched —
+    # the emptied cluster simply yields no candidates)
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") < 4), k=5, nprobe=4
+    )
+    rows = got.collect()
+    assert {r.query_id for r in rows} and all(
+        r.neighbor_id not in set(victims) for r in rows
+    )
+
+    # rerun: idempotent no-op
+    rep2 = ivf_index_delete(spark, path, [int(v) for v in victims])
+    assert rep2 == {
+        "rows_deleted": 0, "clusters_rewritten": 0, "clusters_dropped": 0
+    }

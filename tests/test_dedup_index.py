@@ -295,3 +295,69 @@ def test_minhash_index_stats(spark, docs, tmp_path):
     st2 = {r.tbl: r for r in minhash_index_stats(spark, flat).collect()}
     assert st2["docs"].n_partitions == 0 and st2["bands"].n_partitions == 0
     assert st2["bands"].n_rows == 2 * n
+
+
+def test_minhash_index_delete(spark, docs, tmp_path):
+    """Retraction: deleted docs vanish from BOTH state tables, their
+    exact copies stop probing as duplicates, untouched partitions'
+    files are never rewritten, and the flat layout deletes correctly
+    too (whole-table rewrite)."""
+    from idhub_spark.operators.dedup_index import minhash_index_delete
+
+    path = str(tmp_path / "mh_del")
+    minhash_index_write(docs, path, n_hashes=16, bands=4, pb_buckets=16,
+                        db_buckets=16)
+    n0 = docs.count()
+    victims = [r.doc_id for r in docs.limit(3).collect()]
+    survivors_probe = docs.filter(~F.col("doc_id").isin(victims))
+    keep_id = survivors_probe.select(F.min("doc_id")).first()[0]
+
+    before = {f: os.path.getmtime(f) for f in _state_files(path)}
+    rep = minhash_index_delete(spark, path, victims)
+    assert rep["rows_deleted"] == 3
+    assert 0 < rep["docs_partitions_rewritten"] <= 16
+    assert 0 < rep["bands_partitions_rewritten"] <= 16
+    assert not os.path.isdir(f"{path}/_delete_staging")
+
+    post_docs = spark.read.parquet(f"{path}/docs")
+    post_bands = spark.read.parquet(f"{path}/bands")
+    assert post_docs.count() == n0 - 3
+    assert post_docs.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert post_bands.filter(F.col("doc_id").isin(victims)).count() == 0
+
+    # only touched partitions rewritten: every file in an untouched
+    # partition dir keeps its mtime
+    after = {f: os.path.getmtime(f) for f in _state_files(path)}
+    untouched = [
+        f for f in before
+        if f in after and after[f] == before[f]
+    ]
+    assert untouched  # some partitions were provably left alone
+
+    # probe semantics: no pair may point at a deleted doc (the corpus
+    # plants duplicate texts, so a ghost copy can legitimately still
+    # match a SURVIVING doc with the same text — only pairs to the
+    # victims themselves must vanish)
+    ghost = _exact_copies(docs.filter(F.col("doc_id") == victims[0]), 1, 800_000)
+    got_ghost = minhash_index_probe(
+        spark, path, ghost, include_batch_pairs=False
+    ).collect()
+    assert not any(r.dup_id in victims for r in got_ghost)
+    alive = _exact_copies(docs.filter(F.col("doc_id") == keep_id), 1, 800_000)
+    got = minhash_index_probe(spark, path, alive, include_batch_pairs=False)
+    assert (keep_id + 800_000, keep_id, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
+
+    # flat layout: same semantics, whole-table rewrite
+    flat = str(tmp_path / "mh_del_flat")
+    minhash_index_write(docs, flat, n_hashes=8, bands=2, pb_buckets=0,
+                        db_buckets=0)
+    rep2 = minhash_index_delete(spark, flat, victims)
+    assert rep2["rows_deleted"] == 3
+    assert rep2["docs_partitions_rewritten"] == 0  # 0 = whole table
+    assert spark.read.parquet(f"{flat}/docs").count() == n0 - 3
+    assert (
+        spark.read.parquet(f"{flat}/bands")
+        .filter(F.col("doc_id").isin(victims)).count() == 0
+    )
