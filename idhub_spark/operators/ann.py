@@ -1546,16 +1546,24 @@ def ivf_index_split_cluster(
 
     if fs.exists(jstag):
         _, jmark = jvm_path(f"{staging}/_source_cluster")
-        if not fs.exists(jmark):
-            # the marker is written before the old-dir delete, so a
-            # markerless staging can never have been applied — discard
+        staged_cluster = None
+        if fs.exists(jmark):
+            try:
+                staged_cluster = int(
+                    spark.read.parquet(f"{staging}/_source_cluster")
+                    .collect()[0]
+                    .cluster
+                )
+            except Exception:
+                # a partial/corrupt marker means its write never
+                # completed, and the delete only runs AFTER that write
+                # returns — so the staging is provably unapplied
+                staged_cluster = None
+        if staged_cluster is None:
+            # markerless (or corrupt-marker) staging can never have
+            # been applied — discard
             fs.delete(jstag, True)
         else:
-            staged_cluster = int(
-                spark.read.parquet(f"{staging}/_source_cluster")
-                .collect()[0]
-                .cluster
-            )
             _, jold = jvm_path(f"{root}/cluster={staged_cluster}")
             if fs.exists(jold):
                 # crashed before the delete: nothing was applied — discard

@@ -214,7 +214,18 @@ def _move_tree(spark, fs, src: str, dst: str) -> None:
             _, jdst_dir = _hadoop_fs(spark, dst)
             fs.mkdirs(jdst_dir)
             _, jdst = _hadoop_fs(spark, f"{dst}/{name}")
-            fs.rename(st.getPath(), jdst)
+            # Hadoop rename signals failure by RETURNING false (e.g. a
+            # same-named dst already exists) — ignoring it and then
+            # deleting the staging would silently lose the batch's
+            # rows. Part-file names are write-unique UUIDs, so this
+            # should never fire; if it does, fail loudly with the
+            # staging intact (the next append resumes it).
+            if not fs.rename(st.getPath(), jdst):
+                raise RuntimeError(
+                    f"dedup-index staging promotion: rename failed for "
+                    f"{src}/{name} -> {dst}/{name}; staging left in "
+                    "place for resume"
+                )
         else:
             _move_tree(spark, fs, f"{src}/{name}", f"{dst}/{name}")
 

@@ -122,10 +122,20 @@ def literal_frame(spark: SparkSession, rows: list[tuple], schema: str):
 
     `schema` is the same "name type, name type" DDL string
     createDataFrame takes; values are F.lit()-able scalars (None ok).
+    Limitation: the parser splits on commas, so field TYPES must not
+    contain them (scalars and array<...> are fine; map/struct types
+    are not — those frames aren't control-plane literals anyway).
     """
     fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
     if not rows:
         raise ValueError("literal_frame: rows must be non-empty")
+    if any(len(f) != 2 for f in fields) or any(
+        len(row) != len(fields) for row in rows
+    ):
+        raise ValueError(
+            f"literal_frame: schema {schema!r} must be 'name type, ...' "
+            "with comma-free types, and every row must match its arity"
+        )
     structs = [
         F.struct(
             *[

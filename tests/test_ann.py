@@ -1112,3 +1112,38 @@ def test_ivf_index_delete(spark, vectors, tmp_path):
     assert rep2 == {
         "rows_deleted": 0, "clusters_rewritten": 0, "clusters_dropped": 0
     }
+
+
+def test_ivf_index_split_discards_corrupt_marker_staging(
+    spark, vectors, tmp_path
+):
+    """A staging whose _source_cluster marker exists but is unreadable
+    (crash DURING the marker write) is provably unapplied — the marker
+    write completes before the old-dir delete runs — so the split must
+    discard it and proceed normally, not crash on the parquet read."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    n_total = vectors.count()
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    hot = max((c for c in stats if c >= 0), key=lambda c: stats[c])
+
+    marker = tmp_path / "idx" / "_split_staging" / "_source_cluster"
+    marker.mkdir(parents=True)
+    (marker / "part-corrupt.parquet").write_bytes(b"not parquet")
+
+    out = ivf_index_split_cluster(spark, path, hot, k2=2)
+    assert out.count() == 5
+    assert not os.path.isdir(f"{path}/_split_staging")
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == n_total
