@@ -433,6 +433,38 @@ def _cmd_dedup_index(args) -> int:
     return 0
 
 
+def _cmd_merge_cold(args) -> int:
+    """Maintenance entrypoint for ivf_index_merge_cold_clusters: fold
+    every cluster below --min-rows into its members' nearest surviving
+    cluster (staged, crash-safe); one JSON line."""
+    from idhub_spark.operators.ann import (
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+    )
+
+    spark = get_spark("merge-cold")
+    before = {
+        r.cluster: r.n_rows
+        for r in ivf_index_stats(spark, args.index).collect()
+    }
+    cents, rep = ivf_index_merge_cold_clusters(
+        spark, args.index, min_rows=args.min_rows
+    )
+    after = {
+        r.cluster: r.n_rows
+        for r in ivf_index_stats(spark, args.index).collect()
+    }
+    print(json.dumps({
+        "index": args.index,
+        "min_rows": args.min_rows,
+        **rep,
+        "n_clusters": cents.count(),
+        "rows_total": after[-1],
+        "rows_preserved": after[-1] == before[-1],
+    }))
+    return 0 if after[-1] == before[-1] else 3
+
+
 def _cmd_index_delete(args) -> int:
     """Retract vectors from an on-disk IVF index: only their cluster
     directories are rewritten (emptied ones dropped); one JSON line."""
@@ -650,6 +682,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="probe: suppress within-batch pairs")
     di.add_argument("--out", help="probe: write the pair relation here")
     di.set_defaults(fn=_cmd_dedup_index)
+
+    mc = sub.add_parser(
+        "merge-cold",
+        help="fold every IVF cluster below --min-rows into its "
+        "members' nearest surviving cluster (staged, crash-safe)",
+    )
+    mc.add_argument("--index", required=True, help="index root path")
+    mc.add_argument("--min-rows", type=int, required=True)
+    mc.set_defaults(fn=_cmd_merge_cold)
 
     idel = sub.add_parser(
         "index-delete",

@@ -1844,3 +1844,148 @@ def ivf_index_delete(
         "clusters_rewritten": len(present),
         "clusters_dropped": len(dropped),
     }
+
+
+def ivf_index_merge_cold_clusters(
+    spark,
+    path: str,
+    *,
+    min_rows: int,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """The split policy's inverse — fold every cluster holding FEWER
+    than min_rows rows into its members' nearest SURVIVING cluster.
+    Deletions and skew drift leave sub-scale clusters whose
+    directories tax every probe that routes to them (file-open
+    overhead without candidate mass) and whose centroids dilute the
+    routing quality budget; merging reclaims them without a re-fit.
+
+    I/O ∝ the cold clusters: only their directories are read
+    (partition-pruned), their members are re-assigned among the
+    surviving centroids (codes/vectors reused — codec state doesn't
+    change), and the re-assigned rows are APPENDED into the target
+    directories as new files (existing files never rewritten). The
+    cold centroid rows are dropped; _fits/centroids refreshes whenever
+    it exists on disk.
+
+    Crash safety — the split's staged two-phase apply, adapted to
+    many-source/existing-target geometry: (1) re-assigned members
+    (partitioned by target cluster), the surviving centroid set
+    (_new_centroids), and a _cold_clusters marker listing the source
+    ids are staged under <path>/_merge_staging — the marker is the
+    LAST staging write; (2) the cold directories are deleted; (3) the
+    staged part-files are FS-renamed INTO the target directories
+    (file-level, idempotent — each file lives in exactly one place);
+    (4) fits refresh; (5) staging removed. On entry, existing staging
+    is keyed on the MARKER: unreadable/absent marker, or every
+    recorded cold directory still present → provably unapplied →
+    discard; any recorded cold directory missing → resume (finish the
+    deletes + renames + fits), then proceed with the requested merge
+    on the resumed centroid set.
+
+    Returns (final centroids frame, report) with report =
+    {"merged_clusters": [...], "rows_moved": n}; a no-op merge (no
+    cluster below min_rows) returns the current centroids and an
+    empty report."""
+    from idhub_spark.operators.dedup_index import _move_tree
+    from idhub_spark.operators.merge_into import _hadoop_fs
+    from idhub_spark.session import literal_frame
+
+    root = path.rstrip("/")
+    staging = f"{root}/_merge_staging"
+    fs, jstag = _hadoop_fs(spark, staging)
+
+    def _apply(new_centroids_df, cold_ids):
+        for c in cold_ids:
+            _, jdir = _hadoop_fs(spark, f"{root}/cluster={c}")
+            fs.delete(jdir, True)
+        _, jdata = _hadoop_fs(spark, f"{staging}/data")
+        if fs.exists(jdata):
+            _move_tree(spark, fs, f"{staging}/data", root)
+        _, jfits = _hadoop_fs(spark, f"{root}/_fits/centroids")
+        if fs.exists(jfits):
+            ivf_index_save_fits(spark, root, centroids=new_centroids_df)
+        fs.delete(jstag, True)
+
+    if fs.exists(jstag):
+        staged_cold = None
+        try:
+            staged_cold = [
+                int(r.cluster)
+                for r in spark.read.parquet(
+                    f"{staging}/_cold_clusters"
+                ).collect()
+            ]
+        except Exception:
+            staged_cold = None
+        if staged_cold:
+            missing = [
+                c
+                for c in staged_cold
+                if not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
+            ]
+        if not staged_cold or not missing:
+            # marker incomplete, or no delete ran yet: unapplied staging
+            fs.delete(jstag, True)
+        else:
+            resumed = spark.read.parquet(
+                f"{staging}/_new_centroids"
+            ).localCheckpoint(eager=True)
+            _apply(resumed, staged_cold)
+            centroids = resumed
+
+    if centroids is None:
+        fits = ivf_index_load_fits(spark, path)
+        if "centroids" not in fits:
+            raise ValueError(
+                f"ivf_index_merge_cold_clusters: no _fits/centroids "
+                f"under {path!r}; pass centroids= explicitly"
+            )
+        centroids = fits["centroids"]
+
+    stats = {
+        r.cluster: r.n_rows
+        for r in ivf_index_stats(spark, path).collect()
+        if r.cluster >= 0
+    }
+    cold = sorted(c for c, n in stats.items() if n < min_rows)
+    if not cold:
+        return centroids, {"merged_clusters": [], "rows_moved": 0}
+    if len(cold) == len(stats):
+        raise ValueError(
+            "ivf_index_merge_cold_clusters: every cluster is below "
+            f"min_rows={min_rows} — re-fit the index instead of merging"
+        )
+
+    survivors = centroids.filter(~F.col("cluster").isin(cold)).localCheckpoint(
+        eager=True
+    )
+    members = spark.read.parquet(root).filter(F.col("cluster").isin(cold))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")),
+        survivors,
+    ).select(F.col("_id").alias(id_col), "cluster")
+    out = members.drop("cluster").join(assigned, id_col)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{staging}/data")
+    )
+    rows_moved = int(obs.get["rows"])
+    survivors.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/_new_centroids"
+    )
+    # marker LAST: its presence + a missing cold dir is the resume key
+    literal_frame(
+        spark, [(int(c),) for c in cold], "cluster int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
+    _apply(survivors, cold)
+    return survivors, {"merged_clusters": cold, "rows_moved": rows_moved}

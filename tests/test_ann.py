@@ -1147,3 +1147,139 @@ def test_ivf_index_split_discards_corrupt_marker_staging(
     assert not os.path.isdir(f"{path}/_split_staging")
     s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
     assert s2[-1] == n_total
+
+
+def _merge_fixture(spark):
+    """200 vectors in 4 groups: two big (90) and two cold (12 + 8)."""
+    from idhub_spark.operators.ann import kmeans_fit
+
+    dim = 8
+    rows = []
+    for i in range(200):
+        if i < 90:
+            base, jit = -5.0, ((i * 7) % 11) * 0.01
+        elif i < 180:
+            base, jit = 5.0, ((i * 5) % 11) * 0.01
+        elif i < 192:
+            base, jit = 10.0, ((i * 3) % 7) * 0.01
+        else:
+            base, jit = -10.0, ((i * 3) % 7) * 0.01
+        rows.append((i, [base + jit + d * 0.001 for d in range(dim)]))
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    reps = spark.createDataFrame(
+        [(0, [-5.0] * dim), (1, [5.0] * dim), (2, [10.0] * dim),
+         (3, [-10.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    return vectors, kmeans_fit(reps, k=4, max_iter=0)
+
+
+def test_ivf_index_merge_cold_clusters(spark, tmp_path):
+    """Cold clusters fold into their members' nearest survivors:
+    source dirs dropped, rows preserved (appended into targets — no
+    existing file rewritten), fits refreshed to the surviving set,
+    search intact, rerun a no-op."""
+    import glob as _glob
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_index_load_fits,
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    stats = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert stats[2] == 12 and stats[3] == 8  # the cold pair
+    before = {
+        f: os.path.getmtime(f) for f in _glob.glob(f"{path}/cluster=*/*.parquet")
+    }
+
+    cents, rep = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    assert rep == {"merged_clusters": [2, 3], "rows_moved": 20}
+    assert not os.path.isdir(f"{path}/cluster=2")
+    assert not os.path.isdir(f"{path}/cluster=3")
+    assert not os.path.isdir(f"{path}/_merge_staging")
+
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == 200 and set(s2) == {-1, 0, 1}
+    # geometry: the 10-blob joins +5's cluster, the -10-blob joins -5's
+    assert s2[0] == 98 and s2[1] == 102
+    # append-only: every pre-merge file in a SURVIVING dir is untouched
+    survivors = {f for f in before if "/cluster=2/" not in f and "/cluster=3/" not in f}
+    assert survivors and all(os.path.getmtime(f) == before[f] for f in survivors)
+    assert {r.cluster for r in cents.select("cluster").collect()} == {0, 1}
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 2
+
+    # merged members remain searchable (query 185 sits in the old 10-blob)
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") == 185), k=3, nprobe=2
+    )
+    nbs = {r.neighbor_id for r in got.collect()}
+    assert nbs and nbs <= set(range(180, 192)) - {185}
+
+    # rerun: nothing cold remains
+    cents2, rep2 = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    assert rep2 == {"merged_clusters": [], "rows_moved": 0}
+
+
+def test_ivf_index_merge_resume_after_crash(spark, tmp_path):
+    """A merge that crashed mid-apply (staging committed, only SOME
+    cold dirs deleted) must resume on the next call: remaining cold
+    dirs deleted, staged rows promoted, fits refreshed — rows never
+    duplicated."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        _assign,
+        ivf_index_load_fits,
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+    from idhub_spark.session import literal_frame
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    staging = f"{path}/_merge_staging"
+
+    # fabricate the committed staging exactly as phase 1 writes it
+    survivors = centroids.filter(~F.col("cluster").isin([2, 3]))
+    members = spark.read.parquet(path).filter(F.col("cluster").isin([2, 3]))
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col("vec_id").alias("_id"), vec_d.alias("_v")),
+        survivors,
+    ).select(F.col("_id").alias("vec_id"), "cluster")
+    (
+        members.drop("cluster")
+        .join(assigned, "vec_id")
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{staging}/data")
+    )
+    survivors.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    literal_frame(spark, [(2,), (3,)], "cluster int").coalesce(1).write.parquet(
+        f"{staging}/_cold_clusters"
+    )
+    # the crash: cluster=3 already deleted, cluster=2 not yet
+    import shutil
+
+    shutil.rmtree(f"{path}/cluster=3")
+    assert spark.read.parquet(path).count() == 192  # temporarily missing
+
+    cents, rep = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    assert rep == {"merged_clusters": [], "rows_moved": 0}  # resume, then no-op
+    assert not os.path.isdir(staging)
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s2[-1] == 200 and set(s2) == {-1, 0, 1}  # restored, not duplicated
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 2
+    assert {r.cluster for r in cents.select("cluster").collect()} == {0, 1}
