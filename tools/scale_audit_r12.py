@@ -86,7 +86,7 @@ def main() -> None:
 
     from idhub_spark.session import get_spark
 
-    sections = set(sys.argv[1:]) or {"dedup", "split", "pq"}
+    sections = set(sys.argv[1:]) or {"dedup", "split", "pq", "retract"}
     spark = get_spark()
     audit_root = os.path.join(ROOT, "r12")
     shutil.rmtree(audit_root, ignore_errors=True)
@@ -298,6 +298,87 @@ def main() -> None:
             f"rewritten={len(rewritten)} wall={w_a:.2f}s",
             flush=True,
         )
+
+    # --- 4. retraction & cold-merge at 10x --------------------------------
+    # fixed-size victim sets against growing state: dedup delete wall
+    # must track the TOUCHED partitions (bounded by victims), ivf
+    # delete = one metadata-weight (id, cluster) scan + rewrite of the
+    # victims' clusters, cold-merge = I/O ∝ the cold rows.
+    if "retract" in sections:
+        from idhub_spark.operators.ann import (
+            ivf_index_delete,
+            ivf_index_merge_cold_clusters,
+            ivf_index_stats,
+            ivf_sq8_index_write,
+            sq8_fit,
+        )
+        from idhub_spark.operators.dedup_index import (
+            minhash_index_delete,
+            minhash_index_write,
+        )
+
+        for tag, n_hist in {"S": 20_000, "XL": 200_000}.items():
+            hist = synth_docs(spark, n_hist)
+            mpath = os.path.join(audit_root, f"mh_del_{tag}")
+            minhash_index_write(
+                hist, mpath, n_hashes=16, bands=4,
+                pb_buckets=4096, db_buckets=1024,
+            )
+            victims = list(range(100, 120))  # fixed 20 docs
+            w_d, rep = timed(
+                lambda: minhash_index_delete(spark, mpath, victims), reps=1
+            )
+            print(
+                f"{tag} dedup_delete: history={n_hist} victims=20 "
+                f"rows_deleted={rep['rows_deleted']} "
+                f"docs_parts={rep['docs_partitions_rewritten']} "
+                f"bands_parts={rep['bands_partitions_rewritten']} "
+                f"wall={w_d:.2f}s",
+                flush=True,
+            )
+
+        sample = synth_vectors(spark, 4_000)
+        cents = kmeans_fit(sample, k=16, max_iter=3)
+        bnds = sq8_fit(sample)
+        for tag, n in {"S": 20_000, "XL": 200_000}.items():
+            vecs = synth_vectors(spark, n)
+            vpath = os.path.join(audit_root, f"sq8_del_{tag}")
+            ivf_sq8_index_write(vecs, cents, bnds, vpath)
+            w_v, vrep = timed(
+                lambda: ivf_index_delete(spark, vpath, list(range(50))),
+                reps=1,
+            )
+            # cold-merge: shrink two clusters to sub-scale by deleting
+            # most of their members, then fold them away
+            st = {
+                r.cluster: r.n_rows
+                for r in ivf_index_stats(spark, vpath).collect()
+                if r.cluster >= 0
+            }
+            two = sorted(st, key=st.get)[:2]
+            idx = spark.read.parquet(vpath)
+            doomed = [
+                int(r.vec_id)
+                for c in two
+                for r in idx.filter(F.col("cluster") == c)
+                .select("vec_id")
+                .collect()[: st[c] - 20]
+            ]
+            ivf_index_delete(spark, vpath, doomed)
+            w_m, (_, mrep) = timed(
+                lambda: ivf_index_merge_cold_clusters(
+                    spark, vpath, min_rows=100, centroids=cents
+                ),
+                reps=1,
+            )
+            print(
+                f"{tag} ivf_retract: corpus={n} "
+                f"delete(rows={vrep['rows_deleted']} "
+                f"clusters={vrep['clusters_rewritten']} wall={w_v:.2f}s) "
+                f"merge_cold(merged={mrep['merged_clusters']} "
+                f"rows_moved={mrep['rows_moved']} wall={w_m:.2f}s)",
+                flush=True,
+            )
 
     shutil.rmtree(audit_root, ignore_errors=True)
 
