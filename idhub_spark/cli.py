@@ -503,6 +503,13 @@ def _cmd_compact(args) -> int:
             spark, args.src, args.dst,
             target_bytes=args.target_mb * 1024 * 1024,
         )
+    elif args.minhash_index:
+        from idhub_spark.operators.dedup_index import minhash_index_compact
+
+        n_src, n_out = minhash_index_compact(
+            spark, args.src, args.dst,
+            target_bytes=args.target_mb * 1024 * 1024,
+        )
     else:
         n_src, n_out = compact_small_files(
             spark, args.src, args.dst, target_bytes=args.target_mb * 1024 * 1024
@@ -614,6 +621,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="src is an on-disk IVF index: carry its _fits sidecar to "
         "dst so the compacted index stays self-contained",
+    )
+    c.add_argument(
+        "--minhash-index",
+        action="store_true",
+        help="src is a MinHash dedup index: carry its _params sidecar "
+        "to dst so the compacted index stays self-contained",
     )
     c.set_defaults(fn=_cmd_compact)
 

@@ -692,3 +692,27 @@ def minhash_index_delete(
         "docs_partitions_rewritten": len(dbs) if dbs is not None else 0,
         "bands_partitions_rewritten": len(pbs) if pbs is not None else 0,
     }
+
+
+def minhash_index_compact(
+    spark, src_path: str, dst_path: str, *, target_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Compact a dedup index's append debris AND carry its _params to
+    the compacted copy — ivf_index_compact's twin. Every append lands
+    one file per touched partition, so a year of batch cadence is
+    10^4-10^5 small files per table; the generic
+    storage.compact_small_files bin-packs each partition directory
+    in place (zero shuffle, Hive layout preserved) but deliberately
+    skips '_'-prefixed directories, so compacting through it alone
+    would produce a dst whose probe raises 'no _params'. Returns
+    compact_small_files' (n_source_files, n_output_files)."""
+    from idhub_spark.storage import compact_small_files
+
+    n_src, n_out = compact_small_files(
+        spark, src_path, dst_path, target_bytes=target_bytes
+    )
+    params = spark.read.parquet(f"{src_path.rstrip('/')}/_params")
+    params.coalesce(1).write.mode("overwrite").parquet(
+        f"{dst_path.rstrip('/')}/_params"
+    )
+    return n_src, n_out

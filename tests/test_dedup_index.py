@@ -361,3 +361,34 @@ def test_minhash_index_delete(spark, docs, tmp_path):
         spark.read.parquet(f"{flat}/bands")
         .filter(F.col("doc_id").isin(victims)).count() == 0
     )
+
+
+def test_minhash_index_compact(spark, docs, tmp_path):
+    """Append debris bin-packs per partition directory and the
+    compacted copy stays a COMPLETE index: _params carried (the
+    generic compactor drops '_'-dirs), probe results byte-identical
+    before/after."""
+    from idhub_spark.operators.dedup_index import minhash_index_compact
+
+    src = str(tmp_path / "mh_src")
+    dst = str(tmp_path / "mh_dst")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    minhash_index_write(parts[0], src, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    minhash_index_append(parts[1], src)
+    minhash_index_append(parts[2], src)
+    n_files_src = len(_state_files(src))
+
+    batch = _exact_copies(docs, 9, 600_000)
+    before = sorted(map(tuple, minhash_index_probe(
+        spark, src, batch, include_batch_pairs=False).collect()))
+
+    n_src, n_out = minhash_index_compact(
+        spark, src, dst, target_bytes=64 * 1024 * 1024
+    )
+    assert n_src >= n_files_src and n_out < n_src  # debris glued
+    after = sorted(map(tuple, minhash_index_probe(
+        spark, dst, batch, include_batch_pairs=False).collect()))
+    assert before == after and before
+    # Hive layout survived (partition dirs present in the copy)
+    assert glob.glob(f"{dst}/bands/pb=*") and glob.glob(f"{dst}/docs/db=*")
