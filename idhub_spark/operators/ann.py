@@ -1781,8 +1781,6 @@ def ivf_index_delete(
 
     Returns {"rows_deleted", "clusters_rewritten", "clusters_dropped"}.
     """
-    from pyspark.sql import Observation
-
     from idhub_spark.operators.merge_into import _hadoop_fs
     from idhub_spark.session import literal_frame
 
@@ -1816,15 +1814,22 @@ def ivf_index_delete(
         .filter(F.col("cluster").isin(touched))
         .join(ids_df, id_col, "anti")
     )
-    obs = Observation()
     (
-        survivors.observe(obs, F.collect_set(F.col("cluster")).alias("present"))
-        .repartition(F.col("cluster"))
+        survivors.repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(staging)
     )
-    present = {int(c) for c in obs.get["present"]}
+    # present set from the staged DIRECTORY listing, not an Observation
+    # on the write: observing a write that lands ZERO rows (every row
+    # of every touched cluster deleted) never fires the metric row and
+    # the retrieval throws — the listing is free and empty-safe
+    fs0, jstag0 = _hadoop_fs(spark, staging)
+    present = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs0.listStatus(jstag0)
+        if st.getPath().getName().startswith("cluster=")
+    }
     if present:
         (
             spark.read.parquet(staging)
@@ -1950,10 +1955,17 @@ def ivf_index_merge_cold_clusters(
         for r in ivf_index_stats(spark, path).collect()
         if r.cluster >= 0
     }
-    cold = sorted(c for c, n in stats.items() if n < min_rows)
+    # coldness is judged over the CENTROID set, not just on-disk dirs:
+    # ivf_index_delete drops an emptied cluster's directory but keeps
+    # its centroid row, and such an orphan routes (and wastes) one of
+    # every matching search's nprobe slots — stats.get(c, 0) counts it
+    # as 0 rows so the merge folds it away too (no members to move,
+    # just the centroid row and the fits refresh)
+    cent_ids = {int(r.cluster) for r in centroids.select("cluster").collect()}
+    cold = sorted(c for c in cent_ids if stats.get(c, 0) < min_rows)
     if not cold:
         return centroids, {"merged_clusters": [], "rows_moved": 0}
-    if len(cold) == len(stats):
+    if len(cold) == len(cent_ids):
         raise ValueError(
             "ivf_index_merge_cold_clusters: every cluster is below "
             f"min_rows={min_rows} — re-fit the index instead of merging"
@@ -1968,18 +1980,24 @@ def ivf_index_merge_cold_clusters(
         members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")),
         survivors,
     ).select(F.col("_id").alias(id_col), "cluster")
-    out = members.drop("cluster").join(assigned, id_col)
-    from pyspark.sql import Observation
-
-    obs = Observation()
+    # checkpoint, then count + write from the materialized rows: an
+    # Observation on the write would never fire when the staged write
+    # lands ZERO rows (every cold cluster an already-emptied orphan)
+    # and its retrieval throws; the checkpoint also guarantees the
+    # count and the written rows are the same computation
+    out = (
+        members.drop("cluster")
+        .join(assigned, id_col)
+        .localCheckpoint(eager=True)
+    )
+    rows_moved = int(out.count())
     (
-        out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        .repartition(F.col("cluster"))
+        out.repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{staging}/data")
     )
-    rows_moved = int(obs.get["rows"])
+    out.unpersist()
     survivors.coalesce(1).write.mode("overwrite").parquet(
         f"{staging}/_new_centroids"
     )

@@ -599,23 +599,26 @@ def minhash_index_delete(
 
     def _rewrite(table, part_col, buckets, parts, survivors):
         """Stage survivors, dynamic-overwrite live, drop emptied dirs."""
-        from pyspark.sql import Observation
-
         from idhub_spark.operators.merge_into import _hadoop_fs
 
         st = f"{staging}/{table}"
         if buckets:
-            obs = Observation()
             (
-                survivors.observe(
-                    obs, F.collect_set(F.col(part_col)).alias("present")
-                )
-                .repartition(F.col(part_col))
+                survivors.repartition(F.col(part_col))
                 .write.mode("overwrite")
                 .partitionBy(part_col)
                 .parquet(st)
             )
-            present = set(obs.get["present"])
+            # present set from the staged DIRECTORY listing: an
+            # Observation on a ZERO-row staged write (every row of
+            # every touched partition deleted) never fires its metric
+            # row and the retrieval throws; the listing is empty-safe
+            fs_st, jst = _hadoop_fs(spark, st)
+            present = {
+                int(s.getPath().getName().split("=", 1)[1])
+                for s in fs_st.listStatus(jst)
+                if s.getPath().getName().startswith(f"{part_col}=")
+            }
             if present:
                 (
                     spark.read.parquet(st)

@@ -1283,3 +1283,43 @@ def test_ivf_index_merge_resume_after_crash(spark, tmp_path):
     assert s2[-1] == 200 and set(s2) == {-1, 0, 1}  # restored, not duplicated
     assert ivf_index_load_fits(spark, path)["centroids"].count() == 2
     assert {r.cluster for r in cents.select("cluster").collect()} == {0, 1}
+
+
+def test_merge_cold_reclaims_orphan_centroids(spark, tmp_path):
+    """ivf_index_delete drops an emptied cluster's DIRECTORY but keeps
+    its centroid row; every later search routed to that orphan wastes
+    one of its nprobe slots on an empty read. merge-cold must judge
+    coldness over the CENTROID set (0 rows for dir-less ids) and fold
+    the orphan away."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_index_delete,
+        ivf_index_load_fits,
+        ivf_index_merge_cold_clusters,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+
+    # empty cluster 3 entirely via retraction: dir dropped, centroid kept
+    idx = spark.read.parquet(path)
+    victims = [
+        int(r.vec_id) for r in idx.filter(F.col("cluster") == 3).collect()
+    ]
+    rep = ivf_index_delete(spark, path, victims)
+    assert rep["clusters_dropped"] == 1
+    assert not os.path.isdir(f"{path}/cluster=3")
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 4  # orphan
+
+    cents, mrep = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    # cluster 3 (orphan, 0 rows) and cluster 2 (12 rows) both fold
+    assert mrep["merged_clusters"] == [2, 3]
+    assert mrep["rows_moved"] == 12  # only cluster 2 had members left
+    assert {r.cluster for r in cents.select("cluster").collect()} == {0, 1}
+    assert ivf_index_load_fits(spark, path)["centroids"].count() == 2
+    total = spark.read.parquet(path).count()
+    assert total == 200 - len(victims)
