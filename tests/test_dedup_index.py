@@ -392,3 +392,39 @@ def test_minhash_index_compact(spark, docs, tmp_path):
     assert before == after and before
     # Hive layout survived (partition dirs present in the copy)
     assert glob.glob(f"{dst}/bands/pb=*") and glob.glob(f"{dst}/docs/db=*")
+
+
+def test_delete_then_reingest_lifecycle(spark, docs, tmp_path):
+    """Takedown reversal: a retracted doc_id can be re-accepted later
+    via a normal append — the retraction removed every old state row,
+    so re-ingestion leaves exactly one copy and probes resolve against
+    it again."""
+    from idhub_spark.operators.dedup_index import minhash_index_delete
+
+    path = str(tmp_path / "mh_cycle")
+    minhash_index_write(docs, path, n_hashes=16, bands=4, pb_buckets=16,
+                        db_buckets=16)
+    victim = int(docs.select(F.min("doc_id")).first()[0])
+    minhash_index_delete(spark, path, [victim])
+    assert (
+        spark.read.parquet(f"{path}/docs")
+        .filter(F.col("doc_id") == victim).count() == 0
+    )
+
+    # re-accept the same document (same id, same text)
+    minhash_index_append(docs.filter(F.col("doc_id") == victim), path)
+    post = spark.read.parquet(f"{path}/docs")
+    assert post.filter(F.col("doc_id") == victim).count() == 1  # exactly one
+    assert post.count() == docs.count()
+    bands_rows = (
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("doc_id") == victim).count()
+    )
+    assert bands_rows == 4  # one row per band, not doubled
+
+    # and it's probe-visible again at est 1.0
+    copy = _exact_copies(docs.filter(F.col("doc_id") == victim), 1, 750_000)
+    got = minhash_index_probe(spark, path, copy, include_batch_pairs=False)
+    assert (victim + 750_000, victim, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
