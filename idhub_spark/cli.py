@@ -406,6 +406,7 @@ def _cmd_dedup_index(args) -> int:
         batch,
         threshold_est=args.threshold,
         include_batch_pairs=not args.no_batch_pairs,
+        max_bucket_rows=args.max_bucket_rows,
         id_col=args.id_col,
         text_col=args.text_col,
     )
@@ -691,6 +692,12 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--db-buckets", type=int, default=64)
     di.add_argument("--threshold", type=float, default=0.5,
                     help="probe: min est_jaccard to report")
+    di.add_argument(
+        "--max-bucket-rows", type=int,
+        help="probe: stop-bucket guard — exclude band buckets holding "
+        "more rows than this from candidate generation (size from "
+        "dedup-index stats' hot_bucket_rows; docs/operations.md)",
+    )
     di.add_argument("--no-batch-pairs", action="store_true",
                     help="probe: suppress within-batch pairs")
     di.add_argument("--out", help="probe: write the pair relation here")

@@ -361,6 +361,7 @@ def minhash_index_probe(
     *,
     threshold_est: float = 0.5,
     include_batch_pairs: bool = True,
+    max_bucket_rows: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -394,13 +395,41 @@ def minhash_index_probe(
     right for the ingest-batch cadence this index serves; a backfill
     the size of history touches every bucket anyway, so run those
     against a flat (pb=db=0) index, which skips both the checkpoint
-    and the pointless prune (docs/operations.md sizing note)."""
+    and the pointless prune (docs/operations.md sizing note).
+
+    max_bucket_rows — the STOP-BUCKET guard, minhash_index_stats'
+    hot-bucket finding turned into an action (the stop-shingle idea
+    at index level): band buckets holding MORE than this many rows
+    are excluded from candidate generation on the side they're hot
+    in. Boilerplate/templated corpora collapse onto few band keys —
+    one bucket with 10^5 history rows makes EVERY colliding batch doc
+    emit 10^5 candidate pairs and turns the estimate join into an
+    all-pairs blowup. The recall trade is explicit and bounded: a
+    TRUE near-dup pair is only lost if every one of its `bands`
+    agreeing bands is a stop bucket, and exact copies of
+    non-boilerplate docs keep all their buckets. Size it from
+    minhash_index_stats' hot_bucket_rows (set the cap well above the
+    corpus's organic duplicate-group size, below the boilerplate
+    blob). Bucket sizes are counted per side over the PRUNED rows —
+    one extra aggregate whose shuffle carries one row per surviving
+    (band, bkey), never per doc."""
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
     b_state = _doc_state(
         batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
     b_bands = _bands_from_state(b_state, n_hashes=n_hashes, bands=bands)
+
+    def _drop_hot(bands_df):
+        if max_bucket_rows is None:
+            return bands_df
+        ok = (
+            bands_df.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_rows)
+            .select("band", "bkey")
+        )
+        return bands_df.join(ok, ["band", "bkey"], "semi")
 
     idx_bands = spark.read.parquet(f"{root}/bands")
     if pb_buckets:
@@ -413,7 +442,7 @@ def minhash_index_probe(
             .collect()
         ]
         idx_bands = idx_bands.filter(F.col("pb").isin(pbs))
-    idx_bands = idx_bands.select("band", "bkey", "doc_id")
+    idx_bands = _drop_hot(idx_bands.select("band", "bkey", "doc_id"))
 
     est = (
         F.aggregate(
@@ -474,7 +503,8 @@ def minhash_index_probe(
 
     out = scored(hist_cand, idx_docs, "history")
     if include_batch_pairs:
-        a, b = b_bands.alias("a"), b_bands.alias("b")
+        safe_bands = _drop_hot(b_bands)
+        a, b = safe_bands.alias("a"), safe_bands.alias("b")
         batch_cand = (
             a.join(b, ["band", "bkey"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -428,3 +428,48 @@ def test_delete_then_reingest_lifecycle(spark, docs, tmp_path):
     assert (victim + 750_000, victim, 1.0, "history") in {
         tuple(r) for r in got.collect()
     }
+
+
+def test_probe_stop_bucket_guard(spark, docs, tmp_path):
+    """max_bucket_rows — the boilerplate guard: a blob of identical
+    history docs collapses onto one band-key set; a colliding batch
+    doc would emit one candidate PER blob member. With the cap below
+    the blob size those pairs are excluded (bounded candidates), while
+    non-boilerplate exact copies keep every pair."""
+    from idhub_spark.operators.dedup_index import minhash_index_stats
+
+    path = str(tmp_path / "mh_stop")
+    blob_src = docs.limit(1)
+    blob = blob_src.select(
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("_i"), "text"
+    ).select((F.col("_i") + 10_000_000).alias("doc_id"), "text")
+    minhash_index_write(
+        docs.unionByName(blob), path, n_hashes=16, bands=4, pb_buckets=16,
+        db_buckets=16,
+    )
+    st = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    assert st["bands"].hot_bucket_rows >= 31  # blob + its source
+
+    # batch: one copy of the blob text + one copy of a normal doc
+    normal_id = int(
+        docs.join(blob_src.select("text"), "text", "anti")
+        .select(F.min("doc_id")).first()[0]
+    )
+    batch = blob_src.select(F.lit(20_000_001).alias("doc_id"), "text").unionByName(
+        _exact_copies(docs.filter(F.col("doc_id") == normal_id), 1, 20_000_100)
+    )
+
+    unguarded = minhash_index_probe(
+        spark, path, batch, include_batch_pairs=False
+    )
+    n_blob_pairs = unguarded.filter(F.col("new_id") == 20_000_001).count()
+    assert n_blob_pairs >= 31  # the blowup the guard exists for
+
+    guarded = minhash_index_probe(
+        spark, path, batch, include_batch_pairs=False, max_bucket_rows=20
+    )
+    rows = {tuple(r) for r in guarded.collect()}
+    # blob pairs gone (every agreeing band is a stop bucket)...
+    assert not any(r[0] == 20_000_001 for r in rows)
+    # ...while the normal exact copy keeps its pair at 1.0
+    assert (normal_id + 20_000_100, normal_id, 1.0, "history") in rows
