@@ -350,17 +350,41 @@ def _cmd_dedup_index(args) -> int:
         minhash_index_append,
         minhash_index_delete,
         minhash_index_probe,
+        minhash_index_stats,
         minhash_index_write,
     )
     from idhub_spark.sources.files import csv_scan, parquet_scan
 
     spark = get_spark("dedup-index")
+    if args.action == "stats":
+        # params first: a non-index path gets the clear 'no _params'
+        # error instead of a raw scan failure
+        n_hashes, bands, pb, db = _load_params(spark, args.index.rstrip("/"))
+        rows = minhash_index_stats(spark, args.index).collect()
+        print(json.dumps({
+            "index": args.index, "action": "stats",
+            "params": {"n_hashes": n_hashes, "bands": bands,
+                       "pb_buckets": pb, "db_buckets": db},
+            "tables": {
+                r.tbl: {
+                    "n_rows": r.n_rows, "n_files": r.n_files,
+                    "n_partitions": r.n_partitions,
+                    "hot_bucket_rows": r.hot_bucket_rows,
+                }
+                for r in rows
+            },
+        }))
+        return 0
 
     def _read(path):
         return (
             csv_scan(spark, path) if path.endswith(".csv") else parquet_scan(spark, path)
         )
 
+    if not args.docs:
+        print("dedup-index: --docs is required for this action",
+              file=sys.stderr)
+        return 2
     if args.action == "delete":
         ids = _read(args.docs).select(args.id_col)
         rep = minhash_index_delete(
@@ -670,15 +694,17 @@ def main(argv: list[str] | None = None) -> int:
         "per-doc state, or probe a batch against history",
     )
     di.add_argument(
-        "action", choices=["build", "append", "probe", "delete"],
+        "action", choices=["build", "append", "probe", "delete", "stats"],
         help="build (overwrite), append a reviewed batch, probe a new "
-        "batch for near-duplicates against history, or delete "
-        "(retract) documents — --docs then carries the id frame",
+        "batch for near-duplicates against history, delete (retract) "
+        "documents — --docs then carries the id frame — or report "
+        "index health (stats: rows/files/partitions + hot bucket)",
     )
     di.add_argument("--index", required=True, help="index root path")
     di.add_argument(
-        "--docs", required=True,
-        help="document frame (parquet dir or .csv) with id/text columns",
+        "--docs",
+        help="document frame (parquet dir or .csv) with id/text "
+        "columns; required for every action except stats",
     )
     di.add_argument("--id-col", default="doc_id")
     di.add_argument("--text-col", default="text")

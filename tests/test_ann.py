@@ -1323,3 +1323,39 @@ def test_merge_cold_reclaims_orphan_centroids(spark, tmp_path):
     assert ivf_index_load_fits(spark, path)["centroids"].count() == 2
     total = spark.read.parquet(path).count()
     assert total == 200 - len(victims)
+
+
+def test_ivf_delete_then_reingest(spark, vectors, tmp_path):
+    """Takedown reversal for the vector index: retracted ids can be
+    re-accepted via a normal append — exactly one copy afterwards,
+    searchable again."""
+    from idhub_spark.operators.ann import (
+        ivf_index_delete,
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+
+    victims = [0, 1, 2]
+    ivf_index_delete(spark, path, victims)
+    assert spark.read.parquet(path).count() == n_total - 3
+
+    ivf_sq8_index_append(
+        vectors.filter(F.col("vec_id").isin(victims)), centroids, bounds, path
+    )
+    post = spark.read.parquet(path)
+    assert post.count() == n_total
+    assert post.filter(F.col("vec_id").isin(victims)).count() == 3  # once each
+
+    got = ivf_sq8_search_index(
+        spark, path, vectors.filter(F.col("vec_id") == 0), k=3, nprobe=4
+    )
+    assert got.count() == 3  # full result set, re-ingested id queryable

@@ -470,3 +470,9 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_docs_total"] == 41
+
+    rc = cli.main(["dedup-index", "stats", "--index", idx])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["docs"]["n_rows"] == 41
+    assert rep["params"]["pb_buckets"] == 8
