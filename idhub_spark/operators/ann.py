@@ -1346,9 +1346,17 @@ def pq_drift_stats(
         F.max("mx").alias("max_se_micro"),
         # deterministic tie-break: highest total distortion, lowest sub
         F.expr("max_by(sub, struct(tot, -sub))").alias("worst_sub"),
-        F.expr("max(tot) div max(n)").cast("bigint").alias(
-            "worst_sub_mse_micro"
-        ),
+        # BOTH operands must come from the SAME (worst) sub: since the
+        # NULL-se filter, per-sub n differs when short/truncated
+        # vectors leave trailing subspaces NULL, so max(tot) div max(n)
+        # could divide one sub's distortion by ANOTHER sub's count
+        # (ADVICE r12). Same max_by tie-break as worst_sub.
+        # integer `div` (not `/` + cast): tot is an int64 micro-unit
+        # sum that can exceed 2^53, where a double quotient loses bits
+        F.expr(
+            "max_by(tot, struct(tot, -sub)) div "
+            "max_by(n, struct(tot, -sub))"
+        ).cast("bigint").alias("worst_sub_mse_micro"),
     )
 
 
@@ -1417,7 +1425,11 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     a re-fit with more clusters or splitting hot clusters). The row
     count reads ONLY the partition column (parquet metadata-weight
     scan); file counts come from input_file_name over the same scan —
-    one job, no vector bytes read."""
+    one job, no vector bytes read. Settles any pending split/merge
+    staging first (ADVICE r12) so the counts never miss rows that live
+    only in a crashed apply's staging; free (four fs.exists) when
+    nothing is pending."""
+    _settle_pending_maintenance(spark, path.rstrip("/"))
     idx = spark.read.parquet(path).select(
         "cluster", F.input_file_name().alias("_f")
     )
@@ -1444,9 +1456,14 @@ def ivf_index_compact(
     a dst whose no-arg search raises 'no _fits' — this wrapper is the
     index-aware maintenance entry point: per-cluster coalesce (zero
     shuffle, partition boundaries preserved) plus a fits re-save.
-    Returns compact_small_files' (n_source_files, n_output_files)."""
+    Settles any pending split/merge staging on the SOURCE first
+    (ADVICE r12 class): the compaction walker skips '_'-prefixed
+    directories, so a crashed apply's staged rows would silently be
+    left out of the compacted copy. Returns compact_small_files'
+    (n_source_files, n_output_files)."""
     from idhub_spark.storage import compact_small_files
 
+    _settle_pending_maintenance(spark, src_path.rstrip("/"))
     n_src, n_out = compact_small_files(
         spark, src_path, dst_path, target_bytes=target_bytes
     )
@@ -1457,6 +1474,158 @@ def ivf_index_compact(
     if fits:
         ivf_index_save_fits(spark, dst_path, **fits)
     return n_src, n_out
+
+
+def _apply_split_staging(spark, root: str, new_centroids_df) -> None:
+    """Phase 2 of a staged cluster split: FS-rename the staged
+    sub-cluster directories into the index, refresh _fits/centroids
+    when it is persisted, remove the staging. File-level renames are
+    idempotent (each file lives in exactly one place), so a crash
+    anywhere in here is resumable by _settle_split_staging."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/_split_staging"
+    fs, jst = _hadoop_fs(spark, staging)
+    for status in fs.listStatus(jst):
+        name = status.getPath().getName()
+        if name.startswith("cluster="):
+            _, jdst = _hadoop_fs(spark, f"{root}/{name}")
+            fs.rename(status.getPath(), jdst)
+    _, jfits = _hadoop_fs(spark, f"{root}/_fits/centroids")
+    if fs.exists(jfits):
+        ivf_index_save_fits(spark, root, centroids=new_centroids_df)
+    fs.delete(jst, True)
+
+
+def _settle_split_staging(spark, root: str):
+    """Resume-or-discard a pending _split_staging (the
+    ivf_index_split_cluster crash protocol, factored out so EVERY
+    maintenance entry point can run it — ADVICE r12 medium: after a
+    crashed split the old cluster dir is gone and its members live
+    ONLY in staging, so a delete/stats/merge/compact that scans the
+    index without settling first misses those rows, and a later split
+    resume would rename retracted vectors back in).
+
+    Keying is unchanged from the in-line original: a staging whose
+    _source_cluster marker is absent/corrupt, or whose recorded source
+    directory still exists, can never have been applied — discard; a
+    marker-valid staging whose source dir is gone crashed mid-apply —
+    resume (finish renames + fits from the staged centroid set).
+    Returns (staged_cluster, resumed_centroids) when a resume ran,
+    else None. Two fs.exists calls when nothing is pending."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/_split_staging"
+    fs, jstag = _hadoop_fs(spark, staging)
+    if not fs.exists(jstag):
+        return None
+    _, jmark = _hadoop_fs(spark, f"{staging}/_source_cluster")
+    staged_cluster = None
+    if fs.exists(jmark):
+        try:
+            staged_cluster = int(
+                spark.read.parquet(f"{staging}/_source_cluster")
+                .collect()[0]
+                .cluster
+            )
+        except Exception:
+            # a partial/corrupt marker means its write never completed,
+            # and the delete only runs AFTER that write returns — so
+            # the staging is provably unapplied
+            staged_cluster = None
+    if staged_cluster is None:
+        fs.delete(jstag, True)
+        return None
+    _, jold = _hadoop_fs(spark, f"{root}/cluster={staged_cluster}")
+    if fs.exists(jold):
+        # crashed before the delete: nothing was applied — discard
+        fs.delete(jstag, True)
+        return None
+    resumed = spark.read.parquet(f"{staging}/_new_centroids").localCheckpoint(
+        eager=True
+    )
+    _apply_split_staging(spark, root, resumed)
+    return staged_cluster, resumed
+
+
+def _apply_merge_staging(spark, root: str, new_centroids_df, cold_ids) -> None:
+    """Phase 2 of a staged cold-cluster merge: delete the recorded
+    cold directories, FS-rename the staged re-assigned rows INTO the
+    surviving target directories, refresh _fits/centroids when
+    persisted, remove the staging. Idempotent file-level renames —
+    resumable by _settle_merge_staging."""
+    from idhub_spark.operators.dedup_index import _move_tree
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/_merge_staging"
+    fs, jstag = _hadoop_fs(spark, staging)
+    for c in cold_ids:
+        _, jdir = _hadoop_fs(spark, f"{root}/cluster={c}")
+        fs.delete(jdir, True)
+    _, jdata = _hadoop_fs(spark, f"{staging}/data")
+    if fs.exists(jdata):
+        _move_tree(spark, fs, f"{staging}/data", root)
+    _, jfits = _hadoop_fs(spark, f"{root}/_fits/centroids")
+    if fs.exists(jfits):
+        ivf_index_save_fits(spark, root, centroids=new_centroids_df)
+    fs.delete(jstag, True)
+
+
+def _settle_merge_staging(spark, root: str):
+    """Resume-or-discard a pending _merge_staging (the
+    ivf_index_merge_cold_clusters crash protocol, factored out for the
+    same ADVICE r12 reason as _settle_split_staging). Unreadable or
+    absent _cold_clusters marker, or every recorded cold directory
+    still present → provably unapplied → discard; any recorded cold
+    directory missing → resume (finish deletes + renames + fits).
+    Returns the resumed centroid frame, else None."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/_merge_staging"
+    fs, jstag = _hadoop_fs(spark, staging)
+    if not fs.exists(jstag):
+        return None
+    try:
+        staged_cold = [
+            int(r.cluster)
+            for r in spark.read.parquet(f"{staging}/_cold_clusters").collect()
+        ]
+    except Exception:
+        staged_cold = None
+    missing = []
+    if staged_cold:
+        missing = [
+            c
+            for c in staged_cold
+            if not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
+        ]
+    if not staged_cold or not missing:
+        fs.delete(jstag, True)
+        return None
+    resumed = spark.read.parquet(f"{staging}/_new_centroids").localCheckpoint(
+        eager=True
+    )
+    _apply_merge_staging(spark, root, resumed, staged_cold)
+    return resumed
+
+
+def _settle_pending_maintenance(spark, root: str):
+    """Settle ANY pending split/merge staging before a maintenance op
+    scans the index (ADVICE r12 medium). A marker-valid staging means
+    the index is temporarily missing committed rows (they live only in
+    staging); resuming first makes the subsequent scan complete — the
+    delete path in particular must never report success over an index
+    it couldn't fully see, because the eventual resume would silently
+    reinstate the retracted vectors. Returns the freshest resumed
+    centroid set when any resume ran (callers holding a caller-passed
+    or _fits frame must prefer it — theirs predates the resume), else
+    None. Four fs.exists calls when nothing is pending."""
+    res = _settle_split_staging(spark, root)
+    cents = res[1] if res is not None else None
+    merged = _settle_merge_staging(spark, root)
+    if merged is not None:
+        cents = merged
+    return cents
 
 
 def ivf_index_split_cluster(
@@ -1523,65 +1692,29 @@ def ivf_index_split_cluster(
     (any caller-passed set predates the resume and would keep routing
     to the deleted directory). A staging without the marker can never
     have been applied — the marker write precedes the delete — so it
-    is always safe to discard."""
+    is always safe to discard. A pending _merge_staging is settled
+    first for the same reason (a crashed merge's rows live only in its
+    staging — the member scan below must see the complete index)."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     root = path.rstrip("/")
     staging = f"{root}/_split_staging"
     jvm_path = lambda p: _hadoop_fs(spark, p)  # noqa: E731
-    fs, jstag = jvm_path(staging)
+    fs, _ = jvm_path(staging)
 
-    def _apply_staged(new_centroids_df):
-        """Phase 2: rename staged cluster dirs in, refresh fits, clean."""
-        st_fs, jst = jvm_path(staging)
-        for status in st_fs.listStatus(jst):
-            name = status.getPath().getName()
-            if name.startswith("cluster="):
-                _, jdst = jvm_path(f"{root}/{name}")
-                st_fs.rename(status.getPath(), jdst)
-        _, jfits = jvm_path(f"{root}/_fits/centroids")
-        if st_fs.exists(jfits):
-            ivf_index_save_fits(spark, root, centroids=new_centroids_df)
-        st_fs.delete(jst, True)
-
-    if fs.exists(jstag):
-        _, jmark = jvm_path(f"{staging}/_source_cluster")
-        staged_cluster = None
-        if fs.exists(jmark):
-            try:
-                staged_cluster = int(
-                    spark.read.parquet(f"{staging}/_source_cluster")
-                    .collect()[0]
-                    .cluster
-                )
-            except Exception:
-                # a partial/corrupt marker means its write never
-                # completed, and the delete only runs AFTER that write
-                # returns — so the staging is provably unapplied
-                staged_cluster = None
-        if staged_cluster is None:
-            # markerless (or corrupt-marker) staging can never have
-            # been applied — discard
-            fs.delete(jstag, True)
-        else:
-            _, jold = jvm_path(f"{root}/cluster={staged_cluster}")
-            if fs.exists(jold):
-                # crashed before the delete: nothing was applied — discard
-                fs.delete(jstag, True)
-            else:
-                # crashed mid-apply: resume the STAGED cluster's split —
-                # keyed on the marker, not this call's argument (a rerun
-                # targeting a different cluster must never discard
-                # another split's only surviving rows)
-                resumed = spark.read.parquet(f"{staging}/_new_centroids")
-                resumed = resumed.localCheckpoint(eager=True)
-                _apply_staged(resumed)
-                if staged_cluster == cluster:
-                    return resumed
-                # caller asked for a DIFFERENT cluster: the interrupted
-                # split is now complete; proceed with the requested one
-                # on the resumed (authoritative) centroid set
-                centroids = resumed
+    merged = _settle_merge_staging(spark, root)
+    if merged is not None:
+        # any caller-passed set predates the resumed merge
+        centroids = merged
+    res = _settle_split_staging(spark, root)
+    if res is not None:
+        staged_cluster, resumed = res
+        if staged_cluster == cluster:
+            return resumed
+        # caller asked for a DIFFERENT cluster: the interrupted
+        # split is now complete; proceed with the requested one
+        # on the resumed (authoritative) centroid set
+        centroids = resumed
 
     if centroids is None:
         fits = ivf_index_load_fits(spark, path)
@@ -1650,7 +1783,7 @@ def ivf_index_split_cluster(
     # phase 2 — APPLY: delete old, rename staged dirs in, refresh fits
     _, jold = jvm_path(f"{root}/cluster={cluster}")
     fs.delete(jold, True)
-    _apply_staged(new_centroids)
+    _apply_split_staging(spark, root, new_centroids)
     return new_centroids
 
 
@@ -1785,6 +1918,12 @@ def ivf_index_delete(
     from idhub_spark.session import literal_frame
 
     root = path.rstrip("/")
+    # settle any pending split/merge staging FIRST (ADVICE r12 medium):
+    # after a crashed split the victims' rows may live ONLY in staging;
+    # scanning without settling would report the delete complete while
+    # a later resume renamed the retracted vectors back in — the one
+    # failure mode a takedown path must never have
+    _settle_pending_maintenance(spark, root)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(id_col).alias(id_col)).distinct()
     else:
@@ -1893,53 +2032,22 @@ def ivf_index_merge_cold_clusters(
     Returns (final centroids frame, report) with report =
     {"merged_clusters": [...], "rows_moved": n}; a no-op merge (no
     cluster below min_rows) returns the current centroids and an
-    empty report."""
-    from idhub_spark.operators.dedup_index import _move_tree
-    from idhub_spark.operators.merge_into import _hadoop_fs
+    empty report. A pending _split_staging is settled FIRST (ADVICE
+    r12): a crashed split's members live only in its staging, so the
+    stats scan below would otherwise judge coldness over an index
+    missing committed rows."""
     from idhub_spark.session import literal_frame
 
     root = path.rstrip("/")
     staging = f"{root}/_merge_staging"
-    fs, jstag = _hadoop_fs(spark, staging)
 
-    def _apply(new_centroids_df, cold_ids):
-        for c in cold_ids:
-            _, jdir = _hadoop_fs(spark, f"{root}/cluster={c}")
-            fs.delete(jdir, True)
-        _, jdata = _hadoop_fs(spark, f"{staging}/data")
-        if fs.exists(jdata):
-            _move_tree(spark, fs, f"{staging}/data", root)
-        _, jfits = _hadoop_fs(spark, f"{root}/_fits/centroids")
-        if fs.exists(jfits):
-            ivf_index_save_fits(spark, root, centroids=new_centroids_df)
-        fs.delete(jstag, True)
-
-    if fs.exists(jstag):
-        staged_cold = None
-        try:
-            staged_cold = [
-                int(r.cluster)
-                for r in spark.read.parquet(
-                    f"{staging}/_cold_clusters"
-                ).collect()
-            ]
-        except Exception:
-            staged_cold = None
-        if staged_cold:
-            missing = [
-                c
-                for c in staged_cold
-                if not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
-            ]
-        if not staged_cold or not missing:
-            # marker incomplete, or no delete ran yet: unapplied staging
-            fs.delete(jstag, True)
-        else:
-            resumed = spark.read.parquet(
-                f"{staging}/_new_centroids"
-            ).localCheckpoint(eager=True)
-            _apply(resumed, staged_cold)
-            centroids = resumed
+    split_res = _settle_split_staging(spark, root)
+    if split_res is not None:
+        # any caller-passed set predates the resumed split
+        centroids = split_res[1]
+    resumed = _settle_merge_staging(spark, root)
+    if resumed is not None:
+        centroids = resumed
 
     if centroids is None:
         fits = ivf_index_load_fits(spark, path)
@@ -2005,5 +2113,5 @@ def ivf_index_merge_cold_clusters(
     literal_frame(
         spark, [(int(c),) for c in cold], "cluster int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
-    _apply(survivors, cold)
+    _apply_merge_staging(spark, root, survivors, cold)
     return survivors, {"merged_clusters": cold, "rows_moved": rows_moved}

@@ -281,12 +281,25 @@ def minhash_index_write(
     rewritten last), so a crashed rebuild raises on the next use
     instead of serving a half-written index. doc_ids are assumed
     unique across the index's lifetime (the ingest key discipline
-    every upsert in this engine already follows)."""
+    every upsert in this engine already follows).
+
+    A rebuild also clears any leftover _append_staging/_delete_staging
+    FIRST (ADVICE r12): a staging committed against the OLD build's
+    parameters (possibly different n_hashes/bands/pb/db) must never be
+    promoted into the new index — the next append's resume would mix
+    signature lengths and partition layouts, silently breaking probes
+    and the lossless-pruning invariant. The old staging's batch was
+    part of the old index generation; the rebuild's input corpus is
+    the new truth."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     root = path.rstrip("/")
     spark = docs.sparkSession
     fs, jparams = _hadoop_fs(spark, f"{root}/_params")
+    for stale in (_STAGING, "_delete_staging"):
+        _, jst = _hadoop_fs(spark, f"{root}/{stale}")
+        if fs.exists(jst):
+            fs.delete(jst, True)
     if fs.exists(jparams):
         fs.delete(jparams, True)
     state = _doc_state(
@@ -412,9 +425,17 @@ def minhash_index_probe(
     corpus's organic duplicate-group size, below the boilerplate
     blob). Bucket sizes are counted per side over the PRUNED rows —
     one extra aggregate whose shuffle carries one row per surviving
-    (band, bkey), never per doc."""
+    (band, bkey), never per doc.
+
+    Like every other entry point, the probe first settles any pending
+    append staging (ADVICE r12): between a crash mid-promotion and the
+    next append, half the batch's files are live and half staged — a
+    promoted band row whose doc row is still staged would silently
+    drop its pair in the estimate join. The settle is two fs.exists
+    calls when no staging exists."""
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    _resume_or_discard_staging(spark, root)
     b_state = _doc_state(
         batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
@@ -533,7 +554,9 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     needed, and its aggregate shuffles one row per (band, bkey), not
     per doc. n_partitions counts the Hive layout's directories (0 on
     a flat index); n_rows/n_files come from the same single scan per
-    table."""
+    table. Settles any pending append staging first (ADVICE r12) so
+    the counts never read a half-promoted batch."""
+    _resume_or_discard_staging(spark, path.rstrip("/"))
     rows = []
     for tbl, part_col, bucket_cols in (
         ("docs", "db", None),
@@ -609,6 +632,11 @@ def minhash_index_delete(
 
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    # settle any pending append staging first (ADVICE r12): a retract
+    # that scans only the live files while a committed batch sits half
+    # (or fully) staged would miss its rows — the doomed-doc scan must
+    # see every accepted document
+    _resume_or_discard_staging(spark, root)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(id_col).alias("doc_id")).distinct()
     else:
@@ -665,9 +693,30 @@ def minhash_index_delete(
             # flat layout: whole-table rewrite through the staged copy
             # (never overwrite a path the plan also reads)
             survivors.write.mode("overwrite").parquet(st)
-            spark.read.parquet(st).write.mode("overwrite").parquet(
-                f"{root}/{table}"
+            fs_st, jst = _hadoop_fs(spark, st)
+            has_data = any(
+                not s.getPath().getName().startswith(("_", "."))
+                for s in fs_st.listStatus(jst)
             )
+            if has_data:
+                staged = spark.read.parquet(st)
+            else:
+                # every row deleted: the staged write landed zero
+                # part-files and read.parquet(st) would throw 'unable
+                # to infer schema' (ADVICE r12 — the bucketed branch's
+                # directory-listing guard, mirrored). Rewrite the live
+                # table as a schema-preserving EMPTY parquet instead:
+                # range(0) keeps the frame JVM-literal (no Python
+                # partition computes — literal_frame discipline) and
+                # repartition(1) forces one real footer-bearing file
+                # so later probes read an empty table, not an error.
+                staged = spark.range(0).select(
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in survivors.schema.fields
+                    ]
+                ).repartition(1)
+            staged.write.mode("overwrite").parquet(f"{root}/{table}")
 
     dbs = None
     if db_buckets:
@@ -737,10 +786,15 @@ def minhash_index_compact(
     storage.compact_small_files bin-packs each partition directory
     in place (zero shuffle, Hive layout preserved) but deliberately
     skips '_'-prefixed directories, so compacting through it alone
-    would produce a dst whose probe raises 'no _params'. Returns
-    compact_small_files' (n_source_files, n_output_files)."""
+    would produce a dst whose probe raises 'no _params'. Settles any
+    pending append staging on the SOURCE first (ADVICE r12 class): the
+    compaction walker skips '_'-prefixed directories, so a committed
+    but unpromoted batch would silently be LEFT OUT of the compacted
+    copy. Returns compact_small_files' (n_source_files,
+    n_output_files)."""
     from idhub_spark.storage import compact_small_files
 
+    _resume_or_discard_staging(spark, src_path.rstrip("/"))
     n_src, n_out = compact_small_files(
         spark, src_path, dst_path, target_bytes=target_bytes
     )

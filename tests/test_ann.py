@@ -583,6 +583,39 @@ def test_pq_drift_stats_exact(spark):
     assert row.worst_sub == 1 and row.worst_sub_mse_micro == 260000 // 2
 
 
+def test_pq_drift_worst_sub_uses_its_own_count(spark):
+    """Variable-length (truncated) vectors leave trailing subspaces
+    NULL, so per-sub n differs — worst_sub_mse_micro must divide the
+    worst sub's total by THAT sub's count, not by max(n) over all subs
+    (ADVICE r12: max(tot) div max(n) mixed operands from different
+    subs once the NULL-se filter made n non-uniform)."""
+    from idhub_spark.operators.ann import pq_drift_stats
+
+    codebook = spark.createDataFrame(
+        [
+            (0, 0, [0.0], 1, [0]),
+            (0, 1, [1.0], 1, [1000]),
+            (1, 0, [0.0], 1, [0]),
+            (1, 1, [1.0], 1, [1000]),
+        ],
+        "sub int, cluster int, centroid array<double>, _n long, _s array<long>",
+    )
+    # sub0: se 0, 250000, 0 (n=3, tot=250000); sub1: se 250000, 250000
+    # over the two FULL vectors only (n=2, tot=500000) — v2 is a
+    # truncated length-1 vector whose sub1 slice is empty (NULL se)
+    batch = spark.createDataFrame(
+        [(1, [0.0, 0.5]), (2, [0.5]), (3, [0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    row = pq_drift_stats(batch, codebook).collect()[0]
+    assert row.n_vectors == 3 and row.n_subvectors == 5
+    assert row.mse_micro == 750000 // 5
+    assert row.worst_sub == 1
+    # the defect reported 500000 div 3 = 166666 (sub1's tot over
+    # sub0's n); correct is sub1's own 500000 div 2
+    assert row.worst_sub_mse_micro == 250000
+
+
 def test_ivf_index_compaction_composition(spark, vectors, tmp_path):
     """Maintenance composition: repeated appends leave one file per
     cluster per batch; ivf_index_compact glues them per-leaf AND
@@ -1359,3 +1392,77 @@ def test_ivf_delete_then_reingest(spark, vectors, tmp_path):
         spark, path, vectors.filter(F.col("vec_id") == 0), k=3, nprobe=4
     )
     assert got.count() == 3  # full result set, re-ingested id queryable
+
+
+def test_maintenance_entry_points_settle_pending_split(
+    spark, vectors, tmp_path
+):
+    """ADVICE r12 medium: after a split crashed mid-apply, the split
+    members live ONLY in _split_staging — a delete that scanned the
+    index without settling first reported success while never seeing
+    those rows, and the eventual split resume renamed the retracted
+    vectors back in (the one failure a takedown path must never have);
+    stats had the same blind spot. Both entry points now settle the
+    pending staging before scanning."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        ivf_index_delete,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+    stats0 = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+    hot = max((c for c in stats0 if c >= 0), key=lambda c: stats0[c])
+    done = ivf_index_split_cluster(spark, path, hot, k2=2)
+    staging = os.path.join(path, "_split_staging")
+
+    def _rewind():
+        """Put the index back in the crashed-mid-apply state: the two
+        sub-cluster dirs live only in staging, marker valid, source
+        dir (hot) absent."""
+        os.makedirs(staging)
+        for d in _glob.glob(f"{path}/cluster=*"):
+            if int(d.rsplit("=", 1)[1]) in (4, 5):
+                shutil.move(d, os.path.join(staging, os.path.basename(d)))
+        done.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/_new_centroids"
+        )
+        spark.createDataFrame([(int(hot),)], "cluster int").coalesce(
+            1
+        ).write.parquet(f"{staging}/_source_cluster")
+
+    # (a) stats settles: the report must count the staged rows
+    _rewind()
+    assert spark.read.parquet(path).count() < n_total  # rows only staged
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s[-1] == n_total
+    assert not os.path.isdir(staging)
+
+    # (b) delete settles: retract a vector that exists ONLY in staging
+    _rewind()
+    victim = int(
+        spark.read.parquet(f"{staging}/cluster=4").select("vec_id").first()[0]
+    )
+    assert (
+        spark.read.parquet(path).filter(F.col("vec_id") == victim).count()
+        == 0
+    )  # invisible to an unsettled scan — the old silent-success shape
+    res = ivf_index_delete(spark, path, [victim])
+    assert res["rows_deleted"] == 1
+    assert not os.path.isdir(staging)
+    live = spark.read.parquet(path)
+    assert live.count() == n_total - 1
+    assert live.filter(F.col("vec_id") == victim).count() == 0

@@ -473,3 +473,154 @@ def test_probe_stop_bucket_guard(spark, docs, tmp_path):
     assert not any(r[0] == 20_000_001 for r in rows)
     # ...while the normal exact copy keeps its pair at 1.0
     assert (normal_id + 20_000_100, normal_id, 1.0, "history") in rows
+
+
+def test_rebuild_clears_stale_committed_staging(spark, docs, tmp_path):
+    """ADVICE r12 medium: a rebuild must clear a leftover COMMITTED
+    _append_staging (and _delete_staging) — it was committed against
+    the OLD build's parameters, and promoting it into the new index
+    would mix signature lengths / partition layouts, silently breaking
+    probes and the lossless-pruning invariant."""
+    import pathlib
+
+    from idhub_spark.operators.dedup_index import (
+        _COMMITTED,
+        _STAGING,
+        _doc_state,
+        _load_params,
+        _tables,
+        _write_table,
+    )
+
+    path = str(tmp_path / "mh_rebuild")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    stale_batch = docs.filter(F.col("doc_id") % 3 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=4, db_buckets=4)
+
+    # fabricate a committed staging exactly as a crashed-mid-promotion
+    # append under the OLD parameters would leave it
+    n_hashes, bands, pb_b, db_b = _load_params(spark, path)
+    staging = f"{path}/{_STAGING}"
+    state = _doc_state(
+        stale_batch, n_hashes=n_hashes, id_col="doc_id", text_col="text"
+    )
+    docs_df, bands_df = _tables(
+        state, n_hashes=n_hashes, bands=bands, pb_buckets=pb_b, db_buckets=db_b
+    )
+    _write_table(docs_df, f"{staging}/docs", "db")
+    _write_table(bands_df, f"{staging}/bands", "pb")
+    pathlib.Path(staging, _COMMITTED).touch()
+    # stale delete staging too (same clearing rule)
+    dstage = pathlib.Path(path) / "_delete_staging" / "docs"
+    dstage.mkdir(parents=True)
+    (dstage / "junk.parquet").write_bytes(b"xx")
+
+    # REBUILD with different parameters: both stagings must be gone
+    minhash_index_write(base, path, n_hashes=16, bands=4, pb_buckets=8, db_buckets=8)
+    assert not os.path.isdir(staging)
+    assert not os.path.isdir(f"{path}/_delete_staging")
+
+    # the next append must NOT promote the stale batch
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    minhash_index_append(b2, path)
+    live = spark.read.parquet(f"{path}/docs")
+    assert live.count() == base.count() + b2.count()
+    # every signature has the NEW length — no mixed-parameter rows
+    lens = {r[0] for r in live.select(F.size("sig")).distinct().collect()}
+    assert lens == {16}
+
+
+def test_probe_and_delete_settle_committed_staging(spark, docs, tmp_path):
+    """ADVICE r12 low: a probe (or delete) between a crash
+    mid-promotion and the next append must settle the committed
+    staging first — half-promoted state drops pairs in the estimate
+    join (probe) or misses doomed rows (delete)."""
+    import pathlib
+
+    from idhub_spark.operators.dedup_index import (
+        _COMMITTED,
+        _STAGING,
+        _doc_state,
+        _load_params,
+        _tables,
+        _write_table,
+        minhash_index_delete,
+    )
+
+    path = str(tmp_path / "mh_settle")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    minhash_index_write(base, path, n_hashes=8, bands=2)
+    n_hashes, bands, pb_b, db_b = _load_params(spark, path)
+    staging = f"{path}/{_STAGING}"
+
+    def _fabricate(batch):
+        state = _doc_state(
+            batch, n_hashes=n_hashes, id_col="doc_id", text_col="text"
+        )
+        docs_df, bands_df = _tables(
+            state,
+            n_hashes=n_hashes,
+            bands=bands,
+            pb_buckets=pb_b,
+            db_buckets=db_b,
+        )
+        _write_table(docs_df, f"{staging}/docs", "db" if db_b else None)
+        _write_table(bands_df, f"{staging}/bands", "pb" if pb_b else None)
+        pathlib.Path(staging, _COMMITTED).touch()
+
+    # (a) probe: an exact copy of a STAGED-ONLY doc must be found
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    _fabricate(b1)
+    b1_id = b1.select(F.min("doc_id")).first()[0]
+    probe = _exact_copies(docs.filter(F.col("doc_id") == b1_id), 1, 800_000)
+    got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
+    assert (b1_id + 800_000, b1_id, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
+    assert not os.path.isdir(staging)
+
+    # (b) delete: a STAGED-ONLY doc must be retractable
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    _fabricate(b2)
+    b2_id = int(b2.select(F.min("doc_id")).first()[0])
+    res = minhash_index_delete(spark, path, [b2_id])
+    assert res["rows_deleted"] == 1
+    assert not os.path.isdir(staging)
+    assert (
+        spark.read.parquet(f"{path}/docs")
+        .filter(F.col("doc_id") == b2_id)
+        .count()
+        == 0
+    )
+
+
+def test_flat_delete_all_leaves_readable_empty_index(spark, docs, tmp_path):
+    """ADVICE r12 low: on a FLAT (pb/db=0) layout, deleting every row
+    of a table used to stage a zero-part-file write whose read-back
+    threw 'unable to infer schema'. The live table must come back as
+    a schema-preserving EMPTY parquet: probes return no rows instead
+    of erroring."""
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_delete,
+        minhash_index_stats,
+    )
+
+    path = str(tmp_path / "mh_flat_all")
+    subset = docs.filter(F.col("doc_id") % 50 == 0)
+    minhash_index_write(subset, path, n_hashes=8, bands=2, pb_buckets=0, db_buckets=0)
+    n = subset.count()
+    assert n > 0
+
+    res = minhash_index_delete(spark, path, subset.select("doc_id"))
+    assert res["rows_deleted"] == n
+    assert spark.read.parquet(f"{path}/docs").count() == 0
+    assert spark.read.parquet(f"{path}/bands").count() == 0
+
+    # a probe against the emptied index is a clean no-match, not an error
+    probe_batch = _exact_copies(subset, 50, 600_000)
+    got = minhash_index_probe(
+        spark, path, probe_batch, include_batch_pairs=False
+    )
+    assert got.count() == 0
+    st = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    assert st["docs"].n_rows == 0 and st["bands"].n_rows == 0
