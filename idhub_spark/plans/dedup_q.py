@@ -1305,3 +1305,157 @@ def minhash_index_probe_state(spark, sf_dir):
         )
     )
     return exact_rows.unionByName(verdict)
+
+
+@query(
+    "minhash_index_lifecycle_state",
+    """
+    WITH hist AS (
+      SELECT doc_id FROM documents
+      WHERE POSITION(' ' IN text) > 0 AND doc_id % 3 = 0
+    ),
+    victims AS (SELECT doc_id FROM hist WHERE doc_id % 21 = 0),
+    survivors AS (
+      SELECT doc_id FROM hist WHERE doc_id % 15 = 0 AND doc_id % 21 <> 0
+    )
+    SELECT 'post_delete' AS phase, 'victim_absent' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM victims
+    UNION ALL
+    SELECT 'post_delete' AS phase, 'survivor_found' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM survivors
+    UNION ALL
+    SELECT 'post_reingest' AS phase, 'victim_found' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM victims
+    """,
+    doc="The dedup index's full RETRACTION lifecycle driven end to end "
+    "(operators/dedup_index.py — the takedown/GDPR path): build over "
+    "half a history slice of `documents`, append the other half, "
+    "DELETE a planted victim set (every 21st doc), probe exact copies "
+    "of victims AND surviving docs, then REINGEST the victims and "
+    "probe again. In-plan-verdict oracle (the minhash_index_probe_"
+    "state pattern — the xxhash64 signatures have no DuckDB twin, but "
+    "the lifecycle's contracts are exact): (a) post-delete, NO probe "
+    "pair may name a victim as dup_id — retraction removed its state "
+    "(partition-pruned rewrite of only the victims' db/pb "
+    "partitions); (b) post-delete, every surviving doc's exact copy "
+    "is still reported at est_jaccard exactly 1.0 — the rewrite "
+    "touched nothing else; (c) post-reingest, every victim's copy is "
+    "found again at 1.0 — delete left the index append-able. A "
+    "violated contract flips that row's ok to 0 and fails the hash. "
+    "Phase-1 results are eagerly checkpointed before the reingest "
+    "append (a pre-write file-index snapshot must never be acted on "
+    "after the write).",
+)
+def minhash_index_lifecycle_state(spark, sf_dir):
+    import os
+    import tempfile
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_delete,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    t = tables(spark, sf_dir, "documents")
+    docs = (
+        t["documents"].select("doc_id", "text").filter(F.instr("text", " ") > 0)
+    )
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "idhub_mh_lifecycle",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    # build + append: the index accrues the way production does (the
+    # lifecycle must hold over appended state, not just a fresh build);
+    # pb/db sized to this history per the operations.md rule
+    minhash_index_write(
+        hist.filter(F.col("doc_id") % 2 == 0),
+        path,
+        n_hashes=16,
+        bands=4,
+        pb_buckets=8,
+        db_buckets=8,
+    )
+    minhash_index_append(hist.filter(F.col("doc_id") % 2 == 1), path)
+
+    victims = hist.filter(F.col("doc_id") % 21 == 0)
+    survivors = hist.filter(
+        (F.col("doc_id") % 15 == 0) & (F.col("doc_id") % 21 != 0)
+    )
+    minhash_index_delete(spark, path, victims.select("doc_id"))
+
+    batch = victims.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        survivors.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    probe1 = minhash_index_probe(
+        spark, path, batch, threshold_est=0.5, include_batch_pairs=False
+    ).localCheckpoint(eager=True)
+
+    # (a) retraction: no post-delete pair may name a victim as dup_id
+    hit_v = (
+        probe1.select(F.col("dup_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_h", F.lit(1))
+    )
+    victim_absent = (
+        victims.select("doc_id")
+        .join(hit_v, "doc_id", "left")
+        .select(
+            F.lit("post_delete").alias("phase"),
+            F.lit("victim_absent").alias("kind"),
+            "doc_id",
+            F.when(F.col("_h").isNull(), 1).otherwise(0).cast("bigint").alias("ok"),
+        )
+    )
+
+    def _found(probe, offset):
+        """(doc_id, _f=1) for docs whose exact copy (doc_id+offset) the
+        probe reported against history at est exactly 1.0."""
+        return probe.filter(
+            (F.col("est_jaccard") == 1.0) & (F.col("dup_source") == "history")
+        ).select(
+            (F.col("new_id") - offset).alias("_nid"),
+            F.col("dup_id").alias("doc_id"),
+        ).filter(F.col("_nid") == F.col("doc_id")).select("doc_id").distinct().withColumn(
+            "_f", F.lit(1)
+        )
+
+    # (b) survivors' copies still found at exactly 1.0 post-delete
+    survivor_found = (
+        survivors.select("doc_id")
+        .join(_found(probe1, 2_000_000), "doc_id", "left")
+        .select(
+            F.lit("post_delete").alias("phase"),
+            F.lit("survivor_found").alias("kind"),
+            "doc_id",
+            F.coalesce("_f", F.lit(0)).cast("bigint").alias("ok"),
+        )
+    )
+
+    # (c) reingest the retracted docs; their copies are found again
+    minhash_index_append(victims, path)
+    probe2 = minhash_index_probe(
+        spark,
+        path,
+        victims.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"),
+        threshold_est=0.5,
+        include_batch_pairs=False,
+    )
+    victim_found = (
+        victims.select("doc_id")
+        .join(_found(probe2, 1_000_000), "doc_id", "left")
+        .select(
+            F.lit("post_reingest").alias("phase"),
+            F.lit("victim_found").alias("kind"),
+            "doc_id",
+            F.coalesce("_f", F.lit(0)).cast("bigint").alias("ok"),
+        )
+    )
+    return victim_absent.unionByName(survivor_found).unionByName(victim_found)

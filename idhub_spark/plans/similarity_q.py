@@ -96,9 +96,16 @@ _BUCKET_N = " || ".join(
 )
 
 
-@query(
-    "ann_topk_bucketed",
-    f"""
+# RETIRED from the registry in r13 (displacement decision, VERDICT
+# r12 #5 pattern): its single-bucket candidate plan is executed AND
+# hash-verified INSIDE the registered ann_recall_at_k (whose approx
+# side is this exact {_BUCKET_Q} = {_BUCKET_N} join, compared against
+# the brute-force twin), and ann_topk_multiprobe supersets the probe
+# (Hamming<=1 includes the Hamming=0 bucket) — three driver rows for
+# one candidate-generation mechanism taxed the 50-slot rotation
+# window. Oracle preserved verbatim; the pair stays oracle-exact in
+# CI via tests/test_retired.py.
+ANN_TOPK_BUCKETED_ORACLE = f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
     scored AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COSINE} AS cosine
@@ -110,12 +117,13 @@ _BUCKET_N = " || ".join(
       FROM scored)
     SELECT query_id, neighbor_id, cosine, rn AS rank
     FROM ranked WHERE rn <= 3
-    """,
-    doc="LSH-bucketed approximate top-3: candidates restricted to the "
-    "query's 6-sign-bit hyperoctant (the IVF-style coarse cell), so "
-    "the scan per query is |bucket| not |corpus|.",
-)
+    """
+
+
 def ann_topk_bucketed(spark, sf_dir):
+    """LSH-bucketed approximate top-3: candidates restricted to the
+    query's 6-sign-bit hyperoctant (the IVF-style coarse cell), so
+    the scan per query is |bucket| not |corpus|."""
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
@@ -738,4 +746,132 @@ def pq_drift_check(spark, sf_dir):
                 "bounds_ok"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# READY FOR r15 REGISTRATION (not yet @query'd: the r13 and r14 driver
+# windows close at exactly 50 with zero free slots — CLAUDE.md round
+# state). Slot this in the r15 window front with the oracle below; it
+# gives the remaining pytest-only IVF maintenance legs (delete,
+# cold-merge, stats consistency) their driver row in one composite.
+# ---------------------------------------------------------------------------
+IVF_MAINTENANCE_STATE_ORACLE = """
+    SELECT metric, CAST(1 AS BIGINT) AS ok FROM (VALUES
+      ('delete_count_ok'), ('victims_gone'), ('orphan_reclaimed'),
+      ('rows_moved_ok'), ('rows_preserved'), ('no_cold_left'),
+      ('fits_match'), ('stats_consistent')) AS t(metric)
+    """
+
+
+def ivf_maintenance_state(spark, sf_dir):
+    """The IVF index MAINTENANCE lifecycle driven end to end
+    (operators/ann.py — the legs split_hot_clusters_state doesn't
+    cover): build an on-disk IVF-SQ8 index, DELETE every member of its
+    smallest cluster (takedown path; the emptied cluster's directory
+    drops but its centroid row survives as an orphan), then MERGE cold
+    clusters (min_rows = smallest surviving size + 1, so at least one
+    REAL cluster folds too — rows actually move) and verify via
+    ivf_index_stats. kmeans has no tractable SQL twin, so the oracle
+    pins the lifecycle's INVARIANTS as verdict rows (the
+    split_hot_clusters_state pattern), each computed Spark-side from
+    bounded state (per-cluster stats rows, k-row centroid frames):
+
+    - delete_count_ok / victims_gone: the retraction removed exactly
+      the planted set, and no victim id remains in the index scan.
+    - orphan_reclaimed: the emptied cluster's centroid is gone from
+      the post-merge centroid set (ivf_index_delete leaves it; the
+      merge's stats.get(c, 0) coldness rule folds it — the 947b151
+      orphan-reclaim contract).
+    - rows_moved_ok: the merge moved exactly the cold clusters' rows.
+    - rows_preserved: post-merge total == n_before - rows_deleted.
+    - no_cold_left: every surviving cluster holds >= min_rows rows.
+    - fits_match: _fits/centroids == on-disk dirs == returned frame.
+    - stats_consistent: the stats total row equals the per-cluster sum.
+    """
+    import os
+    import tempfile
+
+    from idhub_spark.operators.ann import (
+        ivf_index_delete,
+        ivf_index_load_fits,
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+    from idhub_spark.session import literal_frame
+
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].filter(F.col("vec_id") < 400).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "idhub_ivf_maintenance",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    centroids = kmeans_fit(e, k=8, max_iter=2)
+    ivf_sq8_index_write(e, centroids, sq8_fit(e), path)
+    n_before = e.count()
+
+    stats0 = {
+        r.cluster: r.n_rows
+        for r in ivf_index_stats(spark, path).collect()
+        if r.cluster >= 0
+    }
+    smallest = min(stats0, key=lambda c: (stats0[c], c))
+    victims = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster") == smallest)
+        .select("vec_id")
+        .localCheckpoint(eager=True)  # pin the set BEFORE the rewrite
+    )
+    n_victims = victims.count()
+    res = ivf_index_delete(spark, path, victims)
+
+    # post-delete: victims absent (bounded check — semi-join count)
+    victims_left = (
+        spark.read.parquet(path).join(victims, "vec_id", "semi").count()
+    )
+
+    stats1 = {
+        r.cluster: r.n_rows
+        for r in ivf_index_stats(spark, path).collect()
+        if r.cluster >= 0
+    }
+    min_rows = min(stats1.values()) + 1
+    expect_moved = sum(n for n in stats1.values() if n < min_rows)
+    cents, report = ivf_index_merge_cold_clusters(
+        spark, path, min_rows=min_rows
+    )
+
+    st = ivf_index_stats(spark, path).collect()
+    stats2 = {r.cluster: r.n_rows for r in st if r.cluster >= 0}
+    total2 = next(r.n_rows for r in st if r.cluster == -1)
+    fits = {
+        r.cluster
+        for r in ivf_index_load_fits(spark, path)["centroids"]
+        .select("cluster")
+        .collect()
+    }
+    cent_set = {r.cluster for r in cents.select("cluster").collect()}
+
+    checks = [
+        ("delete_count_ok", res["rows_deleted"] == n_victims > 0),
+        ("victims_gone", victims_left == 0),
+        ("orphan_reclaimed", smallest in report["merged_clusters"]
+         and smallest not in cent_set),
+        ("rows_moved_ok", report["rows_moved"] == expect_moved),
+        ("rows_preserved", total2 == n_before - n_victims),
+        ("no_cold_left", min(stats2.values()) >= min_rows),
+        ("fits_match", fits == set(stats2) == cent_set),
+        ("stats_consistent", sum(stats2.values()) == total2),
+    ]
+    return literal_frame(
+        spark,
+        [(m, 1 if ok else 0) for m, ok in checks],
+        "metric string, ok bigint",
     )

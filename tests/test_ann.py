@@ -1466,3 +1466,18 @@ def test_maintenance_entry_points_settle_pending_split(
     live = spark.read.parquet(path)
     assert live.count() == n_total - 1
     assert live.filter(F.col("vec_id") == victim).count() == 0
+
+
+def test_ivf_maintenance_state_ready(spark):
+    """The r15-ready composite driver query (plans/similarity_q.py
+    ivf_maintenance_state — unregistered until a rotation slot opens;
+    CLAUDE.md round state) must already hold every verdict invariant:
+    delete -> orphan reclaim -> cold merge -> stats consistency."""
+    from idhub_spark.plans.similarity_q import ivf_maintenance_state
+
+    out = {
+        r.metric: r.ok
+        for r in ivf_maintenance_state(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(out) == 8
+    assert all(v == 1 for v in out.values()), out
