@@ -1454,18 +1454,21 @@ def ivf_index_compact(
     directories (stale _spark_metadata must NOT be copied), so
     compacting a self-contained index through it alone would produce
     a dst whose no-arg search raises 'no _fits' — this wrapper is the
-    index-aware maintenance entry point: per-cluster coalesce (zero
-    shuffle, partition boundaries preserved) plus a fits re-save.
-    Settles any pending split/merge staging on the SOURCE first
-    (ADVICE r12 class): the compaction walker skips '_'-prefixed
-    directories, so a crashed apply's staged rows would silently be
-    left out of the compacted copy. Returns compact_small_files'
-    (n_source_files, n_output_files)."""
-    from idhub_spark.storage import compact_small_files
+    index-aware maintenance entry point: storage.compact_partitioned
+    (ONE scan + one hash-shuffle on `cluster` + one partitioned write,
+    ~1 file per cluster — the generic per-leaf compactor's
+    job-per-directory loop dominates at large k, r13 audit finding;
+    codes are a fraction of the raw vectors, so one bounded shuffle is
+    the right trade) plus a fits re-save. Settles any pending
+    split/merge staging on the SOURCE first (ADVICE r12 class): the
+    compaction scan skips '_'-prefixed directories, so a crashed
+    apply's staged rows would silently be left out of the compacted
+    copy. Returns (n_source_files, n_output_files)."""
+    from idhub_spark.storage import compact_partitioned
 
     _settle_pending_maintenance(spark, src_path.rstrip("/"))
-    n_src, n_out = compact_small_files(
-        spark, src_path, dst_path, target_bytes=target_bytes
+    n_src, n_out = compact_partitioned(
+        spark, src_path, dst_path, "cluster", target_bytes=target_bytes
     )
     try:
         fits = ivf_index_load_fits(spark, src_path)

@@ -624,3 +624,26 @@ def test_flat_delete_all_leaves_readable_empty_index(spark, docs, tmp_path):
     assert got.count() == 0
     st = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
     assert st["docs"].n_rows == 0 and st["bands"].n_rows == 0
+
+
+def test_minhash_index_compact_flat_layout(spark, docs, tmp_path):
+    """A FLAT (pb/db=0) index compacts through the zero-shuffle
+    per-leaf engine (single leaf per table) and stays probe-identical
+    — the engine dispatch in minhash_index_compact keys on _params."""
+    from idhub_spark.operators.dedup_index import minhash_index_compact
+
+    src = str(tmp_path / "mh_flat_src")
+    dst = str(tmp_path / "mh_flat_dst")
+    parts = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    minhash_index_write(parts[0], src, n_hashes=8, bands=2, pb_buckets=0,
+                        db_buckets=0)
+    minhash_index_append(parts[1], src)
+
+    batch = _exact_copies(docs, 9, 600_000)
+    before = sorted(map(tuple, minhash_index_probe(
+        spark, src, batch, include_batch_pairs=False).collect()))
+    n_src, n_out = minhash_index_compact(spark, src, dst)
+    assert n_out <= n_src
+    after = sorted(map(tuple, minhash_index_probe(
+        spark, dst, batch, include_batch_pairs=False).collect()))
+    assert before == after and before

@@ -821,3 +821,59 @@ def test_zorder_layout_multi_dim_skipping(spark, tmp_path):
         for r in bucket_checksum(spark.read.parquet(zed), "k", cols).collect()
     }
     assert got == want
+
+
+def test_compact_partitioned_single_job(spark, tmp_path):
+    """The index-layout compactor: one scan + one hash-shuffle + one
+    partitioned write — ~1 file per partition at default target, k
+    files per partition when partition bytes exceed the target, Hive
+    layout preserved, rows byte-identical. (The per-leaf
+    compact_small_files walker stays the tool for flat/few-partition
+    trees; its job-per-directory loop dominates at index-scale
+    partition counts — r13 audit.)"""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from idhub_spark.storage import compact_partitioned
+
+    src = str(tmp_path / "src")
+    base = spark.range(4000).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(16)).alias("pb"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    # 3 appended batches -> 3 files per partition dir
+    for i in range(3):
+        base.filter(F.col("id") % 3 == i).repartition(F.col("pb")).write.mode(
+            "append"
+        ).partitionBy("pb").parquet(src)
+    n_files_src = len(glob.glob(f"{src}/pb=*/*.parquet"))
+    assert n_files_src >= 3 * 16
+
+    dst = str(tmp_path / "dst")
+    n_src, n_out = compact_partitioned(spark, src, dst, "pb")
+    assert n_src == n_files_src
+    assert n_out == 16  # one packed file per partition
+    assert len(glob.glob(f"{dst}/pb=*")) == 16  # Hive layout survived
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+    # tiny target: the k>1 salt branch must stay CORRECT (rows intact,
+    # layout preserved). At toy bytes AQE coalesces the salted shuffle
+    # back to one task per value, so the file count stays ~1/partition
+    # here — the salt only fans out when partition bytes are real.
+    dst2 = str(tmp_path / "dst2")
+    n_src2, n_out2 = compact_partitioned(spark, src, dst2, "pb", target_bytes=1)
+    assert n_src2 == n_files_src and n_out2 >= 16
+    c = sorted(map(tuple, spark.read.parquet(dst2).collect()))
+    assert a == c
+
+    # flat tree: loud refusal (use compact_small_files there)
+    flat = str(tmp_path / "flat")
+    base.drop("pb").write.parquet(flat)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition directories"):
+        compact_partitioned(spark, flat, str(tmp_path / "x"), "pb")
