@@ -340,7 +340,19 @@ def minhash_index_append(
     parameters from the index itself, crash-safe via the staged
     _COMMITTED-marker promotion (see module docstring). Existing files
     are never rewritten — promotion RENAMES the batch's part-files into
-    the live partition directories."""
+    the live partition directories.
+
+    Cost shape caveat (r13 audit): the BYTES are ∝ batch, but the
+    FILE count per append is ~min(batch_band_rows, pb_buckets) +
+    min(batch_docs, db_buckets) — a small batch against a 4096-dir
+    layout still creates (and renames) thousands of tiny files, and
+    that fixed term dominates small-batch cadence (~70 s/append on
+    the audit host at pb=4096 regardless of batch size). Remedies,
+    in order: size pb/db to the CADENCE not just the probe ratio
+    (docs/operations.md), batch small ingests together before
+    appending, and run minhash_index_compact on a schedule — the
+    single-job compactor returns the layout to one file per
+    partition."""
     root = path.rstrip("/")
     spark = docs.sparkSession
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
