@@ -1371,15 +1371,21 @@ def minhash_index_lifecycle_state(spark, sf_dir):
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     # build + append: the index accrues the way production does (the
-    # lifecycle must hold over appended state, not just a fresh build);
-    # pb/db sized to this history per the operations.md rule
+    # lifecycle must hold over appended state, not just a fresh build).
+    # Parameters are deliberately SLIM (8 hashes / 2 bands / 4+4
+    # buckets): every contract below is text-set membership plus
+    # est==1.0 exactness (identical text => identical signature at ANY
+    # n_hashes), so larger parameters buy no verdict strength — only
+    # wall (A/B at sf0.1: 10.2s at 16/4/8/8 vs 7.2s here). Realistic
+    # parameterization is minhash_index_probe_state's job (16/4) and
+    # the 4096/1024 audits'.
     minhash_index_write(
         hist.filter(F.col("doc_id") % 2 == 0),
         path,
-        n_hashes=16,
-        bands=4,
-        pb_buckets=8,
-        db_buckets=8,
+        n_hashes=8,
+        bands=2,
+        pb_buckets=4,
+        db_buckets=4,
     )
     minhash_index_append(hist.filter(F.col("doc_id") % 2 == 1), path)
 
