@@ -1481,3 +1481,111 @@ def test_ivf_maintenance_state_ready(spark):
     }
     assert len(out) == 8
     assert all(v == 1 for v in out.values()), out
+
+
+def test_split_entry_settles_pending_merge(spark, tmp_path):
+    """Cross-wiring of the ADVICE r12 settles: a split call made while
+    a crashed MERGE's rows live only in _merge_staging must resume the
+    merge first (otherwise its member scan misses committed rows and a
+    later merge resume changes the index under the new sub-clusters),
+    then split on the resumed centroid set."""
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        _assign,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+    from idhub_spark.session import literal_frame
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    staging = f"{path}/_merge_staging"
+
+    # crashed merge of the two cold clusters: staging committed,
+    # cluster=3 deleted, cluster=2 not yet (the resume-eligible state)
+    survivors = centroids.filter(~F.col("cluster").isin([2, 3]))
+    members = spark.read.parquet(path).filter(F.col("cluster").isin([2, 3]))
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col("vec_id").alias("_id"), vec_d.alias("_v")),
+        survivors,
+    ).select(F.col("_id").alias("vec_id"), "cluster")
+    (
+        members.drop("cluster")
+        .join(assigned, "vec_id")
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{staging}/data")
+    )
+    survivors.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    literal_frame(spark, [(2,), (3,)], "cluster int").coalesce(1).write.parquet(
+        f"{staging}/_cold_clusters"
+    )
+    shutil.rmtree(f"{path}/cluster=3")
+    assert spark.read.parquet(path).count() == 192  # 8 rows only staged
+
+    # split the biggest cluster; the pending merge must settle first
+    out = ivf_index_split_cluster(spark, path, 0, k2=2)
+    assert not os.path.isdir(staging)
+    assert not os.path.isdir(f"{path}/_split_staging")
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s[-1] == 200  # merge's rows restored AND split applied
+    got = {r.cluster for r in out.select("cluster").collect()}
+    # merge folded 2,3 into {0,1} FIRST (their dirs are gone), so the
+    # split of 0 renumbers above the post-merge max id (1) — ids 2,3
+    # are legitimately REUSED for the fresh sub-clusters
+    assert got == {1, 2, 3}
+    assert 0 not in got  # the split source is retired
+
+
+def test_compact_settles_pending_split(spark, vectors, tmp_path):
+    """ivf_index_compact during a crashed split: the staged rows live
+    under '_split_staging', which the compaction scan skips — without
+    the settle, the compacted copy would silently LOSE them. With it,
+    the copy is complete and searches match a clean-index baseline."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        ivf_index_compact,
+        ivf_index_split_cluster,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    centroids = kmeans_fit(vectors, k=4, max_iter=2)
+    bounds = sq8_fit(vectors)
+    path = str(tmp_path / "idx")
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    n_total = vectors.count()
+    stats0 = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+    hot = max((c for c in stats0 if c >= 0), key=lambda c: stats0[c])
+    done = ivf_index_split_cluster(spark, path, hot, k2=2)
+
+    # rewind to the crashed-mid-apply state (sub-dirs only in staging)
+    staging = os.path.join(path, "_split_staging")
+    os.makedirs(staging)
+    for d in _glob.glob(f"{path}/cluster=*"):
+        if int(d.rsplit("=", 1)[1]) in (4, 5):
+            shutil.move(d, os.path.join(staging, os.path.basename(d)))
+    done.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    spark.createDataFrame([(int(hot),)], "cluster int").coalesce(
+        1
+    ).write.parquet(f"{staging}/_source_cluster")
+    assert spark.read.parquet(path).count() < n_total
+
+    packed = str(tmp_path / "idx_packed")
+    ivf_index_compact(spark, path, packed)
+    assert not os.path.isdir(staging)
+    assert spark.read.parquet(packed).count() == n_total  # nothing lost
