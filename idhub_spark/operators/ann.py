@@ -1428,8 +1428,23 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     one job, no vector bytes read. Settles any pending split/merge
     staging first (ADVICE r12) so the counts never miss rows that live
     only in a crashed apply's staging; free (four fs.exists) when
-    nothing is pending."""
-    _settle_pending_maintenance(spark, path.rstrip("/"))
+    nothing is pending. The settle is BEST-EFFORT here (read-only
+    entry point — ADVICE r13): losing the race to a concurrent
+    maintenance writer, or reading a read-only replica, degrades to a
+    warning + live-files-only counts instead of failing a health
+    check. Writers (delete/merge/split/compact) keep the mandatory
+    settle; like them, stats assumes a SINGLE maintenance writer."""
+    try:
+        _settle_pending_maintenance(spark, path.rstrip("/"))
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"ivf index {path!r}: could not settle pending maintenance "
+            "staging (concurrent writer or read-only storage); counting "
+            "live files only",
+            stacklevel=2,
+        )
     idx = spark.read.parquet(path).select(
         "cluster", F.input_file_name().alias("_f")
     )
@@ -1556,12 +1571,23 @@ def _apply_merge_staging(spark, root: str, new_centroids_df, cold_ids) -> None:
     cold directories, FS-rename the staged re-assigned rows INTO the
     surviving target directories, refresh _fits/centroids when
     persisted, remove the staging. Idempotent file-level renames —
-    resumable by _settle_merge_staging."""
+    resumable by _settle_merge_staging.
+
+    The _applying sentinel is written BEFORE the first cold-dir
+    delete (ADVICE r13): a directory delete is not atomic, so a crash
+    mid-delete of the first dir can leave it present with part-files
+    missing — which would pass the settle's all-cold-dirs-present
+    'provably unapplied' test and discard the staged reassigned rows
+    over a half-deleted cluster. The sentinel makes phase-2 entry an
+    explicit fact instead of an inference from directory presence;
+    re-touching it on resume is idempotent."""
     from idhub_spark.operators.dedup_index import _move_tree
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/_merge_staging"
     fs, jstag = _hadoop_fs(spark, staging)
+    _, japply = _hadoop_fs(spark, f"{staging}/_applying")
+    fs.create(japply, True).close()
     for c in cold_ids:
         _, jdir = _hadoop_fs(spark, f"{root}/cluster={c}")
         fs.delete(jdir, True)
@@ -1577,17 +1603,24 @@ def _apply_merge_staging(spark, root: str, new_centroids_df, cold_ids) -> None:
 def _settle_merge_staging(spark, root: str):
     """Resume-or-discard a pending _merge_staging (the
     ivf_index_merge_cold_clusters crash protocol, factored out for the
-    same ADVICE r12 reason as _settle_split_staging). Unreadable or
-    absent _cold_clusters marker, or every recorded cold directory
-    still present → provably unapplied → discard; any recorded cold
-    directory missing → resume (finish deletes + renames + fits).
-    Returns the resumed centroid frame, else None."""
+    same ADVICE r12 reason as _settle_split_staging). Keyed on the
+    _applying PHASE SENTINEL, not directory presence (ADVICE r13 —
+    a crash mid-delete of the first cold dir leaves it present but
+    half-emptied, which a presence test would misread as 'unapplied'
+    and discard the staged rows): sentinel present + readable
+    _cold_clusters → resume (deletes + renames + fits are all
+    idempotent); sentinel absent → phase 2 never started → discard;
+    sentinel present but the cold list unreadable → raise (the
+    sentinel is only written after the cold list's write returned, so
+    this is real corruption, never a benign partial write). Returns
+    the resumed centroid frame, else None."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/_merge_staging"
     fs, jstag = _hadoop_fs(spark, staging)
     if not fs.exists(jstag):
         return None
+    applying = fs.exists(_hadoop_fs(spark, f"{staging}/_applying")[1])
     try:
         staged_cold = [
             int(r.cluster)
@@ -1595,14 +1628,14 @@ def _settle_merge_staging(spark, root: str):
         ]
     except Exception:
         staged_cold = None
-    missing = []
-    if staged_cold:
-        missing = [
-            c
-            for c in staged_cold
-            if not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
-        ]
-    if not staged_cold or not missing:
+    if staged_cold is None and applying:
+        raise RuntimeError(
+            f"ivf index {root!r}: _merge_staging has the _applying "
+            "sentinel but an unreadable _cold_clusters list — phase 2 "
+            "started against a cold set this settle cannot recover; "
+            "refusing to guess (staging left in place)"
+        )
+    if not staged_cold or not applying:
         fs.delete(jstag, True)
         return None
     resumed = spark.read.parquet(f"{staging}/_new_centroids").localCheckpoint(

@@ -72,6 +72,38 @@ a crashed rebuild raises 'no _params' on the next probe instead of
 serving a half-old, half-new index. Reference anchor: the reference
 has no dedup at all — this extends plans/dedup_q.py's training-data
 operators to the incremental regime.
+
+LSM delta buffer (r14 — the fix for the r13 audit's append finding):
+a DIRECT append creates ~min(batch_band_rows, pb) +
+min(batch_docs, db) staged files and renames each into the Hive
+layout, a fixed file-op term (~47-84 s/append at pb=4096/db=1024 on
+the audit host) that dominates small-batch cadence REGARDLESS of
+batch bytes — and on object storage every rename is a copy. Small
+appends therefore land as ONE file per state table under
+<path>/delta/{docs,bands} (partition ids attached as plain DATA
+columns), making a small append's file ops O(1). Every reader
+composes the live Hive layout with the delta: probes and deletes
+read bands ∪ delta and docs ∪ delta with the SAME bounded prune
+applied to both sides (PartitionFilters on the Hive side, a row
+filter on the tiny delta), so results are byte-identical to the
+folded layout by construction. minhash_index_delete rewrites the
+delta tables alongside the pruned partitions; minhash_index_compact
+FOLDS the delta into the partitioned layout (the LSM merge — the
+compacted copy has no delta). Append mode is 'auto' by default:
+batches under direct_min_docs (default 32·(pb+db) — ≥~32 rows per
+file the direct path would create) buffer into the delta, larger
+batches take the direct partition-rename path whose per-file cost
+they amortize. The delta stays small by construction (compaction
+cadence folds it), so the probe's extra scan is one tiny file per
+small append since the last compaction.
+
+Single-writer assumption: maintenance entry points (append, delete,
+compact) assume ONE writer at a time — the staging/settle protocol
+makes crashes of that single writer resumable, not concurrent
+writers safe. Read-only entry points (probe, stats) settle pending
+staging BEST-EFFORT: losing a settle race to a concurrent writer, or
+probing from a read-only replica, degrades to a warning + a read of
+the live files only (ADVICE r13).
 """
 
 from __future__ import annotations
@@ -81,6 +113,7 @@ from pyspark.sql import functions as F
 
 _STAGING = "_append_staging"
 _COMMITTED = "_COMMITTED"
+_DELTA = "delta"
 
 
 def _doc_state(
@@ -230,21 +263,41 @@ def _move_tree(spark, fs, src: str, dst: str) -> None:
             _move_tree(spark, fs, f"{src}/{name}", f"{dst}/{name}")
 
 
-def _resume_or_discard_staging(spark, root: str) -> None:
+def _resume_or_discard_staging(spark, root: str, *, best_effort: bool = False) -> None:
     """Append crash protocol: a staging WITH the _COMMITTED marker was
     fully written and is promoted (finishing an interrupted rename-in);
-    a staging without it can never have been applied — discard."""
+    a staging without it can never have been applied — discard.
+
+    best_effort=True (probe/stats — the read-only entry points,
+    ADVICE r13): a settle that fails (a concurrent writer won the
+    promotion race mid-iteration, or the index is a read-only
+    replica) degrades to a warning and the caller reads the live
+    files only, instead of failing a healthy read. Writers (append,
+    delete, compact) keep the mandatory settle — they must never act
+    on an index they couldn't fully see."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/{_STAGING}"
     fs, jstag = _hadoop_fs(spark, staging)
     if not fs.exists(jstag):
         return
-    _, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
-    if fs.exists(jmark):
-        _promote_staging(spark, root)
-    else:
-        fs.delete(jstag, True)
+    try:
+        _, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
+        if fs.exists(jmark):
+            _promote_staging(spark, root)
+        else:
+            fs.delete(jstag, True)
+    except Exception:
+        if not best_effort:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"dedup index {root!r}: could not settle pending append "
+            "staging (concurrent writer or read-only storage); reading "
+            "live files only",
+            stacklevel=2,
+        )
 
 
 def _promote_staging(spark, root: str) -> None:
@@ -252,11 +305,44 @@ def _promote_staging(spark, root: str) -> None:
 
     staging = f"{root}/{_STAGING}"
     fs, jstag = _hadoop_fs(spark, staging)
-    for table in ("docs", "bands"):
+    # 'delta' last: its staged subtree mirrors delta/{docs,bands}, so
+    # _move_tree lands the buffered batch's two files in one recursion
+    for table in ("docs", "bands", _DELTA):
         _, jsrc = _hadoop_fs(spark, f"{staging}/{table}")
         if fs.exists(jsrc):
             _move_tree(spark, fs, f"{staging}/{table}", f"{root}/{table}")
     fs.delete(jstag, True)
+
+
+def _read_state_table(
+    spark,
+    root: str,
+    table: str,
+    *,
+    prune_col: str | None = None,
+    prune_vals: list | None = None,
+) -> DataFrame:
+    """The LOGICAL image of one state table: live Hive layout ∪ delta
+    buffer, with the same bounded prune applied to both sides — a
+    PartitionFilter on the live side (file-level pruning), a row
+    filter on the delta (one tiny file per buffered append, where the
+    partition id is a plain column). Lossless by the same argument as
+    the live prune: a row whose pb/db is outside the batch's set
+    cannot join. Every reader goes through here so bands∪delta is
+    byte-equivalent to the folded layout by construction."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    df = spark.read.parquet(f"{root}/{table}")
+    if prune_col and prune_vals is not None and prune_col in df.columns:
+        df = df.filter(F.col(prune_col).isin(prune_vals))
+    delta = f"{root}/{_DELTA}/{table}"
+    fs, jd = _hadoop_fs(spark, delta)
+    if fs.exists(jd):
+        d = spark.read.parquet(delta)
+        if prune_col and prune_vals is not None and prune_col in d.columns:
+            d = d.filter(F.col(prune_col).isin(prune_vals))
+        df = df.unionByName(d)
+    return df
 
 
 def minhash_index_write(
@@ -296,7 +382,10 @@ def minhash_index_write(
     root = path.rstrip("/")
     spark = docs.sparkSession
     fs, jparams = _hadoop_fs(spark, f"{root}/_params")
-    for stale in (_STAGING, "_delete_staging"):
+    # the delta buffer belongs to the OLD generation too: its rows
+    # carry the old parameters' signatures, and docs/bands overwrite
+    # writes would never touch the sibling delta dir — clear it first
+    for stale in (_STAGING, "_delete_staging", _DELTA):
         _, jst = _hadoop_fs(spark, f"{root}/{stale}")
         if fs.exists(jst):
             fs.delete(jst, True)
@@ -333,26 +422,36 @@ def minhash_index_append(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    mode: str = "auto",
+    direct_min_docs: int | None = None,
+) -> str:
     """Accept a batch INTO the index (after its probe survived review):
     I/O strictly ∝ batch (the batch's state is checkpointed once and
     both tables derive from it — history is never read), build
     parameters from the index itself, crash-safe via the staged
     _COMMITTED-marker promotion (see module docstring). Existing files
-    are never rewritten — promotion RENAMES the batch's part-files into
-    the live partition directories.
+    are never rewritten — promotion RENAMES the batch's files into
+    the live layout. Returns the route taken ('direct' | 'delta' |
+    'empty') so callers/audits can assert placement.
 
-    Cost shape caveat (r13 audit): the BYTES are ∝ batch, but the
-    FILE count per append is ~min(batch_band_rows, pb_buckets) +
-    min(batch_docs, db_buckets) — a small batch against a 4096-dir
-    layout still creates (and renames) thousands of tiny files, and
-    that fixed term dominates small-batch cadence (~70 s/append on
-    the audit host at pb=4096 regardless of batch size). Remedies,
-    in order: size pb/db to the CADENCE not just the probe ratio
-    (docs/operations.md), batch small ingests together before
-    appending, and run minhash_index_compact on a schedule — the
-    single-job compactor returns the layout to one file per
-    partition."""
+    Routing (r14 — the fix for the r13 audit's append finding): a
+    DIRECT append creates ~min(batch_band_rows, pb_buckets) +
+    min(batch_docs, db_buckets) files — one per touched partition —
+    a fixed file-op term that dominated small-batch cadence (~70 s
+    per append at pb=4096 on the audit host REGARDLESS of batch
+    bytes). mode='auto' (default) therefore routes batches smaller
+    than direct_min_docs into the LSM DELTA BUFFER: one coalesced
+    file per state table under <root>/delta, O(1) file ops, same
+    staged-marker crash protocol (the staging carries a delta/
+    subtree instead of partition trees). direct_min_docs defaults to
+    32·(pb_buckets+db_buckets) — the point where the direct path
+    writes ≥~32 rows per file it creates; flat (pb=db=0) layouts
+    default to direct (their append is already O(write partitions)
+    files). mode='delta'/'direct' force a route. Probes/deletes read
+    bands ∪ delta, so placement never changes results;
+    minhash_index_compact folds the delta back into the layout."""
+    if mode not in ("auto", "delta", "direct"):
+        raise ValueError(f"minhash_index_append: unknown mode {mode!r}")
     root = path.rstrip("/")
     spark = docs.sparkSession
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
@@ -364,6 +463,19 @@ def minhash_index_append(
     state = _doc_state(
         docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
+    # one cheap job over the checkpointed blocks; also guards the
+    # delta path against zero-row writes (parquet emits no part-file
+    # for an empty task — the staged dir would be unreadable)
+    n_docs = state.count()
+    if n_docs == 0:
+        state.unpersist()
+        return "empty"
+    if mode == "auto":
+        if direct_min_docs is None:
+            direct_min_docs = 32 * (pb_buckets + db_buckets)
+        route = "delta" if n_docs < direct_min_docs else "direct"
+    else:
+        route = mode
     docs_df, bands_df = _tables(
         state,
         n_hashes=n_hashes,
@@ -371,12 +483,25 @@ def minhash_index_append(
         pb_buckets=pb_buckets,
         db_buckets=db_buckets,
     )
-    _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
-    _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
+    if route == "delta":
+        # partition ids stay as plain data columns; one file per table
+        # (state is checkpointed, so coalesce(1) is a single JVM task
+        # over materialized blocks — not the Python-sequential trap
+        # literal_frame exists for)
+        docs_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/{_DELTA}/docs"
+        )
+        bands_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/{_DELTA}/bands"
+        )
+    else:
+        _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
+        _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
     state.unpersist()
     fs, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
     fs.create(jmark, True).close()
     _promote_staging(spark, root)
+    return route
 
 
 def minhash_index_probe(
@@ -447,7 +572,7 @@ def minhash_index_probe(
     calls when no staging exists."""
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
-    _resume_or_discard_staging(spark, root)
+    _resume_or_discard_staging(spark, root, best_effort=True)
     b_state = _doc_state(
         batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
@@ -464,7 +589,7 @@ def minhash_index_probe(
         )
         return bands_df.join(ok, ["band", "bkey"], "semi")
 
-    idx_bands = spark.read.parquet(f"{root}/bands")
+    pbs = None
     if pb_buckets:
         pbs = [
             r.pb
@@ -474,7 +599,11 @@ def minhash_index_probe(
             .distinct()
             .collect()
         ]
-        idx_bands = idx_bands.filter(F.col("pb").isin(pbs))
+    # live Hive layout ∪ delta buffer, same bounded prune on both
+    idx_bands = _read_state_table(
+        spark, root, "bands", prune_col="pb" if pb_buckets else None,
+        prune_vals=pbs,
+    )
     idx_bands = _drop_hot(idx_bands.select("band", "bkey", "doc_id"))
 
     est = (
@@ -514,7 +643,7 @@ def minhash_index_probe(
         )
         .distinct()
     )
-    idx_docs = spark.read.parquet(f"{root}/docs")
+    dbs = None
     if db_buckets:
         # the estimate join needs only matched candidates' doc rows;
         # their db partitions are a bounded literal set (≤ db_buckets
@@ -531,8 +660,10 @@ def minhash_index_probe(
             .distinct()
             .collect()
         ]
-        idx_docs = idx_docs.filter(F.col("db").isin(dbs))
-    idx_docs = idx_docs.select("doc_id", "sig", "n_sh")
+    idx_docs = _read_state_table(
+        spark, root, "docs", prune_col="db" if db_buckets else None,
+        prune_vals=dbs,
+    ).select("doc_id", "sig", "n_sh")
 
     out = scored(hist_cand, idx_docs, "history")
     if include_batch_pairs:
@@ -565,27 +696,50 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     stop colliding) — this report is what tells an operator it's
     needed, and its aggregate shuffles one row per (band, bkey), not
     per doc. n_partitions counts the Hive layout's directories (0 on
-    a flat index); n_rows/n_files come from the same single scan per
-    table. Settles any pending append staging first (ADVICE r12) so
-    the counts never read a half-promoted batch."""
-    _resume_or_discard_staging(spark, path.rstrip("/"))
+    a flat index); n_rows/n_files/hot_bucket_rows cover the LOGICAL
+    table (live ∪ delta buffer — the delta is unpartitioned by
+    design, so its rows never count as partitions) from the same
+    single scan per table. Settles any pending append staging first,
+    BEST-EFFORT (read-only entry point — ADVICE r13), so the counts
+    never read the single writer's half-promoted crash debris."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    root = path.rstrip("/")
+    _resume_or_discard_staging(spark, root, best_effort=True)
     rows = []
     for tbl, part_col, bucket_cols in (
         ("docs", "db", None),
         ("bands", "pb", ["band", "bkey"]),
     ):
-        df = spark.read.parquet(f"{path.rstrip('/')}/{tbl}")
+        df = spark.read.parquet(f"{root}/{tbl}")
         has_part = part_col in df.columns
-        agg = df.select(
-            F.input_file_name().alias("_f"),
-            *( [F.col(part_col).alias("_p")] if has_part else [F.lit(0).alias("_p")] ),
-            *(bucket_cols or []),
-        )
+
+        def sel(frame, is_delta):
+            return frame.select(
+                F.input_file_name().alias("_f"),
+                *(
+                    [F.col(part_col).alias("_p")]
+                    if has_part
+                    else [F.lit(0).alias("_p")]
+                ),
+                F.lit(is_delta).alias("_d"),
+                *(bucket_cols or []),
+            )
+
+        agg = sel(df, False)
+        delta = f"{root}/{_DELTA}/{tbl}"
+        fs, jd = _hadoop_fs(spark, delta)
+        if fs.exists(jd):
+            agg = agg.unionByName(sel(spark.read.parquet(delta), True))
         base = agg.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("_f").alias("n_files"),
             (
-                F.countDistinct("_p") if has_part else F.lit(0).cast("bigint")
+                # countDistinct skips nulls: delta rows (whose _p is a
+                # data column, not a directory) never count
+                F.countDistinct(F.when(~F.col("_d"), F.col("_p")))
+                if has_part
+                else F.lit(0).cast("bigint")
             ).alias("n_partitions"),
         )
         if bucket_cols:
@@ -637,9 +791,18 @@ def minhash_index_delete(
     _delete_staging from a crashed run is overwritten by the next run
     and invisible to scans (underscore prefix).
 
+    The delta buffer is a third retraction surface (r14): a doomed doc
+    accepted since the last compaction lives in <root>/delta, not the
+    Hive layout, so BOTH delta tables are anti-joined through a staged
+    copy whenever the buffer holds doomed rows (the buffer is tiny by
+    construction — one file per small append — so its rewrite is one
+    cheap job; an emptied buffer drops its directory). Same bands-
+    first order across both layers.
+
     Returns {"rows_deleted", "docs_partitions_rewritten",
-    "bands_partitions_rewritten"} (0-partition values on flat
-    layouts mean 'whole table')."""
+    "bands_partitions_rewritten", "delta_rows_deleted"} (0-partition
+    values on flat layouts mean 'whole table'; rows_deleted counts
+    live + delta)."""
     from idhub_spark.session import literal_frame
 
     root = path.rstrip("/")
@@ -730,6 +893,39 @@ def minhash_index_delete(
                 ).repartition(1)
             staged.write.mode("overwrite").parquet(f"{root}/{table}")
 
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    def _delta_df(table):
+        """The delta buffer's image of one table (None when absent),
+        db-pruned where computable — the delta is one tiny file per
+        buffered append, so a row filter is all the pruning it needs."""
+        p = f"{root}/{_DELTA}/{table}"
+        fs, jp = _hadoop_fs(spark, p)
+        if not fs.exists(jp):
+            return None
+        return spark.read.parquet(p)
+
+    def _rewrite_delta(table):
+        """Anti-join the doomed ids out of one delta table through a
+        staged copy (never overwrite a path the plan reads); a fully
+        emptied table drops its directory outright — probes treat a
+        missing delta as 'no buffered appends', so the empty case
+        needs no schema-preserving placeholder (and a staged 0-row
+        write is no emptiness signal anyway: Spark writes a schema-
+        bearing empty part-file). The count is one cheap job — the
+        delta is tiny by construction. A crash mid-drop is resumed by
+        the rerun (anti-join of an absent/partial table re-derives the
+        same empty survivor set)."""
+        live = f"{root}/{_DELTA}/{table}"
+        st = f"{staging}/delta_{table}"
+        surv = spark.read.parquet(live).join(ids_df, "doc_id", "anti")
+        fs, jlive = _hadoop_fs(spark, live)
+        if surv.count() == 0:
+            fs.delete(jlive, True)
+            return
+        surv.coalesce(1).write.mode("overwrite").parquet(st)
+        spark.read.parquet(st).write.mode("overwrite").parquet(live)
+
     dbs = None
     if db_buckets:
         dbs = [
@@ -743,10 +939,21 @@ def minhash_index_delete(
             .collect()
         ]
     docs_tbl = _pruned("docs", "db", db_buckets, dbs)
+    # live and delta doomed counted separately: the live count drives
+    # the pb prune set (delta docs' bands live in the delta, never in
+    # the Hive layout — appends write both tables to one place), the
+    # sum is the logical retraction count
     doomed = docs_tbl.join(ids_df, "doc_id", "semi").localCheckpoint(
         eager=True
     )
-    rows_deleted = doomed.count()
+    rows_live = doomed.count()
+    delta_docs = _delta_df("docs")
+    rows_delta = 0
+    if delta_docs is not None:
+        dd = delta_docs
+        if db_buckets and dbs is not None:
+            dd = dd.filter(F.col("db").isin(dbs))
+        rows_delta = dd.join(ids_df, "doc_id", "semi").count()
 
     pbs = None
     if pb_buckets:
@@ -761,30 +968,50 @@ def minhash_index_delete(
             .distinct()
             .collect()
         ]
-    bands_tbl = _pruned("bands", "pb", pb_buckets, pbs)
-    _rewrite(
-        "bands",
-        "pb",
-        pb_buckets,
-        pbs,
-        bands_tbl.join(ids_df, "doc_id", "anti"),
-    )
-    _rewrite(
-        "docs",
-        "db",
-        db_buckets,
-        dbs,
-        docs_tbl.join(ids_df, "doc_id", "anti"),
-    )
+    # bands-first across BOTH layers (crash between the table rewrites
+    # resumes by re-deriving from the still-present docs rows), and
+    # each layer skipped when it provably holds no doomed rows
+    if rows_live:
+        bands_tbl = _pruned("bands", "pb", pb_buckets, pbs)
+        _rewrite(
+            "bands",
+            "pb",
+            pb_buckets,
+            pbs,
+            bands_tbl.join(ids_df, "doc_id", "anti"),
+        )
+    if rows_delta:
+        _rewrite_delta("bands")
+    if rows_live:
+        _rewrite(
+            "docs",
+            "db",
+            db_buckets,
+            dbs,
+            docs_tbl.join(ids_df, "doc_id", "anti"),
+        )
+    if rows_delta:
+        _rewrite_delta("docs")
+        # both delta tables empty together (appends write them as one
+        # batch, deletes remove the same ids) — drop the empty buffer
+        fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
+        fs_d, jdd = _hadoop_fs(spark, f"{root}/{_DELTA}/docs")
+        fs_b, jdb = _hadoop_fs(spark, f"{root}/{_DELTA}/bands")
+        if not fs_d.exists(jdd) and not fs_b.exists(jdb):
+            fs.delete(jdelta, True)
     doomed.unpersist()
-    from idhub_spark.operators.merge_into import _hadoop_fs
 
     fs, jstag = _hadoop_fs(spark, staging)
     fs.delete(jstag, True)
     return {
-        "rows_deleted": int(rows_deleted),
-        "docs_partitions_rewritten": len(dbs) if dbs is not None else 0,
-        "bands_partitions_rewritten": len(pbs) if pbs is not None else 0,
+        "rows_deleted": int(rows_live + rows_delta),
+        "docs_partitions_rewritten": (
+            len(dbs) if (dbs is not None and rows_live) else 0
+        ),
+        "bands_partitions_rewritten": (
+            len(pbs) if (pbs is not None and rows_live) else 0
+        ),
+        "delta_rows_deleted": int(rows_delta),
     }
 
 
@@ -807,19 +1034,30 @@ def minhash_index_compact(
     zero-shuffle compact_small_files path. Settles any pending append
     staging on the SOURCE first (ADVICE r12 class): a committed but
     unpromoted batch lives under an '_'-dir both engines skip, so it
-    would silently be LEFT OUT of the compacted copy. Returns summed
+    would silently be LEFT OUT of the compacted copy.
+
+    Compaction is also the LSM MERGE (r14): a delta buffer on the
+    source FOLDS into the compacted layout — its rows carry the
+    partition ids as data columns, so the single-job engine routes
+    them through the same hash-shuffle (extra_paths) and the
+    compacted copy has NO delta dir; probes against it read the Hive
+    layout alone. Delta files count as source files. Returns summed
     (n_source_files, n_output_files)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
     from idhub_spark.storage import compact_partitioned, compact_small_files
 
     src = src_path.rstrip("/")
     dst = dst_path.rstrip("/")
     _resume_or_discard_staging(spark, src)
     _, _, pb_buckets, db_buckets = _load_params(spark, src)
+    fs, _ = _hadoop_fs(spark, src)
     n_src = n_out = 0
     for table, part_col, buckets in (
         ("docs", "db", db_buckets),
         ("bands", "pb", pb_buckets),
     ):
+        delta_tbl = f"{src}/{_DELTA}/{table}"
+        has_delta = fs.exists(_hadoop_fs(spark, delta_tbl)[1])
         if buckets:
             s, o = compact_partitioned(
                 spark,
@@ -827,7 +1065,34 @@ def minhash_index_compact(
                 f"{dst}/{table}",
                 part_col,
                 target_bytes=target_bytes,
+                extra_paths=[delta_tbl] if has_delta else None,
             )
+        elif has_delta:
+            # flat + delta (forced-delta appends on an unbucketed
+            # layout): one union write — both inputs are plain parquet
+            # dirs with identical columns, no partition routing needed
+            import math
+
+            def _data_files(p):
+                return [
+                    st
+                    for st in fs.listStatus(_hadoop_fs(spark, p)[1])
+                    if st.isFile()
+                    and not st.getPath().getName().startswith(("_", "."))
+                ]
+
+            sizes = _data_files(f"{src}/{table}") + _data_files(delta_tbl)
+            n_files = max(
+                1, math.ceil(sum(st.getLen() for st in sizes) / target_bytes)
+            )
+            (
+                spark.read.parquet(f"{src}/{table}")
+                .unionByName(spark.read.parquet(delta_tbl))
+                .repartition(n_files)
+                .write.mode("overwrite")
+                .parquet(f"{dst}/{table}")
+            )
+            s, o = len(sizes), len(_data_files(f"{dst}/{table}"))
         else:
             s, o = compact_small_files(
                 spark, f"{src}/{table}", f"{dst}/{table}", target_bytes=target_bytes

@@ -310,6 +310,7 @@ def compact_partitioned(
     part_col: str,
     *,
     target_bytes: int = 128 * 1024 * 1024,
+    extra_paths: list[str] | None = None,
 ) -> tuple[int, int]:
     """Single-JOB compactor for a Hive-partitioned table: one scan +
     one hash-shuffle on the partition column + one partitioned write —
@@ -329,6 +330,12 @@ def compact_partitioned(
     trade; k files per partition value fall out of the hash
     repartition for free (all rows of a value land in one task, which
     writes one file per value it holds).
+
+    extra_paths: flat parquet directories whose rows FOLD INTO the
+    compacted layout (the dedup index's LSM delta buffer — its rows
+    carry part_col as a plain data column, so the same partitioned
+    write routes them). Their files count into n_source_files; the
+    compacted copy has no delta.
 
     The partition column is hash-uniform by construction in every
     caller (db/pb are pmod(xxhash64), cluster is kmeans-assigned), so
@@ -370,8 +377,26 @@ def compact_partitioned(
         raise ValueError(
             f"compact_partitioned: no data files under {src_dir!r}"
         )
-    n_src = len(files)
-    total = sum(f.getLen() for f in files)
+    extra_files = []
+    for ep in extra_paths or []:
+        ep_n = posixpath.normpath(ep)
+        if dst_n == ep_n or dst_n.startswith(ep_n + "/") or ep_n.startswith(
+            dst_n + "/"
+        ):
+            raise ValueError(
+                "compact_partitioned: extra_paths must be disjoint from "
+                "dst_dir"
+            )
+        fs_e, jep = _hadoop_fs(spark, ep)
+        extra_files.extend(
+            st
+            for st in fs_e.listStatus(jep)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        )
+    n_src = len(files) + len(extra_files)
+    total = sum(f.getLen() for f in files) + sum(
+        f.getLen() for f in extra_files
+    )
     # partition count from the directory listing — free, no extra job
     n_parts = sum(
         1
@@ -386,12 +411,22 @@ def compact_partitioned(
         )
     k = max(1, math.ceil(total / max(n_parts, 1) / target_bytes))
     df = spark.read.option("basePath", src_dir).parquet(src_dir)
+    for ep in extra_paths or []:
+        df = df.unionByName(spark.read.parquet(ep))
     if k == 1:
         out = df.repartition(F.col(part_col))
     else:
+        # salt from stable row CONTENT, not monotonically_increasing_id
+        # (ADVICE r13): a nondeterministic salt re-routes recomputed
+        # rows to different reducers on task retry — the repartition-
+        # correctness class Spark only guards for round-robin — risking
+        # duplicated/lost rows in the compacted copy at scale
         out = df.repartition(
             F.col(part_col),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k)),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns if c != part_col]),
+                F.lit(k),
+            ),
         )
     out.write.mode("overwrite").partitionBy(part_col).parquet(dst_dir)
     fs_d, jdst = _hadoop_fs(spark, dst_dir)

@@ -1303,9 +1303,13 @@ def test_ivf_index_merge_resume_after_crash(spark, tmp_path):
     literal_frame(spark, [(2,), (3,)], "cluster int").coalesce(1).write.parquet(
         f"{staging}/_cold_clusters"
     )
-    # the crash: cluster=3 already deleted, cluster=2 not yet
+    # the crash: phase 2 entered (the _applying sentinel is the FIRST
+    # phase-2 write — ADVICE r13 keying), cluster=3 already deleted,
+    # cluster=2 not yet
+    import pathlib
     import shutil
 
+    pathlib.Path(staging, "_applying").touch()
     shutil.rmtree(f"{path}/cluster=3")
     assert spark.read.parquet(path).count() == 192  # temporarily missing
 
@@ -1527,6 +1531,9 @@ def test_split_entry_settles_pending_merge(spark, tmp_path):
     literal_frame(spark, [(2,), (3,)], "cluster int").coalesce(1).write.parquet(
         f"{staging}/_cold_clusters"
     )
+    import pathlib
+
+    pathlib.Path(staging, "_applying").touch()  # phase 2 entered
     shutil.rmtree(f"{path}/cluster=3")
     assert spark.read.parquet(path).count() == 192  # 8 rows only staged
 
@@ -1589,3 +1596,88 @@ def test_compact_settles_pending_split(spark, vectors, tmp_path):
     ivf_index_compact(spark, path, packed)
     assert not os.path.isdir(staging)
     assert spark.read.parquet(packed).count() == n_total  # nothing lost
+
+
+def _fabricate_merge_staging(spark, path, centroids):
+    """Phase-1 merge staging for cold clusters {2,3}, exactly as
+    ivf_index_merge_cold_clusters writes it (no _applying sentinel —
+    phase 2 not yet entered)."""
+    from idhub_spark.operators.ann import _assign
+    from idhub_spark.session import literal_frame
+
+    staging = f"{path}/_merge_staging"
+    survivors = centroids.filter(~F.col("cluster").isin([2, 3]))
+    members = spark.read.parquet(path).filter(F.col("cluster").isin([2, 3]))
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col("vec_id").alias("_id"), vec_d.alias("_v")),
+        survivors,
+    ).select(F.col("_id").alias("vec_id"), "cluster")
+    (
+        members.drop("cluster")
+        .join(assigned, "vec_id")
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{staging}/data")
+    )
+    survivors.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    literal_frame(spark, [(2,), (3,)], "cluster int").coalesce(1).write.parquet(
+        f"{staging}/_cold_clusters"
+    )
+    return staging
+
+
+def test_merge_settle_keys_on_applying_sentinel(spark, tmp_path):
+    """ADVICE r13: _apply_merge_staging's cold-dir delete is not
+    atomic — a crash mid-delete of the FIRST dir leaves it present
+    with part-files missing, which the old all-cold-dirs-present test
+    misread as 'provably unapplied' and DISCARDED the staged rows over
+    a half-deleted cluster. The settle now keys on the _applying
+    phase sentinel: (a) sentinel present + every cold dir present but
+    one half-emptied -> RESUME (rows restored, nothing lost);
+    (b) sentinel absent + all dirs present -> discard (phase 2 never
+    started) — the pre-existing semantics for a phase-1-only crash."""
+    import glob as _glob
+    import os
+    import pathlib
+
+    from idhub_spark.operators.ann import (
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+
+    # (a) half-deleted first cold dir, sentinel present -> resume
+    path = str(tmp_path / "idx_half")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    staging = _fabricate_merge_staging(spark, path, centroids)
+    pathlib.Path(staging, "_applying").touch()
+    # the crash: some (not all) part-files of cluster=2 already gone —
+    # the dir still EXISTS, so a presence test would say 'unapplied'
+    part_files = _glob.glob(f"{path}/cluster=2/*.parquet")
+    assert part_files
+    os.remove(part_files[0])
+    cents, rep = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    assert rep == {"merged_clusters": [], "rows_moved": 0}  # resumed, no-op
+    assert not os.path.isdir(staging)
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    # all 200 rows present: the 20 staged rows were renamed in, the
+    # half-deleted cold dirs removed — nothing lost, nothing doubled
+    assert s[-1] == 200 and set(s) == {-1, 0, 1}
+
+    # (b) sentinel absent, all cold dirs intact -> provably unapplied,
+    # staging discarded and the merge re-runs from live state
+    path2 = str(tmp_path / "idx_clean")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path2)
+    staging2 = _fabricate_merge_staging(spark, path2, centroids)
+    assert os.path.isdir(staging2)
+    cents2, rep2 = ivf_index_merge_cold_clusters(spark, path2, min_rows=20)
+    assert sorted(rep2["merged_clusters"]) == [2, 3]  # fresh merge ran
+    assert rep2["rows_moved"] == 20
+    assert not os.path.isdir(staging2)
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path2).collect()}
+    assert s2[-1] == 200 and set(s2) == {-1, 0, 1}

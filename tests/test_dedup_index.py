@@ -98,7 +98,10 @@ def test_append_only_and_param_discipline(spark, docs, tmp_path):
     half_b = docs.filter(F.col("doc_id") % 2 == 1)
     minhash_index_write(half_a, path, n_hashes=8, bands=2)
     before = {f: os.path.getmtime(f) for f in _state_files(path)}
-    minhash_index_append(half_b, path)
+    # direct route pinned: this test asserts the partition-rename
+    # mechanics (the auto router would buffer a batch this small into
+    # the delta — covered by the delta tests below)
+    assert minhash_index_append(half_b, path, mode="direct") == "direct"
     after = {f: os.path.getmtime(f) for f in _state_files(path)}
     assert set(before) < set(after)  # new files appeared...
     assert all(after[f] == before[f] for f in before)  # ...none rewritten
@@ -213,7 +216,7 @@ def test_append_crash_protocol(spark, docs, tmp_path):
     junk = pathlib.Path(path) / _STAGING / "docs" / "db=0"
     junk.mkdir(parents=True)
     (junk / "junk.parquet").write_bytes(b"xx")
-    minhash_index_append(b1, path)
+    minhash_index_append(b1, path, mode="direct")
     assert not os.path.isdir(f"{path}/{_STAGING}")
     n_after_b1 = spark.read.parquet(f"{path}/docs").count()
     assert n_after_b1 == base.count() + b1.count()  # junk discarded
@@ -375,8 +378,10 @@ def test_minhash_index_compact(spark, docs, tmp_path):
     parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     minhash_index_write(parts[0], src, n_hashes=8, bands=2, pb_buckets=8,
                         db_buckets=8)
-    minhash_index_append(parts[1], src)
-    minhash_index_append(parts[2], src)
+    # one direct append (partition debris) + one delta append (buffered)
+    # so the compaction exercises BOTH the bin-pack and the LSM fold
+    assert minhash_index_append(parts[1], src, mode="direct") == "direct"
+    assert minhash_index_append(parts[2], src) == "delta"  # auto routes small
     n_files_src = len(_state_files(src))
 
     batch = _exact_copies(docs, 9, 600_000)
@@ -392,6 +397,10 @@ def test_minhash_index_compact(spark, docs, tmp_path):
     assert before == after and before
     # Hive layout survived (partition dirs present in the copy)
     assert glob.glob(f"{dst}/bands/pb=*") and glob.glob(f"{dst}/docs/db=*")
+    # the LSM fold: the source's delta buffer is IN the compacted
+    # layout (probe parity above proves it) and the copy has no delta
+    assert os.path.isdir(f"{src}/delta")
+    assert not os.path.isdir(f"{dst}/delta")
 
 
 def test_delete_then_reingest_lifecycle(spark, docs, tmp_path):
@@ -411,13 +420,18 @@ def test_delete_then_reingest_lifecycle(spark, docs, tmp_path):
         .filter(F.col("doc_id") == victim).count() == 0
     )
 
-    # re-accept the same document (same id, same text)
-    minhash_index_append(docs.filter(F.col("doc_id") == victim), path)
-    post = spark.read.parquet(f"{path}/docs")
+    # re-accept the same document (same id, same text) — the auto
+    # router buffers a 1-doc batch into the delta; the LOGICAL table
+    # (live ∪ delta) is what must hold exactly one copy
+    from idhub_spark.operators.dedup_index import _read_state_table
+
+    route = minhash_index_append(docs.filter(F.col("doc_id") == victim), path)
+    assert route == "delta"
+    post = _read_state_table(spark, path, "docs")
     assert post.filter(F.col("doc_id") == victim).count() == 1  # exactly one
     assert post.count() == docs.count()
     bands_rows = (
-        spark.read.parquet(f"{path}/bands")
+        _read_state_table(spark, path, "bands")
         .filter(F.col("doc_id") == victim).count()
     )
     assert bands_rows == 4  # one row per band, not doubled
@@ -522,7 +536,7 @@ def test_rebuild_clears_stale_committed_staging(spark, docs, tmp_path):
 
     # the next append must NOT promote the stale batch
     b2 = docs.filter(F.col("doc_id") % 3 == 2)
-    minhash_index_append(b2, path)
+    minhash_index_append(b2, path, mode="direct")
     live = spark.read.parquet(f"{path}/docs")
     assert live.count() == base.count() + b2.count()
     # every signature has the NEW length — no mixed-parameter rows
@@ -647,3 +661,184 @@ def test_minhash_index_compact_flat_layout(spark, docs, tmp_path):
     after = sorted(map(tuple, minhash_index_probe(
         spark, dst, batch, include_batch_pairs=False).collect()))
     assert before == after and before
+
+
+# ---------------------------------------------------------------- #
+# LSM delta buffer (r14): small appends land as ONE file per state  #
+# table under <root>/delta — O(1) file ops instead of one file per  #
+# touched partition — and every reader composes live ∪ delta, so    #
+# placement never changes results.                                  #
+# ---------------------------------------------------------------- #
+
+
+def test_delta_append_one_file_and_probe_parity(spark, docs, tmp_path):
+    """A small append buffers into the delta (exactly one file per
+    state table — the O(1) file-op contract), and probe results are
+    byte-identical to a twin index that appended the same batch via
+    the direct partition-rename route."""
+    direct = str(tmp_path / "mh_direct")
+    buffered = str(tmp_path / "mh_buffered")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_in = docs.filter(F.col("doc_id") % 2 == 1)
+    for p in (direct, buffered):
+        minhash_index_write(base, p, n_hashes=16, bands=4, pb_buckets=16,
+                            db_buckets=16)
+
+    n_live_before = len(_state_files(buffered))
+    assert minhash_index_append(batch_in, direct, mode="direct") == "direct"
+    # auto: batch << 32*(16+16) = 1024 docs -> delta
+    assert minhash_index_append(batch_in, buffered) == "delta"
+
+    # O(1) file ops: live Hive trees untouched, one file per delta table
+    assert len(_state_files(buffered)) == n_live_before
+    delta_files = glob.glob(f"{buffered}/delta/*/*.parquet")
+    assert len(delta_files) == 2  # one per state table
+    assert not os.path.isdir(f"{buffered}/_append_staging")
+
+    # probe parity: history hits AND in-batch pairs identical
+    probe_batch = _exact_copies(docs, 7, 100_000).unionByName(
+        _trimmed_copies(docs, 5, 200_000)
+    )
+    got_d = sorted(map(tuple, minhash_index_probe(
+        spark, direct, probe_batch, threshold_est=0.5).collect()))
+    got_b = sorted(map(tuple, minhash_index_probe(
+        spark, buffered, probe_batch, threshold_est=0.5).collect()))
+    assert got_d == got_b and got_b
+    # an appended (delta-resident) doc's exact copy IS among the hits
+    odd_id = int(batch_in.filter(F.col("doc_id") % 7 == 0)
+                 .select(F.min("doc_id")).first()[0])
+    assert any(
+        r[0] == odd_id + 100_000 and r[1] == odd_id and r[2] == 1.0
+        for r in got_b
+    )
+
+
+def test_delta_append_crash_protocol(spark, docs, tmp_path):
+    """The delta route rides the same staged _COMMITTED-marker
+    protocol: an uncommitted delta staging is discarded, a committed
+    one is promoted by the next entry point and its rows become
+    probe-visible."""
+    import pathlib
+
+    from idhub_spark.operators.dedup_index import (
+        _COMMITTED,
+        _STAGING,
+        _doc_state,
+        _load_params,
+        _tables,
+    )
+
+    path = str(tmp_path / "mh_delta_crash")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+
+    # fabricate a committed delta staging exactly as a crashed
+    # mid-promotion delta append would leave it
+    n_hashes, bands, pb_b, db_b = _load_params(spark, path)
+    staging = f"{path}/{_STAGING}"
+    state = _doc_state(b1, n_hashes=n_hashes, id_col="doc_id", text_col="text")
+    docs_df, bands_df = _tables(
+        state, n_hashes=n_hashes, bands=bands, pb_buckets=pb_b, db_buckets=db_b
+    )
+    docs_df.coalesce(1).write.parquet(f"{staging}/delta/docs")
+    bands_df.coalesce(1).write.parquet(f"{staging}/delta/bands")
+    pathlib.Path(staging, _COMMITTED).touch()
+
+    b1_id = int(b1.select(F.min("doc_id")).first()[0])
+    probe = _exact_copies(docs.filter(F.col("doc_id") == b1_id), 1, 800_000)
+    got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
+    assert (b1_id + 800_000, b1_id, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
+    assert not os.path.isdir(staging)
+    assert os.path.isdir(f"{path}/delta/docs")
+
+    # uncommitted junk staging: discarded by the next append
+    junk = pathlib.Path(staging) / "delta" / "docs"
+    junk.mkdir(parents=True)
+    (junk / "junk.parquet").write_bytes(b"xx")
+    assert minhash_index_append(b1.limit(0), path) == "empty"
+    assert not os.path.isdir(staging)
+
+
+def test_delta_delete_and_drop_when_empty(spark, docs, tmp_path):
+    """Retraction reaches the delta buffer: doomed delta rows are
+    anti-joined out of BOTH delta tables (delta_rows_deleted reports
+    them), live partitions of live victims still rewrite, and a fully
+    emptied buffer drops its directory."""
+    from idhub_spark.operators.dedup_index import (
+        _read_state_table,
+        minhash_index_delete,
+    )
+
+    path = str(tmp_path / "mh_delta_del")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+
+    live_victim = int(base.select(F.min("doc_id")).first()[0])
+    delta_victim = int(appended.select(F.min("doc_id")).first()[0])
+    rep = minhash_index_delete(spark, path, [live_victim, delta_victim])
+    assert rep["rows_deleted"] == 2
+    assert rep["delta_rows_deleted"] == 1
+    assert rep["docs_partitions_rewritten"] >= 1  # the live victim's db
+
+    post_docs = _read_state_table(spark, path, "docs")
+    post_bands = _read_state_table(spark, path, "bands")
+    for victim in (live_victim, delta_victim):
+        assert post_docs.filter(F.col("doc_id") == victim).count() == 0
+        assert post_bands.filter(F.col("doc_id") == victim).count() == 0
+        ghost = _exact_copies(docs.filter(F.col("doc_id") == victim), 1, 800_000)
+        got = minhash_index_probe(
+            spark, path, ghost, include_batch_pairs=False
+        ).collect()
+        assert not any(r.dup_id == victim for r in got)
+
+    # delete every remaining delta doc: the buffer directory is dropped
+    rest = [r.doc_id for r in appended.filter(
+        F.col("doc_id") != delta_victim).select("doc_id").collect()]
+    rep2 = minhash_index_delete(spark, path, rest)
+    assert rep2["delta_rows_deleted"] == len(rest)
+    assert not os.path.isdir(f"{path}/delta")
+    # the index is still healthy: a surviving live doc probes at 1.0
+    keep = int(base.filter(F.col("doc_id") != live_victim)
+               .select(F.min("doc_id")).first()[0])
+    alive = _exact_copies(docs.filter(F.col("doc_id") == keep), 1, 810_000)
+    got = minhash_index_probe(spark, path, alive, include_batch_pairs=False)
+    assert (keep + 810_000, keep, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
+
+
+def test_delta_stats_and_rebuild_clear(spark, docs, tmp_path):
+    """Stats cover the LOGICAL table (live ∪ delta) while
+    n_partitions stays the live Hive layout's count; a rebuild clears
+    the delta (its rows carry the OLD parameters' signatures)."""
+    from idhub_spark.operators.dedup_index import minhash_index_stats
+
+    path = str(tmp_path / "mh_delta_stats")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    st0 = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    assert minhash_index_append(appended, path) == "delta"
+    st1 = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    assert st1["docs"].n_rows == base.count() + appended.count()
+    assert st1["bands"].n_rows == 2 * (base.count() + appended.count())
+    assert st1["docs"].n_files == st0["docs"].n_files + 1  # one delta file
+    assert st1["docs"].n_partitions == st0["docs"].n_partitions  # live only
+
+    # rebuild with new parameters: the delta belongs to the old
+    # generation and must be gone
+    minhash_index_write(base, path, n_hashes=16, bands=4, pb_buckets=8,
+                        db_buckets=8)
+    assert not os.path.isdir(f"{path}/delta")
+    a_id = int(appended.select(F.min("doc_id")).first()[0])
+    probe = _exact_copies(docs.filter(F.col("doc_id") == a_id), 1, 820_000)
+    got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
+    assert not any(r.dup_id == a_id for r in got.collect())

@@ -877,3 +877,60 @@ def test_compact_partitioned_single_job(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition directories"):
         compact_partitioned(spark, flat, str(tmp_path / "x"), "pb")
+
+
+def test_compact_partitioned_extra_paths_fold_and_deterministic_salt(
+    spark, tmp_path
+):
+    """extra_paths (the dedup index's LSM delta fold): rows from a
+    FLAT sidecar dir whose part_col is a plain data column land in the
+    compacted Hive layout exactly once, and its files count as source
+    files. And the k>1 salt must derive from row CONTENT — a
+    nondeterministic salt (monotonically_increasing_id) re-routes
+    recomputed rows on task retry, risking dup/lost rows (ADVICE r13)."""
+    import glob
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from idhub_spark.storage import compact_partitioned
+
+    src = str(tmp_path / "src")
+    base = spark.range(2000).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(8)).alias("pb"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    base.repartition(F.col("pb")).write.partitionBy("pb").parquet(src)
+
+    delta = str(tmp_path / "delta")
+    extra = spark.range(2000, 2100).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(8)).alias("pb"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    extra.coalesce(1).write.parquet(delta)
+    n_delta_files = len(glob.glob(f"{delta}/*.parquet"))
+    assert n_delta_files == 1
+
+    dst = str(tmp_path / "dst")
+    n_src, n_out = compact_partitioned(spark, src, dst, "pb",
+                                       extra_paths=[delta])
+    assert n_src == len(glob.glob(f"{src}/pb=*/*.parquet")) + n_delta_files
+    got = sorted(
+        map(tuple, spark.read.parquet(dst).select("id", "payload", "pb").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            base.unionByName(extra).select("id", "payload", "pb").collect(),
+        )
+    )
+    assert got == want  # folded exactly once, nothing lost
+    assert len(glob.glob(f"{dst}/pb=*")) == 8  # Hive layout
+
+    # the salt regression pin: content-derived, never row-position
+    # (the name appears in a comment explaining exactly this)
+    assert "F.monotonically_increasing_id(" not in inspect.getsource(
+        compact_partitioned
+    )
