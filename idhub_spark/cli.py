@@ -412,13 +412,17 @@ def _cmd_dedup_index(args) -> int:
         }))
         return 0
     if args.action == "append":
+        from idhub_spark.operators.dedup_index import _read_state_table
+
         docs = _read(args.docs)
-        minhash_index_append(
+        route = minhash_index_append(
             docs, args.index, id_col=args.id_col, text_col=args.text_col
         )
-        n = spark.read.parquet(f"{args.index.rstrip('/')}/docs").count()
+        # logical table = live Hive layout ∪ delta buffer (a small
+        # batch lands in the delta, so a live-only count misses it)
+        n = _read_state_table(spark, args.index.rstrip("/"), "docs").count()
         print(json.dumps({
-            "index": args.index, "action": "append",
+            "index": args.index, "action": "append", "route": route,
             "n_batch": docs.count(), "n_docs_total": n,
         }))
         return 0

@@ -469,6 +469,9 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     rc = cli.main(["dedup-index", "append", "--index", idx, "--docs", bsrc])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # a 1-doc batch buffers into the LSM delta; the reported total is
+    # the LOGICAL table (live ∪ delta)
+    assert rep["route"] == "delta"
     assert rep["n_docs_total"] == 41
 
     rc = cli.main(["dedup-index", "stats", "--index", idx])
