@@ -1465,3 +1465,201 @@ def minhash_index_lifecycle_state(spark, sf_dir):
         )
     )
     return victim_absent.unionByName(survivor_found).unionByName(victim_found)
+
+
+# ---------------------------------------------------------------------------
+# READY FOR r15 REGISTRATION (not yet @query'd: the r14 driver window
+# closes at exactly 50 with zero free slots — CLAUDE.md round state).
+# Slot it in the r15 window front with the oracle below; it gives the
+# r14 LSM delta buffer its dedicated driver row: a small-batch ingest
+# CADENCE through the buffer, probe correctness over MIXED layers
+# (live + delta + direct debris), the compaction FOLD's parity, and a
+# cross-layer delete — the four behaviors scale_audit_r14.md measures,
+# as hash-verified contracts.
+# ---------------------------------------------------------------------------
+MINHASH_CADENCE_STATE_ORACLE = """
+    WITH hist AS (
+      SELECT doc_id FROM documents
+      WHERE POSITION(' ' IN text) > 0 AND doc_id % 3 = 0
+    ),
+    odd AS (SELECT doc_id FROM hist WHERE doc_id % 2 = 1),
+    d1 AS (SELECT doc_id FROM odd WHERE doc_id % 5 = 1),
+    d2 AS (SELECT doc_id FROM odd WHERE doc_id % 5 = 2),
+    direct AS (SELECT doc_id FROM odd WHERE doc_id % 5 NOT IN (1, 2)),
+    victims AS (
+      SELECT doc_id FROM d1 WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id FROM hist WHERE doc_id % 2 = 0 AND doc_id % 15 = 0
+    )
+    SELECT 'post_cadence' AS phase, 'delta_found' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM (SELECT doc_id FROM d1 UNION ALL SELECT doc_id FROM d2)
+    UNION ALL
+    SELECT 'post_cadence' AS phase, 'direct_found' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM direct
+    UNION ALL
+    SELECT 'post_fold' AS phase, 'fold_parity' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM odd
+    UNION ALL
+    SELECT 'post_delete' AS phase, 'victim_absent' AS kind, doc_id,
+           CAST(1 AS BIGINT) AS ok
+    FROM victims
+    """
+
+
+def minhash_index_cadence_state(spark, sf_dir):
+    """The LSM delta buffer driven end to end at ingest cadence
+    (operators/dedup_index.py, r14 — the scale_audit_r14.md behaviors
+    as hash-verified contracts): build over the even half of a history
+    slice of `documents`, then ingest the odd half as a CADENCE —
+    two small batches through the DELTA BUFFER, one through the
+    direct partition-rename route — probe exact copies of every
+    ingested doc, FOLD the buffer with minhash_index_compact and
+    re-probe the folded copy, then DELETE a cross-layer victim set
+    (delta-resident + live) and probe their ghosts. In-plan-verdict
+    oracle (the lifecycle-query pattern — xxhash64 signatures have no
+    DuckDB twin, but every contract is text-set membership plus
+    est_jaccard == 1.0 exactness, PLACEMENT-INVARIANT by
+    construction):
+
+    - delta_found / direct_found: every ingested doc's exact copy is
+      reported against history at exactly 1.0 regardless of which
+      layer holds its state (probes read bands ∪ delta).
+    - fold_parity: after compacting to a sibling (the fold — the
+      copy has NO delta dir), the SAME probe finds every ingested
+      doc on the folded layout too.
+    - victim_absent: a delete spanning both layers (buffer rows
+      anti-joined, live partitions rewritten) leaves no pair naming
+      a victim as dup_id.
+
+    A violated contract flips that row's ok to 0 and fails the hash.
+    Slim parameters (8 hashes / 2 bands / 4+4 buckets) for the same
+    reason as the lifecycle query: est==1.0 exactness is
+    parameter-invariant, so larger settings buy wall, not verdict
+    strength. The two buffer batches force mode='delta' (their sizes
+    straddle the auto threshold across sf dirs; the ROUTE is the
+    subject here, and placement-invariance is exactly what the
+    contracts prove); the third forces 'direct' so the fold packs
+    real partition debris alongside the buffer."""
+    import os
+    import tempfile
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    t = tables(spark, sf_dir, "documents")
+    docs = (
+        t["documents"].select("doc_id", "text").filter(F.instr("text", " ") > 0)
+    )
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "idhub_mh_cadence",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    idx, folded = f"{base}/idx", f"{base}/folded"
+    minhash_index_write(
+        hist.filter(F.col("doc_id") % 2 == 0),
+        idx,
+        n_hashes=8,
+        bands=2,
+        pb_buckets=4,
+        db_buckets=4,
+    )
+    odd = hist.filter(F.col("doc_id") % 2 == 1)
+    d1 = odd.filter(F.col("doc_id") % 5 == 1)
+    d2 = odd.filter(F.col("doc_id") % 5 == 2)
+    direct = odd.filter(~(F.col("doc_id") % 5).isin(1, 2))
+    minhash_index_append(d1, idx, mode="delta")
+    minhash_index_append(d2, idx, mode="delta")
+    minhash_index_append(direct, idx, mode="direct")
+
+    copies = odd.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+
+    def _found(path, probe_docs, offset):
+        """(doc_id, _f=1) for docs whose exact copy (doc_id+offset)
+        the probe reported against history at est exactly 1.0."""
+        got = minhash_index_probe(
+            spark, path, probe_docs, threshold_est=0.5,
+            include_batch_pairs=False,
+        )
+        return (
+            got.filter(
+                (F.col("est_jaccard") == 1.0)
+                & (F.col("dup_source") == "history")
+            )
+            .select(
+                (F.col("new_id") - offset).alias("_nid"),
+                F.col("dup_id").alias("doc_id"),
+            )
+            .filter(F.col("_nid") == F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_f", F.lit(1))
+        )
+
+    found_mixed = _found(idx, copies, 1_000_000).localCheckpoint(eager=True)
+
+    def verdict(src, phase, kind, hits):
+        return src.select("doc_id").join(hits, "doc_id", "left").select(
+            F.lit(phase).alias("phase"),
+            F.lit(kind).alias("kind"),
+            "doc_id",
+            F.coalesce("_f", F.lit(0)).cast("bigint").alias("ok"),
+        )
+
+    delta_found = verdict(
+        d1.unionByName(d2), "post_cadence", "delta_found", found_mixed
+    )
+    direct_found = verdict(
+        direct, "post_cadence", "direct_found", found_mixed
+    )
+
+    # the fold: compacted copy answers identically with no delta dir
+    minhash_index_compact(spark, idx, folded)
+    found_folded = _found(folded, copies, 1_000_000)
+    fold_parity = verdict(odd, "post_fold", "fold_parity", found_folded)
+
+    # cross-layer retraction on the ORIGINAL (delta'd) index; fold
+    # results above are a pre-delete snapshot of the sibling copy
+    # %9 picks a PROPER subset of the delta batch (hist ids are all
+    # %3 == 0 already), so the buffer keeps survivors post-delete
+    victims = d1.filter(F.col("doc_id") % 9 == 0).unionByName(
+        hist.filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 15 == 0)
+        )
+    )
+    minhash_index_delete(spark, idx, victims.select("doc_id"))
+    ghosts = victims.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    hit_v = (
+        minhash_index_probe(
+            spark, idx, ghosts, threshold_est=0.5, include_batch_pairs=False
+        )
+        .select(F.col("dup_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_h", F.lit(1))
+    )
+    victim_absent = (
+        victims.select("doc_id")
+        .join(hit_v, "doc_id", "left")
+        .select(
+            F.lit("post_delete").alias("phase"),
+            F.lit("victim_absent").alias("kind"),
+            "doc_id",
+            F.when(F.col("_h").isNull(), 1).otherwise(0).cast("bigint").alias("ok"),
+        )
+    )
+    return (
+        delta_found.unionByName(direct_found)
+        .unionByName(fold_parity)
+        .unionByName(victim_absent)
+    )

@@ -842,3 +842,24 @@ def test_delta_stats_and_rebuild_clear(spark, docs, tmp_path):
     probe = _exact_copies(docs.filter(F.col("doc_id") == a_id), 1, 820_000)
     got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
     assert not any(r.dup_id == a_id for r in got.collect())
+
+
+def test_minhash_index_cadence_state_ready(spark, duck):
+    """The r15-ready delta-buffer driver query (plans/dedup_q.py
+    minhash_index_cadence_state — unregistered until a rotation slot
+    opens; CLAUDE.md round state) must already hold every verdict
+    contract AND hash-match its oracle exactly, the same comparison
+    the driver runs: delta-batch cadence -> mixed-layer probe ->
+    fold parity -> cross-layer delete."""
+    import idhub_spark.queries  # noqa: F401 — canonical plan import order
+    from idhub_spark.plans.dedup_q import (
+        MINHASH_CADENCE_STATE_ORACLE,
+        minhash_index_cadence_state,
+    )
+    from tests.conftest import SF_DIR, assert_oracle_match
+
+    df = minhash_index_cadence_state(spark, SF_DIR)
+    assert_oracle_match(
+        df, duck, MINHASH_CADENCE_STATE_ORACLE,
+        name="minhash_index_cadence_state",
+    )
