@@ -114,6 +114,7 @@ from pyspark.sql import functions as F
 _STAGING = "_append_staging"
 _COMMITTED = "_COMMITTED"
 _DELTA = "delta"
+_FOLD = "_FOLD_DELTA"
 
 
 def _doc_state(
@@ -301,16 +302,27 @@ def _resume_or_discard_staging(spark, root: str, *, best_effort: bool = False) -
 
 
 def _promote_staging(spark, root: str) -> None:
+    """Rename a committed staging's files into the live layout. A
+    staging carrying the _FOLD_DELTA marker is a minor compaction
+    (minhash_index_fold_delta): its staged partition trees ARE the
+    delta's rows re-laid-out, so after the rename-in the delta dir is
+    deleted — in that order, and the delta delete precedes the staging
+    delete, so every crash point resumes idempotently (re-promote
+    moves nothing, re-deletes nothing, then clears the staging)."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/{_STAGING}"
     fs, jstag = _hadoop_fs(spark, staging)
+    folding = fs.exists(_hadoop_fs(spark, f"{staging}/{_FOLD}")[1])
     # 'delta' last: its staged subtree mirrors delta/{docs,bands}, so
     # _move_tree lands the buffered batch's two files in one recursion
     for table in ("docs", "bands", _DELTA):
         _, jsrc = _hadoop_fs(spark, f"{staging}/{table}")
         if fs.exists(jsrc):
             _move_tree(spark, fs, f"{staging}/{table}", f"{root}/{table}")
+    if folding:
+        _, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
+        fs.delete(jdelta, True)
     fs.delete(jstag, True)
 
 
@@ -502,6 +514,66 @@ def minhash_index_append(
     fs.create(jmark, True).close()
     _promote_staging(spark, root)
     return route
+
+
+def minhash_index_fold_delta(spark, path: str) -> dict:
+    """MINOR compaction — the LSM flush: re-lay ONLY the delta
+    buffer's rows into the partitioned Hive layout (one file per
+    touched partition, the direct-append shape) and drop the buffer.
+    I/O ∝ delta bytes — at production scale this is the cadence
+    operation that bounds the buffer's probe tax WITHOUT the full
+    compactor's rewrite of the entire state (minhash_index_compact
+    remains the MAJOR compaction: it glues a year of append debris
+    AND folds the delta, but reads and rewrites everything).
+
+    Protocol: the buffered rows are staged in the direct layout, the
+    _FOLD_DELTA marker is written, then _COMMITTED last; promotion
+    renames the staged files in and — because of the marker — deletes
+    the delta dir before clearing the staging. Every crash point
+    resumes through the ordinary settle (the staged files and the
+    delta never hold a row visible TWICE except in the narrow
+    half-promoted window, which only a failed best-effort settle on a
+    concurrent read-only replica could observe — the single-writer
+    assumption covers writers). An empty or absent buffer is a no-op.
+
+    Returns {"folded_rows", "files_written"}."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    root = path.rstrip("/")
+    _, _, pb_buckets, db_buckets = _load_params(spark, root)
+    _resume_or_discard_staging(spark, root)
+    fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
+    if not fs.exists(jdelta):
+        return {"folded_rows": 0, "files_written": 0}
+    staging = f"{root}/{_STAGING}"
+    docs_df = spark.read.parquet(f"{root}/{_DELTA}/docs").localCheckpoint(
+        eager=True
+    )
+    bands_df = spark.read.parquet(f"{root}/{_DELTA}/bands")
+    n_rows = docs_df.count()
+    _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
+    _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
+    docs_df.unpersist()
+
+    def _count_staged(jp):
+        n = 0
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            n += 1 if st.isFile() else _count_staged(st.getPath())
+        return n
+
+    files_written = sum(
+        _count_staged(_hadoop_fs(spark, f"{staging}/{t}")[1])
+        for t in ("docs", "bands")
+    )
+    _, jfold = _hadoop_fs(spark, f"{staging}/{_FOLD}")
+    fs.create(jfold, True).close()
+    _, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
+    fs.create(jmark, True).close()
+    _promote_staging(spark, root)
+    return {"folded_rows": int(n_rows), "files_written": int(files_written)}
 
 
 def minhash_index_probe(

@@ -863,3 +863,99 @@ def test_minhash_index_cadence_state_ready(spark, duck):
         df, duck, MINHASH_CADENCE_STATE_ORACLE,
         name="minhash_index_cadence_state",
     )
+
+
+def test_fold_delta_minor_compaction(spark, docs, tmp_path):
+    """minhash_index_fold_delta — the LSM flush: the buffer's rows
+    re-lay into the Hive layout (I/O ∝ delta, history untouched), the
+    delta dir drops, probe results are identical before/after, and a
+    second fold is a no-op."""
+    from idhub_spark.operators.dedup_index import minhash_index_fold_delta
+
+    path = str(tmp_path / "mh_fold")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0))
+    b2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0))
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(b1, path) == "delta"
+    assert minhash_index_append(b2, path) == "delta"
+
+    probe_batch = _exact_copies(docs, 7, 100_000)
+    before_rows = sorted(map(tuple, minhash_index_probe(
+        spark, path, probe_batch, include_batch_pairs=False).collect()))
+    live_before = {f: os.path.getmtime(f) for f in _state_files(path)}
+
+    rep = minhash_index_fold_delta(spark, path)
+    assert rep["folded_rows"] == b1.count() + b2.count()
+    assert rep["files_written"] >= 2
+    assert not os.path.isdir(f"{path}/delta")
+    assert not os.path.isdir(f"{path}/_append_staging")
+
+    # history untouched: every pre-fold live file survives unmodified
+    live_after = {f: os.path.getmtime(f) for f in _state_files(path)}
+    assert set(live_before) < set(live_after)
+    assert all(live_after[f] == live_before[f] for f in live_before)
+
+    after_rows = sorted(map(tuple, minhash_index_probe(
+        spark, path, probe_batch, include_batch_pairs=False).collect()))
+    assert before_rows == after_rows and after_rows
+    # no row visible twice: doc_ids unique in the folded layout
+    dup = (
+        spark.read.parquet(f"{path}/docs")
+        .groupBy("doc_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    assert spark.read.parquet(f"{path}/docs").count() == docs.count()
+
+    # empty buffer: no-op
+    assert minhash_index_fold_delta(spark, path) == {
+        "folded_rows": 0, "files_written": 0,
+    }
+
+
+def test_fold_delta_crash_protocol(spark, docs, tmp_path):
+    """A fold that crashes after committing its staging is resumed by
+    the next entry point's settle: the staged partition files rename
+    in AND the delta dir is deleted (the _FOLD_DELTA marker) — rows
+    restored exactly once, never duplicated."""
+    import pathlib
+
+    from idhub_spark.operators.dedup_index import (
+        _COMMITTED,
+        _FOLD,
+        _STAGING,
+        _write_table,
+    )
+
+    path = str(tmp_path / "mh_fold_crash")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(b1, path) == "delta"
+
+    # fabricate the crashed fold exactly as fold_delta stages it:
+    # staged direct-layout tables + _FOLD + _COMMITTED, never promoted
+    staging = f"{path}/{_STAGING}"
+    _write_table(
+        spark.read.parquet(f"{path}/delta/docs"), f"{staging}/docs", "db"
+    )
+    _write_table(
+        spark.read.parquet(f"{path}/delta/bands"), f"{staging}/bands", "pb"
+    )
+    pathlib.Path(staging, _FOLD).touch()
+    pathlib.Path(staging, _COMMITTED).touch()
+
+    # the next probe settles: delta folded, results complete, no dups
+    b1_id = int(b1.select(F.min("doc_id")).first()[0])
+    probe = _exact_copies(docs.filter(F.col("doc_id") == b1_id), 1, 800_000)
+    got = minhash_index_probe(spark, path, probe, include_batch_pairs=False)
+    assert (b1_id + 800_000, b1_id, 1.0, "history") in {
+        tuple(r) for r in got.collect()
+    }
+    assert not os.path.isdir(staging)
+    assert not os.path.isdir(f"{path}/delta")
+    post = spark.read.parquet(f"{path}/docs")
+    assert post.count() == docs.count()
+    assert post.groupBy("doc_id").count().filter("count > 1").count() == 0
