@@ -1501,9 +1501,9 @@ MINHASH_CADENCE_STATE_ORACLE = """
     UNION ALL
     SELECT 'post_fold' AS phase, 'fold_parity' AS kind, doc_id,
            CAST(1 AS BIGINT) AS ok
-    FROM odd
+    FROM odd WHERE doc_id NOT IN (SELECT doc_id FROM victims)
     UNION ALL
-    SELECT 'post_delete' AS phase, 'victim_absent' AS kind, doc_id,
+    SELECT 'post_fold' AS phase, 'victim_absent' AS kind, doc_id,
            CAST(1 AS BIGINT) AS ok
     FROM victims
     """
@@ -1516,23 +1516,23 @@ def minhash_index_cadence_state(spark, sf_dir):
     slice of `documents`, then ingest the odd half as a CADENCE —
     two small batches through the DELTA BUFFER, one through the
     direct partition-rename route — probe exact copies of every
-    ingested doc, FOLD the buffer with minhash_index_compact and
-    re-probe the folded copy, then DELETE a cross-layer victim set
-    (delta-resident + live) and probe their ghosts. In-plan-verdict
-    oracle (the lifecycle-query pattern — xxhash64 signatures have no
-    DuckDB twin, but every contract is text-set membership plus
-    est_jaccard == 1.0 exactness, PLACEMENT-INVARIANT by
-    construction):
+    ingested doc, DELETE a cross-layer victim set (delta-resident +
+    live), FOLD the surviving buffer in place with
+    minhash_index_fold_delta (the MINOR compaction), and probe once
+    more. In-plan-verdict oracle (the lifecycle-query pattern —
+    xxhash64 signatures have no DuckDB twin, but every contract is
+    text-set membership plus est_jaccard == 1.0 exactness,
+    PLACEMENT-INVARIANT by construction):
 
     - delta_found / direct_found: every ingested doc's exact copy is
       reported against history at exactly 1.0 regardless of which
       layer holds its state (probes read bands ∪ delta).
-    - fold_parity: after compacting to a sibling (the fold — the
-      copy has NO delta dir), the SAME probe finds every ingested
-      doc on the folded layout too.
-    - victim_absent: a delete spanning both layers (buffer rows
-      anti-joined, live partitions rewritten) leaves no pair naming
-      a victim as dup_id.
+    - fold_parity: after the in-place fold (delta dir gone, its rows
+      re-laid into the Hive layout at I/O ∝ delta), every SURVIVING
+      ingested doc's copy is still found at exactly 1.0.
+    - victim_absent: the pre-fold delete spanned both layers (buffer
+      rows anti-joined, live partitions rewritten) and the fold
+      preserved the retraction — no post-fold pair names a victim.
 
     A violated contract flips that row's ok to 0 and fails the hash.
     Slim parameters (8 hashes / 2 bands / 4+4 buckets) for the same
@@ -1548,8 +1548,8 @@ def minhash_index_cadence_state(spark, sf_dir):
 
     from idhub_spark.operators.dedup_index import (
         minhash_index_append,
-        minhash_index_compact,
         minhash_index_delete,
+        minhash_index_fold_delta,
         minhash_index_probe,
         minhash_index_write,
     )
@@ -1564,7 +1564,7 @@ def minhash_index_cadence_state(spark, sf_dir):
         "idhub_mh_cadence",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
-    idx, folded = f"{base}/idx", f"{base}/folded"
+    idx = f"{base}/idx"
     minhash_index_write(
         hist.filter(F.col("doc_id") % 2 == 0),
         idx,
@@ -1622,29 +1622,47 @@ def minhash_index_cadence_state(spark, sf_dir):
         direct, "post_cadence", "direct_found", found_mixed
     )
 
-    # the fold: compacted copy answers identically with no delta dir
-    minhash_index_compact(spark, idx, folded)
-    found_folded = _found(folded, copies, 1_000_000)
-    fold_parity = verdict(odd, "post_fold", "fold_parity", found_folded)
-
-    # cross-layer retraction on the ORIGINAL (delta'd) index; fold
-    # results above are a pre-delete snapshot of the sibling copy
-    # %9 picks a PROPER subset of the delta batch (hist ids are all
-    # %3 == 0 already), so the buffer keeps survivors post-delete
+    # cross-layer retraction FIRST (buffer rows anti-joined, live
+    # partitions rewritten; %9 picks a PROPER subset of the delta
+    # batch — hist ids are all %3 == 0 already — so the buffer keeps
+    # survivors), THEN the MINOR compaction folds the surviving
+    # buffer into the Hive layout in place
     victims = d1.filter(F.col("doc_id") % 9 == 0).unionByName(
         hist.filter(
             (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 15 == 0)
         )
     )
     minhash_index_delete(spark, idx, victims.select("doc_id"))
-    ghosts = victims.select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    minhash_index_fold_delta(spark, idx)
+
+    # ONE post-fold probe answers both contracts: survivors' copies
+    # (offset 2M) still found at exactly 1.0 on the folded layout,
+    # and no pair names a victim (their ghosts ride at offset 3M)
+    survivors = odd.join(victims.select("doc_id"), "doc_id", "anti")
+    post_batch = survivors.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        victims.select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
     )
-    hit_v = (
-        minhash_index_probe(
-            spark, idx, ghosts, threshold_est=0.5, include_batch_pairs=False
+    post_probe = minhash_index_probe(
+        spark, idx, post_batch, threshold_est=0.5, include_batch_pairs=False
+    ).localCheckpoint(eager=True)
+    found_folded = (
+        post_probe.filter(
+            (F.col("est_jaccard") == 1.0) & (F.col("dup_source") == "history")
         )
-        .select(F.col("dup_id").alias("doc_id"))
+        .select(
+            (F.col("new_id") - 2_000_000).alias("_nid"),
+            F.col("dup_id").alias("doc_id"),
+        )
+        .filter(F.col("_nid") == F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    fold_parity = verdict(survivors, "post_fold", "fold_parity", found_folded)
+    hit_v = (
+        post_probe.select(F.col("dup_id").alias("doc_id"))
         .distinct()
         .withColumn("_h", F.lit(1))
     )
@@ -1652,7 +1670,7 @@ def minhash_index_cadence_state(spark, sf_dir):
         victims.select("doc_id")
         .join(hit_v, "doc_id", "left")
         .select(
-            F.lit("post_delete").alias("phase"),
+            F.lit("post_fold").alias("phase"),
             F.lit("victim_absent").alias("kind"),
             "doc_id",
             F.when(F.col("_h").isNull(), 1).otherwise(0).cast("bigint").alias("ok"),
