@@ -88,8 +88,12 @@ applied to both sides (PartitionFilters on the Hive side, a row
 filter on the tiny delta), so results are byte-identical to the
 folded layout by construction. minhash_index_delete rewrites the
 delta tables alongside the pruned partitions; minhash_index_compact
-FOLDS the delta into the partitioned layout (the LSM merge — the
-compacted copy has no delta). Append mode is 'auto' by default:
+FOLDS the delta into the partitioned layout (the LSM MAJOR
+compaction — the compacted copy has no delta), and
+minhash_index_fold_delta is the MINOR compaction (flush): it re-lays
+only the buffer's rows into the Hive layout at I/O ∝ delta bytes,
+history untouched — the cadence operation that bounds the buffer's
+probe tax between majors. Append mode is 'auto' by default:
 batches under direct_min_docs (default 32·(pb+db) — ≥~32 rows per
 file the direct path would create) buffer into the delta, larger
 batches take the direct partition-rename path whose per-file cost
@@ -535,6 +539,18 @@ def minhash_index_fold_delta(spark, path: str) -> dict:
     half-promoted window, which only a failed best-effort settle on a
     concurrent read-only replica could observe — the single-writer
     assumption covers writers). An empty or absent buffer is a no-op.
+
+    Cost shape (measured, scale_audit_r14.md §4): the fold pays the
+    direct path's rename-per-file promotion ONCE for the whole buffer
+    — capped at ~min(buffer_band_rows, pb) + min(buffer_docs, db)
+    renames per fold instead of per append (4 buffered 1k-doc appends
+    + one fold ≈ 94 s vs ~216 s direct, and the cap means 40 appends
+    still fold in the same ~90-120 s). Against the MAJOR compactor
+    the trade is byte-volume: at harness state sizes the single-job
+    full rewrite is cheaper (35 s at 2M — the state is only ~100 MB),
+    but compact rewrites the ENTIRE state while fold writes only the
+    delta, so fold wins exactly when state_bytes >> delta_bytes — the
+    production regime a 100 TB corpus index lives in.
 
     Returns {"folded_rows", "files_written"}."""
     from idhub_spark.operators.merge_into import _hadoop_fs
