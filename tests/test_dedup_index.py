@@ -959,3 +959,69 @@ def test_fold_delta_crash_protocol(spark, docs, tmp_path):
     post = spark.read.parquet(f"{path}/docs")
     assert post.count() == docs.count()
     assert post.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_incremental_index_equals_single_build_randomized(spark, docs, tmp_path):
+    """THE composition invariant, seeded-random (the test_properties
+    pattern — hypothesis shrinking multiplies Spark minutes): an index
+    grown through ANY sequence of build / routed appends (delta,
+    direct, auto) / cross-layer deletes / an optional in-place fold
+    must probe byte-identically to a SINGLE build over the surviving
+    document set. This is the claim every delta-buffer reader path
+    rests on, exercised over randomized slicings instead of the
+    hand-picked ones above."""
+    import random
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_delete,
+        minhash_index_fold_delta,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        inc = str(tmp_path / f"inc_{seed}")
+        ref = str(tmp_path / f"ref_{seed}")
+
+        # random slicing: 1 build slice + 1-3 append batches
+        shuffled = ids[:]
+        rng.shuffle(shuffled)
+        n_batches = rng.randint(1, 3)
+        cuts = sorted(rng.sample(range(1, len(shuffled)), n_batches))
+        slices = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(shuffled)])
+        ]
+        minhash_index_write(
+            corpus.filter(F.col("doc_id").isin(slices[0])), inc,
+            n_hashes=8, bands=2, pb_buckets=8, db_buckets=8,
+        )
+        for batch_ids in slices[1:]:
+            route = rng.choice(["delta", "direct", "auto"])
+            minhash_index_append(
+                corpus.filter(F.col("doc_id").isin(batch_ids)), inc,
+                mode=route,
+            )
+
+        victims = rng.sample(ids, rng.randint(0, 4))
+        if victims:
+            rep = minhash_index_delete(spark, inc, victims)
+            assert rep["rows_deleted"] == len(victims), f"seed {seed}"
+        if rng.random() < 0.5:
+            minhash_index_fold_delta(spark, inc)
+
+        survivors = corpus.filter(~F.col("doc_id").isin(victims or [-1]))
+        minhash_index_write(
+            survivors, ref, n_hashes=8, bands=2, pb_buckets=8, db_buckets=8
+        )
+
+        probe_batch = _exact_copies(corpus, 5, 700_000).unionByName(
+            _trimmed_copies(corpus, 7, 800_000)
+        )
+        got_inc = sorted(map(tuple, minhash_index_probe(
+            spark, inc, probe_batch, threshold_est=0.5).collect()))
+        got_ref = sorted(map(tuple, minhash_index_probe(
+            spark, ref, probe_batch, threshold_est=0.5).collect()))
+        assert got_inc == got_ref and got_ref, f"seed {seed}"
