@@ -349,6 +349,7 @@ def _cmd_dedup_index(args) -> int:
         _load_params,
         minhash_index_append,
         minhash_index_delete,
+        minhash_index_fold_delta,
         minhash_index_probe,
         minhash_index_stats,
         minhash_index_write,
@@ -374,6 +375,11 @@ def _cmd_dedup_index(args) -> int:
                 for r in rows
             },
         }))
+        return 0
+    if args.action == "fold":
+        _load_params(spark, args.index.rstrip("/"))  # clear non-index error
+        rep = minhash_index_fold_delta(spark, args.index)
+        print(json.dumps({"index": args.index, "action": "fold", **rep}))
         return 0
 
     def _read(path):
@@ -698,17 +704,20 @@ def main(argv: list[str] | None = None) -> int:
         "per-doc state, or probe a batch against history",
     )
     di.add_argument(
-        "action", choices=["build", "append", "probe", "delete", "stats"],
+        "action",
+        choices=["build", "append", "probe", "delete", "stats", "fold"],
         help="build (overwrite), append a reviewed batch, probe a new "
         "batch for near-duplicates against history, delete (retract) "
-        "documents — --docs then carries the id frame — or report "
-        "index health (stats: rows/files/partitions + hot bucket)",
+        "documents — --docs then carries the id frame — report "
+        "index health (stats: rows/files/partitions + hot bucket), or "
+        "fold the LSM delta buffer into the Hive layout (the minor "
+        "compaction; daily cadence — docs/operations.md)",
     )
     di.add_argument("--index", required=True, help="index root path")
     di.add_argument(
         "--docs",
         help="document frame (parquet dir or .csv) with id/text "
-        "columns; required for every action except stats",
+        "columns; required for every action except stats/fold",
     )
     di.add_argument("--id-col", default="doc_id")
     di.add_argument("--text-col", default="text")

@@ -479,3 +479,16 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["docs"]["n_rows"] == 41
     assert rep["params"]["pb_buckets"] == 8
+
+    # fold: the buffered append re-lays into the Hive layout in place
+    rc = cli.main(["dedup-index", "fold", "--index", idx])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["folded_rows"] == 1
+    import os as _os
+
+    assert not _os.path.isdir(f"{idx}/delta")
+    rc = cli.main(["dedup-index", "stats", "--index", idx])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["docs"]["n_rows"] == 41  # nothing lost/doubled
