@@ -370,6 +370,8 @@ def _cmd_dedup_index(args) -> int:
                 r.tbl: {
                     "n_rows": r.n_rows, "n_files": r.n_files,
                     "n_partitions": r.n_partitions,
+                    "delta_rows": r.delta_rows,
+                    "delta_files": r.delta_files,
                     "hot_bucket_rows": r.hot_bucket_rows,
                 }
                 for r in rows

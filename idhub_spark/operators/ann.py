@@ -1635,6 +1635,22 @@ def _settle_merge_staging(spark, root: str):
             "started against a cold set this settle cannot recover; "
             "refusing to guess (staging left in place)"
         )
+    if staged_cold and not applying:
+        # legacy-upgrade fallback (ADVICE r14): stagings written before
+        # the sentinel existed never carry one, so 'sentinel absent'
+        # cannot mean 'phase 2 never started' for them — a pre-upgrade
+        # merge that crashed after deleting cold dirs would be
+        # discarded here WITH the only copy of its re-assigned rows.
+        # A recorded cold dir being MISSING is the old presence-based
+        # proof that phase 2 ran (deletes happen first); resume it.
+        # All-dirs-present keeps the discard: for a legacy staging
+        # that is exactly the old settle's own behavior, and for a
+        # sentinel-era staging phase 2 provably never started.
+        if any(
+            not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
+            for c in staged_cold
+        ):
+            applying = True
     if not staged_cold or not applying:
         fs.delete(jstag, True)
         return None

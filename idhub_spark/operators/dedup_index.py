@@ -392,6 +392,83 @@ def _read_state_table(
     return df
 
 
+def _settle_delta_rewrite(spark, root: str, *, best_effort: bool = False) -> None:
+    """Settle a delete's pending DELTA-TABLE rewrite (ADVICE r14): the
+    retraction path replaces a delta table's image with its survivor
+    set through a rename swap — stage survivors to
+    _delete_staging/delta_<t>, rename the live table ASIDE to
+    delta/._old_<t>, rename the staged dir in, drop the aside — so no
+    crash point ever leaves a directory that fs.exists passes but
+    parquet can't read (the old second-overwrite protocol's failure
+    mode: dst cleared, only _temporary written). Each state is
+    unambiguous:
+
+      aside + live present          → crash between the staged
+                                      rename-in and the aside drop;
+                                      the live table IS the survivor
+                                      set — drop the aside.
+      aside present, live absent,
+      staged survivors present      → crash between the aside rename
+                                      and the staged rename-in —
+                                      rename the survivors in, drop
+                                      the aside.
+      aside present, both absent    → staged survivors vanished
+                                      (manual staging cleanup); the
+                                      aside still holds the only copy
+                                      of the survivor rows — roll BACK
+                                      (rename aside to live; the
+                                      doomed rows it also holds are
+                                      re-retracted by the delete
+                                      rerun this state implies).
+
+    Runs FIRST at every entry point (before the append-staging
+    settle): promotion of a buffered append re-creates the live delta
+    dir additively, which would make the aside+live state ambiguous —
+    settling the rewrite first keeps each state's meaning exact. Two
+    fs.exists calls when nothing is pending. best_effort mirrors
+    _resume_or_discard_staging (read-only entry points warn and read
+    the live files only)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/_delete_staging"
+    for table in ("docs", "bands"):
+        aside = f"{root}/{_DELTA}/._old_{table}"
+        try:
+            fs, jaside = _hadoop_fs(spark, aside)
+            if not fs.exists(jaside):
+                continue
+            live = f"{root}/{_DELTA}/{table}"
+            st = f"{staging}/delta_{table}"
+            _, jlive = _hadoop_fs(spark, live)
+            _, jst = _hadoop_fs(spark, st)
+            if fs.exists(jlive):
+                fs.delete(jaside, True)
+            elif fs.exists(jst):
+                if not fs.rename(jst, jlive):
+                    raise RuntimeError(
+                        f"dedup index {root!r}: delta rewrite settle "
+                        f"could not rename {st} -> {live}"
+                    )
+                fs.delete(jaside, True)
+            else:
+                if not fs.rename(jaside, jlive):
+                    raise RuntimeError(
+                        f"dedup index {root!r}: delta rewrite settle "
+                        f"could not roll back {aside} -> {live}"
+                    )
+        except Exception:
+            if not best_effort:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"dedup index {root!r}: could not settle pending delta "
+                "rewrite (concurrent writer or read-only storage); "
+                "reading live files only",
+                stacklevel=2,
+            )
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,
@@ -502,6 +579,7 @@ def minhash_index_append(
     root = path.rstrip("/")
     spark = docs.sparkSession
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    _settle_delta_rewrite(spark, root)
     _resume_or_discard_staging(spark, root)
 
     from idhub_spark.operators.merge_into import _hadoop_fs
@@ -588,9 +666,36 @@ def minhash_index_fold_delta(spark, path: str) -> dict:
 
     root = path.rstrip("/")
     _, _, pb_buckets, db_buckets = _load_params(spark, root)
+    _settle_delta_rewrite(spark, root)
     _resume_or_discard_staging(spark, root)
     fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
     if not fs.exists(jdelta):
+        return {"folded_rows": 0, "files_written": 0}
+    # gate per SUBTABLE, not just the parent dir (ADVICE r14): a
+    # crashed minhash_index_delete can leave (a) an empty delta/ dir
+    # (both subtables dropped, parent drop not reached) or (b) bands
+    # gone with docs still present — the all-buffered-docs-doomed
+    # path drops bands via surv==0 first. (a) is cleaned up here; (b)
+    # must NO-OP, not fold: bands absent + docs present proves every
+    # buffered doc is doomed (each doc has >=1 band row, and only the
+    # surv==0 branch drops a dir), so folding would push retracted
+    # doc rows into the live layout — the crashed delete's rerun is
+    # the resume path for that state, exactly as for the live tables.
+    have_docs = fs.exists(_hadoop_fs(spark, f"{root}/{_DELTA}/docs")[1])
+    have_bands = fs.exists(_hadoop_fs(spark, f"{root}/{_DELTA}/bands")[1])
+    if not have_docs and not have_bands:
+        fs.delete(jdelta, True)
+        return {"folded_rows": 0, "files_written": 0}
+    if have_docs != have_bands:
+        import warnings
+
+        warnings.warn(
+            f"dedup index {root!r}: delta buffer holds only "
+            f"{'docs' if have_docs else 'bands'} — crashed-delete "
+            "debris; rerun the delete to finish the retraction (fold "
+            "is a no-op until then)",
+            stacklevel=2,
+        )
         return {"folded_rows": 0, "files_written": 0}
     staging = f"{root}/{_STAGING}"
     docs_df = spark.read.parquet(f"{root}/{_DELTA}/docs").localCheckpoint(
@@ -691,6 +796,7 @@ def minhash_index_probe(
     calls when no staging exists."""
     root = path.rstrip("/")
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    _settle_delta_rewrite(spark, root, best_effort=True)
     _resume_or_discard_staging(spark, root, best_effort=True)
     b_state = _doc_state(
         batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
@@ -803,7 +909,15 @@ def minhash_index_probe(
 def minhash_index_stats(spark, path: str) -> DataFrame:
     """Operational health of a persisted dedup index — the
     ivf_index_stats twin: one row per state table with
-    (tbl, n_rows, n_files, n_partitions, hot_bucket_rows).
+    (tbl, n_rows, n_files, n_partitions, delta_rows, delta_files,
+    hot_bucket_rows).
+
+    delta_rows/delta_files split the LSM buffer out of the totals —
+    the fold-cadence signal (r15): every probe reads the WHOLE buffer
+    (row filter, no partition pruning), so its cost term grows with
+    delta_files; fold when they cross the operations-doc threshold
+    (docs/operations.md, numbers in docs/scale_audit_r15.md). Derived
+    from the same scan via the _d flag — no extra job.
 
     hot_bucket_rows (bands row only) is the largest (band, bkey)
     bucket — THE candidate-join cost signal: a probe that hits a hot
@@ -824,6 +938,7 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     root = path.rstrip("/")
+    _settle_delta_rewrite(spark, root, best_effort=True)
     _resume_or_discard_staging(spark, root, best_effort=True)
     rows = []
     for tbl, part_col, bucket_cols in (
@@ -860,6 +975,10 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
                 if has_part
                 else F.lit(0).cast("bigint")
             ).alias("n_partitions"),
+            F.count(F.when(F.col("_d"), F.lit(1))).alias("delta_rows"),
+            F.countDistinct(F.when(F.col("_d"), F.col("_f"))).alias(
+                "delta_files"
+            ),
         )
         if bucket_cols:
             hot = (
@@ -929,7 +1048,9 @@ def minhash_index_delete(
     # settle any pending append staging first (ADVICE r12): a retract
     # that scans only the live files while a committed batch sits half
     # (or fully) staged would miss its rows — the doomed-doc scan must
-    # see every accepted document
+    # see every accepted document. The delta-rewrite settle runs FIRST
+    # (its docstring's ordering argument).
+    _settle_delta_rewrite(spark, root)
     _resume_or_discard_staging(spark, root)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(id_col).alias("doc_id")).distinct()
@@ -1025,25 +1146,53 @@ def minhash_index_delete(
         return spark.read.parquet(p)
 
     def _rewrite_delta(table):
-        """Anti-join the doomed ids out of one delta table through a
-        staged copy (never overwrite a path the plan reads); a fully
+        """Anti-join the doomed ids out of one delta table; a fully
         emptied table drops its directory outright — probes treat a
         missing delta as 'no buffered appends', so the empty case
         needs no schema-preserving placeholder (and a staged 0-row
         write is no emptiness signal anyway: Spark writes a schema-
         bearing empty part-file). The count is one cheap job — the
-        delta is tiny by construction. A crash mid-drop is resumed by
-        the rerun (anti-join of an absent/partial table re-derives the
-        same empty survivor set)."""
+        delta is tiny by construction.
+
+        An ABSENT table is 'already emptied' (ADVICE r14): when every
+        buffered doc is doomed the bands leg drops its dir (surv==0),
+        so a crash before the docs leg makes the rerun re-enter here
+        with bands gone — reading it would throw PATH_NOT_FOUND, not
+        re-derive an empty survivor set (spark.read.parquet of an
+        absent path raises).
+
+        Survivors promote by RENAME SWAP, never a second overwrite
+        over the path the anti-join just read (ADVICE r14): stage the
+        survivor file, rename the live dir aside, rename the staged
+        dir in, drop the aside. A crash between any two steps leaves
+        a state _settle_delta_rewrite resolves exactly — the old
+        overwrite-write could die with dst cleared and only
+        _temporary written, a directory that passes fs.exists but
+        fails every read until manual repair."""
         live = f"{root}/{_DELTA}/{table}"
         st = f"{staging}/delta_{table}"
-        surv = spark.read.parquet(live).join(ids_df, "doc_id", "anti")
         fs, jlive = _hadoop_fs(spark, live)
+        if not fs.exists(jlive):
+            return
+        surv = spark.read.parquet(live).join(ids_df, "doc_id", "anti")
         if surv.count() == 0:
             fs.delete(jlive, True)
             return
         surv.coalesce(1).write.mode("overwrite").parquet(st)
-        spark.read.parquet(st).write.mode("overwrite").parquet(live)
+        aside = f"{root}/{_DELTA}/._old_{table}"
+        _, jaside = _hadoop_fs(spark, aside)
+        _, jst = _hadoop_fs(spark, st)
+        if not fs.rename(jlive, jaside):
+            raise RuntimeError(
+                f"dedup index {root!r}: delta rewrite could not rename "
+                f"{live} aside; staging left in place for resume"
+            )
+        if not fs.rename(jst, jlive):
+            raise RuntimeError(
+                f"dedup index {root!r}: delta rewrite could not promote "
+                f"{st} -> {live}; settle resumes from the aside"
+            )
+        fs.delete(jaside, True)
 
     dbs = None
     if db_buckets:
@@ -1111,9 +1260,16 @@ def minhash_index_delete(
         )
     if rows_delta:
         _rewrite_delta("docs")
-        # both delta tables empty together (appends write them as one
-        # batch, deletes remove the same ids) — drop the empty buffer
-        fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
+    # drop the buffer dir whenever BOTH subtables are gone — checked
+    # unconditionally (ADVICE r14), not only on the rows_delta path: a
+    # prior run that emptied both tables but crashed before this drop
+    # leaves an empty delta/ dir that the rerun (rows_delta now 0)
+    # must still clean up, or the fold/compact entry reads of a
+    # 'present' buffer hit absent subtables. Both tables empty
+    # together by construction (appends write them as one batch,
+    # deletes remove the same ids).
+    fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
+    if fs.exists(jdelta):
         fs_d, jdd = _hadoop_fs(spark, f"{root}/{_DELTA}/docs")
         fs_b, jdb = _hadoop_fs(spark, f"{root}/{_DELTA}/bands")
         if not fs_d.exists(jdd) and not fs_b.exists(jdb):
@@ -1167,16 +1323,38 @@ def minhash_index_compact(
 
     src = src_path.rstrip("/")
     dst = dst_path.rstrip("/")
+    _settle_delta_rewrite(spark, src)
     _resume_or_discard_staging(spark, src)
     _, _, pb_buckets, db_buckets = _load_params(spark, src)
     fs, _ = _hadoop_fs(spark, src)
+    # one-sided delta = crashed-delete debris (bands dropped with docs
+    # still present, reachable only on the all-buffered-docs-doomed
+    # path — fold docstring's proof): the remaining delta rows are all
+    # RETRACTED, so folding them into the compacted copy would undo
+    # the takedown (ADVICE r14's 'silently folded back' gap). Exclude
+    # the debris — the compacted copy completes the retraction — and
+    # say so.
+    _dd = fs.exists(_hadoop_fs(spark, f"{src}/{_DELTA}/docs")[1])
+    _db = fs.exists(_hadoop_fs(spark, f"{src}/{_DELTA}/bands")[1])
+    skip_delta = _dd != _db
+    if skip_delta:
+        import warnings
+
+        warnings.warn(
+            f"dedup index {src!r}: delta buffer holds only "
+            f"{'docs' if _dd else 'bands'} — crashed-delete debris of "
+            "retracted rows; excluded from the compacted copy",
+            stacklevel=2,
+        )
     n_src = n_out = 0
     for table, part_col, buckets in (
         ("docs", "db", db_buckets),
         ("bands", "pb", pb_buckets),
     ):
         delta_tbl = f"{src}/{_DELTA}/{table}"
-        has_delta = fs.exists(_hadoop_fs(spark, delta_tbl)[1])
+        has_delta = not skip_delta and fs.exists(
+            _hadoop_fs(spark, delta_tbl)[1]
+        )
         if buckets:
             s, o = compact_partitioned(
                 spark,

@@ -1468,14 +1468,12 @@ def minhash_index_lifecycle_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# READY FOR r15 REGISTRATION (not yet @query'd: the r14 driver window
-# closes at exactly 50 with zero free slots — CLAUDE.md round state).
-# Slot it in the r15 window front with the oracle below; it gives the
-# r14 LSM delta buffer its dedicated driver row: a small-batch ingest
-# CADENCE through the buffer, probe correctness over MIXED layers
-# (live + delta + direct debris), the compaction FOLD's parity, and a
-# cross-layer delete — the four behaviors scale_audit_r14.md measures,
-# as hash-verified contracts.
+# Registered r15 (VERDICT r14 ask #1b; pre-staged r14 when the window
+# had zero slack). The r14 LSM delta buffer's dedicated driver row: a
+# small-batch ingest CADENCE through the buffer, probe correctness
+# over MIXED layers (live + delta + direct debris), the compaction
+# FOLD's parity, and a cross-layer delete — the four behaviors
+# scale_audit_r14.md measures, as hash-verified contracts.
 # ---------------------------------------------------------------------------
 MINHASH_CADENCE_STATE_ORACLE = """
     WITH hist AS (
@@ -1509,6 +1507,12 @@ MINHASH_CADENCE_STATE_ORACLE = """
     """
 
 
+@query(
+    "minhash_index_cadence_state",
+    MINHASH_CADENCE_STATE_ORACLE,
+    doc="LSM delta-buffer ingest cadence / mixed-layer probe / fold "
+    "parity / cross-layer delete as hash contracts",
+)
 def minhash_index_cadence_state(spark, sf_dir):
     """The LSM delta buffer driven end to end at ingest cadence
     (operators/dedup_index.py, r14 — the scale_audit_r14.md behaviors
@@ -1681,3 +1685,157 @@ def minhash_index_cadence_state(spark, sf_dir):
         .unionByName(fold_parity)
         .unionByName(victim_absent)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered r15 (VERDICT r14 ask #2): the stop-bucket guard —
+# minhash_index_probe(max_bucket_rows=...), the index's boilerplate-
+# blowup defense and its one recall-affecting knob — gets a driver
+# row. Previously pytest-only (tests/test_dedup_index.py).
+# ---------------------------------------------------------------------------
+STOPBUCKET_TEMPLATE = (
+    "standard consent boilerplate clause the participant acknowledges "
+    "the study terms and conditions apply to every enrolled subject "
+    "without modification or exception across all sites"
+)
+
+MINHASH_STOPBUCKET_STATE_ORACLE = """
+    SELECT 'organic_found' AS kind, doc_id, CAST(1 AS BIGINT) AS ok
+    FROM documents
+    WHERE POSITION(' ' IN text) > 0 AND doc_id % 28 = 0
+    UNION ALL
+    SELECT 'blob_suppressed' AS kind, CAST(110000000 AS BIGINT) AS doc_id,
+           CAST(1 AS BIGINT) AS ok
+    UNION ALL
+    SELECT 'blob_collides_unguarded' AS kind,
+           CAST(110000000 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS ok
+    """
+
+
+@query(
+    "minhash_index_stopbucket_state",
+    MINHASH_STOPBUCKET_STATE_ORACLE,
+    doc="stop-bucket guard: boilerplate blob suppressed, organic dups "
+    "kept at est 1.0, blob proven to collide unguarded",
+)
+def minhash_index_stopbucket_state(spark, sf_dir):
+    """The STOP-BUCKET guard as hash-verified contracts
+    (operators/dedup_index.py minhash_index_probe(max_bucket_rows=...)
+    — minhash_index_stats' hot-bucket finding turned into an action,
+    the stop-shingle idea at index level): history is a `documents`
+    slice PLUS a planted 48-copy boilerplate blob (identical text →
+    identical signature → every one of its band buckets holds 48
+    rows); the probe batch carries one fresh blob copy and an exact
+    copy of every organic dup target. With max_bucket_rows=20 between
+    the organic duplicate-group size and the blob:
+
+    - organic_found: every organic target's copy is still reported at
+      est exactly 1.0 — the guard's recall trade provably spared the
+      organic pairs (an exact copy only loses when EVERY agreeing
+      band is a stop bucket).
+    - blob_suppressed: the fresh blob copy reports ZERO pairs — the
+      48-row buckets were excluded, so the 48-candidate blowup per
+      colliding batch doc never reaches the estimate join.
+    - blob_collides_unguarded: a control probe WITHOUT the cap
+      reports the blob copy at est 1.0 — pinning that the guard did
+      the suppressing, not a failure to collide.
+
+    A violated contract flips its row's ok to 0 and fails the hash.
+    Slim parameters (8 hashes / 2 bands / 4+4 buckets): est==1.0
+    exactness and the bucket-size mechanics are parameter-invariant
+    (the blob's bucket rows equal its copy count under ANY banding).
+    Bounded by construction throughout: the blob is 48 literal rows
+    (spark.range — JVM-literal), the guard's extra aggregate shuffles
+    one row per surviving (band, bkey)."""
+    import os
+    import tempfile
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    t = tables(spark, sf_dir, "documents")
+    docs = (
+        t["documents"].select("doc_id", "text").filter(F.instr("text", " ") > 0)
+    )
+    hist = docs.filter(F.col("doc_id") % 4 == 0)
+    blob_hist = spark.range(48).select(
+        (F.col("id") + 100_000_000).alias("doc_id"),
+        F.lit(STOPBUCKET_TEMPLATE).alias("text"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "idhub_mh_stopbucket",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    idx = f"{base}/idx"
+    minhash_index_write(
+        hist.unionByName(blob_hist),
+        idx,
+        n_hashes=8,
+        bands=2,
+        pb_buckets=4,
+        db_buckets=4,
+    )
+
+    organics = hist.filter(F.col("doc_id") % 7 == 0)  # % 28 of documents
+    blob_probe = spark.range(1).select(
+        F.lit(110_000_000).cast("bigint").alias("doc_id"),
+        F.lit(STOPBUCKET_TEMPLATE).alias("text"),
+    )
+    batch = organics.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(blob_probe)
+
+    guarded = minhash_index_probe(
+        spark, idx, batch, threshold_est=0.5, include_batch_pairs=False,
+        max_bucket_rows=20,
+    ).localCheckpoint(eager=True)
+
+    found = (
+        guarded.filter(
+            (F.col("est_jaccard") == 1.0) & (F.col("dup_source") == "history")
+        )
+        .select(
+            (F.col("new_id") - 1_000_000).alias("_nid"),
+            F.col("dup_id").alias("doc_id"),
+        )
+        .filter(F.col("_nid") == F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    organic_found = (
+        organics.select("doc_id")
+        .join(found, "doc_id", "left")
+        .select(
+            F.lit("organic_found").alias("kind"),
+            "doc_id",
+            F.coalesce("_f", F.lit(0)).cast("bigint").alias("ok"),
+        )
+    )
+    blob_suppressed = (
+        guarded.filter(F.col("new_id") == 110_000_000)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("blob_suppressed").alias("kind"),
+            F.lit(110_000_000).cast("bigint").alias("doc_id"),
+            (F.col("_n") == 0).cast("bigint").alias("ok"),
+        )
+    )
+    unguarded = minhash_index_probe(
+        spark, idx, blob_probe, threshold_est=0.5, include_batch_pairs=False
+    )
+    blob_collides = (
+        unguarded.filter(
+            (F.col("new_id") == 110_000_000) & (F.col("est_jaccard") == 1.0)
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("blob_collides_unguarded").alias("kind"),
+            F.lit(110_000_000).cast("bigint").alias("doc_id"),
+            (F.col("_n") >= 1).cast("bigint").alias("ok"),
+        )
+    )
+    return organic_found.unionByName(blob_suppressed).unionByName(blob_collides)

@@ -750,11 +750,10 @@ def pq_drift_check(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# READY FOR r15 REGISTRATION (not yet @query'd: the r13 and r14 driver
-# windows close at exactly 50 with zero free slots — CLAUDE.md round
-# state). Slot this in the r15 window front with the oracle below; it
-# gives the remaining pytest-only IVF maintenance legs (delete,
-# cold-merge, stats consistency) their driver row in one composite.
+# Registered r15 (VERDICT r14 ask #1c; pre-staged r13/r14 when those
+# windows had zero slack). Gives the remaining pytest-only IVF
+# maintenance legs (delete, cold-merge, stats consistency) their
+# driver row in one composite.
 # ---------------------------------------------------------------------------
 IVF_MAINTENANCE_STATE_ORACLE = """
     SELECT metric, CAST(1 AS BIGINT) AS ok FROM (VALUES
@@ -764,6 +763,12 @@ IVF_MAINTENANCE_STATE_ORACLE = """
     """
 
 
+@query(
+    "ivf_maintenance_state",
+    IVF_MAINTENANCE_STATE_ORACLE,
+    doc="IVF delete / cold-merge / stats-consistency lifecycle as "
+    "verdict rows",
+)
 def ivf_maintenance_state(spark, sf_dir):
     """The IVF index MAINTENANCE lifecycle driven end to end
     (operators/ann.py — the legs split_hot_clusters_state doesn't

@@ -115,81 +115,75 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 14 front (window = first 50, which closes EXACTLY — zero
-    # free slots, nothing new registered):
-    # (1) the three queries whose r12 evidence expires this round
-    # (they rode r13 on documented targeted-sim MATCHes; VERDICT r13
-    # makes their re-evidence non-negotiable). Two of the three also
-    # sit on code that CHANGED again in r14: minhash_index_probe_state
-    # reads bands∪delta through the new LSM delta buffer and settles
-    # best-effort; split_hot_clusters_state routes through the merge
-    # settle that now keys on the _applying sentinel. Both + the
-    # lifecycle row targeted-sim MATCHed at sf0.01 this session
-    # (4/4, tools/drive_driver.py --only=...) before the full gate.
-    "minhash_index_probe_state",
-    "split_hot_clusters_state",
-    "pq_drift_check",
-    # (2) the 47-query r11-latest cohort (standing <=3-rounds rotation
-    # policy): CORRECTNESS_r11 keys minus the r13 retirements
-    # (grouped_zscore_native, ann_topk_bucketed) minus ann_topk_ivf
-    # (re-evidenced r13) = 47, so after this pass no live evidence is
-    # older than r12.
-    "acctbal_bucket_stats",
-    "ann_recall_at_k",
-    "ann_topk_bruteforce",
-    "benchmark_contamination",
-    "cohort_retention",
-    "compaction_roundtrip",
-    "discounted_brand_revenue",
-    "global_distinct_flag",
-    "grouped_zscore",
-    "hourly_rollup",
-    "idle_customers",
-    "incremental_pruned_merge_state",
-    "interval_followup_purchases",
-    "ivf_sq8_topk",
-    "json_props_rollup",
-    "json_roundtrip_report",
-    "kmv_accuracy_check",
-    "large_orders",
-    "load_batch_state",
-    "load_stats",
-    "local_ids_merge",
-    "local_supplier_volume",
-    "lsh_param_sweep",
-    "lsh_recall_eval",
-    "merge_upsert_stats",
-    "merged_state",
-    "min_cost_supplier_rank",
-    "minhash_lsh_dedup",
-    "nation_market_share",
-    "oldest_pick",
-    "orc_roundtrip_staging",
-    "order_priority_check",
-    "partition_pruned_upsert",
-    "partition_pruned_upsert_stats",
-    "pricing_summary",
-    "promo_revenue_share",
-    "recent_changes_topk",
-    "resolution_log",
-    "returned_item_report",
-    "running_value_total",
-    "scd2_history",
-    "sessionize",
-    "shipping_priority",
-    "simhash_hamming_pairs",
-    "sketch_profile_check",
-    "streaming_interval_join",
-    "table_profile",
-    # position 51 (outside the window, which the 3+47 above fill
-    # exactly): minhash_index_lifecycle_state rides its r13 hash
-    # evidence across the r14 delta-buffer change with a documented
-    # targeted sf0.01 sim MATCH this session (its reingest append now
-    # routes through the delta; every contract is text-set membership
-    # + est==1.0 exactness, placement-invariant by the probe's
-    # bands∪delta read). MUST be in the r15 window alongside the
-    # pre-staged ivf_maintenance_state composite (~4 free slots).
+    # round 15 front (window = first 50, which closes EXACTLY as the
+    # VERDICT r14 math pinned — 4 + 46, zero free slots):
+    # (1) minhash_index_lifecycle_state — MANDATORY (VERDICT r14
+    # ask #1a): its r13 evidence rode the r14 delta-buffer change on
+    # a documented targeted-sim MATCH and expires this round; its
+    # code path changed AGAIN in r15 (delete/fold crash-protocol
+    # hardening: _settle_delta_rewrite, per-subtable fold gates,
+    # rename-swap delta rewrite — ADVICE r14 fixes).
     "minhash_index_lifecycle_state",
+    # (2) the two pre-staged composites, registered this round
+    # (VERDICT r14 asks #1b/#1c): the r14 LSM delta buffer + fold +
+    # cross-layer delete get their driver row; the IVF
+    # delete/cold-merge/stats legs get theirs.
+    "minhash_index_cadence_state",
+    "ivf_maintenance_state",
+    # (3) the stop-bucket guard's new driver row (VERDICT r14 ask #2):
+    # the index's one recall-affecting knob, previously pytest-only.
+    "minhash_index_stopbucket_state",
+    # (4) the 46-query r12-latest cohort (standing <=3-rounds rotation
+    # policy): CORRECTNESS_r12 keys minus the retired sketch_profile
+    # minus the 3 re-evidenced in r14 (minhash_index_probe_state,
+    # split_hot_clusters_state, pq_drift_check) = 46, so after this
+    # pass no live evidence is older than r13.
+    "blocked_fuzzy_linkage",
+    "boolean_parse",
+    "bpe_pair_counts",
+    "change_classification",
+    "dedup_cluster_canonical",
+    "downsample_majority_class",
+    "duplicate_id_detection",
+    "duplicate_subject_finder",
+    "embedding_near_dup",
+    "embedding_norm_stats",
+    "exact_dedup",
+    "extract_year",
+    "field_mapping",
+    "fragment_assembly",
+    "frame_sampling",
+    "gsid_mint_shape",
+    "id_validation",
+    "identity_components",
+    "incremental_merge_state",
+    "jdbc_partitioned_scan",
+    "keyed_lookup_semi",
+    "leakage_safe_split",
+    "multi_type_subjects",
+    "multimodal_decode",
+    "name_normalization",
+    "ngram_jaccard_pairs",
+    "orphan_detection",
+    "pending_resolutions_scan",
+    "quality_percentile_filter",
+    "redcap_dictionary_scan",
+    "registration_year_normalize",
+    "resolution_stats",
+    "rest_paginated_scan",
+    "salted_hot_key_join",
+    "sequence_packing",
+    "simhash_buckets",
+    "sliding_window_rollup",
+    "stratified_sample",
+    "streaming_dedup",
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "subjects_by_source",
+    "tfidf_keywords",
+    "train_test_split",
+    "unpivot_candidates",
+    "weighted_mixture_sample",
 ]
 
 

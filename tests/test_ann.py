@@ -1681,3 +1681,48 @@ def test_merge_settle_keys_on_applying_sentinel(spark, tmp_path):
     assert not os.path.isdir(staging2)
     s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path2).collect()}
     assert s2[-1] == 200 and set(s2) == {-1, 0, 1}
+
+
+def test_merge_settle_legacy_staging_fallback(spark, tmp_path):
+    """ADVICE r14: stagings written before the _applying sentinel
+    existed never carry one, so 'sentinel absent' cannot mean 'phase 2
+    never started' for them. (a) legacy staging + a recorded cold dir
+    MISSING (the old presence-based proof that phase 2 ran) -> RESUME:
+    the staged re-assigned rows are the only copy of the deleted
+    cluster's vectors and must be renamed in, not discarded.
+    (b) legacy staging + every cold dir intact stays a discard (the
+    old settle's own behavior for a phase-1 crash)."""
+    import os
+    import shutil
+
+    from idhub_spark.operators.ann import (
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+
+    # (a) pre-upgrade crash after deleting ONE cold dir (no sentinel)
+    path = str(tmp_path / "idx_legacy")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    _fabricate_merge_staging(spark, path, centroids)
+    shutil.rmtree(f"{path}/cluster=2")
+    cents, rep = ivf_index_merge_cold_clusters(spark, path, min_rows=20)
+    assert rep == {"merged_clusters": [], "rows_moved": 0}  # resumed
+    assert not os.path.isdir(f"{path}/_merge_staging")
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    # nothing lost: cluster=2's 10 rows live on via the staged
+    # re-assignment (a discard would have left 190)
+    assert s[-1] == 200 and set(s) == {-1, 0, 1}
+
+    # (b) is test_merge_settle_keys_on_applying_sentinel's case (b) —
+    # re-pinned here against the fallback: all dirs intact -> discard
+    path2 = str(tmp_path / "idx_legacy_clean")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path2)
+    _fabricate_merge_staging(spark, path2, centroids)
+    cents2, rep2 = ivf_index_merge_cold_clusters(spark, path2, min_rows=20)
+    assert sorted(rep2["merged_clusters"]) == [2, 3]  # fresh merge ran
+    s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path2).collect()}
+    assert s2[-1] == 200 and set(s2) == {-1, 0, 1}

@@ -832,6 +832,11 @@ def test_delta_stats_and_rebuild_clear(spark, docs, tmp_path):
     assert st1["bands"].n_rows == 2 * (base.count() + appended.count())
     assert st1["docs"].n_files == st0["docs"].n_files + 1  # one delta file
     assert st1["docs"].n_partitions == st0["docs"].n_partitions  # live only
+    # the buffer split out of the totals (r15 — the fold-cadence signal)
+    assert st0["docs"].delta_rows == 0 and st0["docs"].delta_files == 0
+    assert st1["docs"].delta_rows == appended.count()
+    assert st1["docs"].delta_files == 1
+    assert st1["bands"].delta_rows == 2 * appended.count()
 
     # rebuild with new parameters: the delta belongs to the old
     # generation and must be gone
@@ -845,12 +850,11 @@ def test_delta_stats_and_rebuild_clear(spark, docs, tmp_path):
 
 
 def test_minhash_index_cadence_state_ready(spark, duck):
-    """The r15-ready delta-buffer driver query (plans/dedup_q.py
-    minhash_index_cadence_state — unregistered until a rotation slot
-    opens; CLAUDE.md round state) must already hold every verdict
-    contract AND hash-match its oracle exactly, the same comparison
-    the driver runs: delta-batch cadence -> mixed-layer probe ->
-    fold parity -> cross-layer delete."""
+    """The delta-buffer driver query (plans/dedup_q.py
+    minhash_index_cadence_state — registered r15) must hold every
+    verdict contract AND hash-match its oracle exactly, the same
+    comparison the driver runs: delta-batch cadence -> mixed-layer
+    probe -> fold parity -> cross-layer delete."""
     import idhub_spark.queries  # noqa: F401 — canonical plan import order
     from idhub_spark.plans.dedup_q import (
         MINHASH_CADENCE_STATE_ORACLE,
@@ -1025,3 +1029,206 @@ def test_incremental_index_equals_single_build_randomized(spark, docs, tmp_path)
         got_ref = sorted(map(tuple, minhash_index_probe(
             spark, ref, probe_batch, threshold_est=0.5).collect()))
         assert got_inc == got_ref and got_ref, f"seed {seed}"
+
+
+def test_delete_all_doomed_delta_crash_resume(spark, docs, tmp_path):
+    """ADVICE r14 medium: when every buffered doc is doomed the bands
+    leg drops its delta dir (surv==0); a crash before the docs leg
+    used to make the rerun throw PATH_NOT_FOUND on the absent bands
+    path — and a later compact would silently fold the stranded doomed
+    docs back into the live table (an incomplete GDPR retraction).
+    The rerun must now complete: absent subtable = already emptied,
+    and the emptied parent dir drops regardless of which run sees it."""
+    import shutil
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_delete,
+        minhash_index_fold_delta,
+    )
+
+    path = str(tmp_path / "mh_doomed_resume")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+    doomed = [r.doc_id for r in appended.select("doc_id").collect()]
+
+    # the crash debris: bands dropped, docs (all doomed) still present
+    shutil.rmtree(f"{path}/delta/bands")
+    rep = minhash_index_delete(spark, path, doomed)  # the rerun
+    assert rep["delta_rows_deleted"] == len(doomed)
+    assert not os.path.isdir(f"{path}/delta")
+    a_id = doomed[0]
+    ghost = _exact_copies(docs.filter(F.col("doc_id") == a_id), 1, 830_000)
+    got = minhash_index_probe(spark, path, ghost, include_batch_pairs=False)
+    assert not any(r.dup_id == a_id for r in got.collect())
+
+    # empty-parent debris (crash between the subtable drops and the
+    # parent delete): the next delete's unconditional check cleans it
+    os.makedirs(f"{path}/delta")
+    live_victim = int(base.select(F.min("doc_id")).first()[0])
+    minhash_index_delete(spark, path, [live_victim])
+    assert not os.path.isdir(f"{path}/delta")
+
+
+def test_fold_delta_tolerates_delete_debris(spark, docs, tmp_path):
+    """ADVICE r14 medium: the fold used to gate only on the parent
+    delta dir and then read both subtables unconditionally — the
+    delete-crash debris states (one subtable dropped; empty parent)
+    made it throw instead of no-op. One-sided debris must NOT fold
+    (the surviving rows are provably all retracted); the delete rerun
+    finishes the retraction and the fold then no-ops clean."""
+    import shutil
+
+    from idhub_spark.operators.dedup_index import (
+        minhash_index_delete,
+        minhash_index_fold_delta,
+    )
+
+    path = str(tmp_path / "mh_fold_debris")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+
+    shutil.rmtree(f"{path}/delta/bands")
+    with pytest.warns(UserWarning, match="crashed-delete debris"):
+        rep = minhash_index_fold_delta(spark, path)
+    assert rep == {"folded_rows": 0, "files_written": 0}
+    assert os.path.isdir(f"{path}/delta/docs")  # untouched, not folded
+
+    doomed = [r.doc_id for r in appended.select("doc_id").collect()]
+    minhash_index_delete(spark, path, doomed)
+    assert not os.path.isdir(f"{path}/delta")
+    assert minhash_index_fold_delta(spark, path) == {
+        "folded_rows": 0, "files_written": 0,
+    }
+
+    # empty-parent debris: the fold itself cleans it up
+    os.makedirs(f"{path}/delta")
+    assert minhash_index_fold_delta(spark, path) == {
+        "folded_rows": 0, "files_written": 0,
+    }
+    assert not os.path.isdir(f"{path}/delta")
+
+
+def test_delta_rewrite_rename_swap_and_settle(spark, docs, tmp_path):
+    """ADVICE r14 low: a partial-doom delta rewrite promotes survivors
+    by RENAME SWAP (stage -> live aside -> staged in -> aside drop),
+    never a second overwrite over the path the anti-join read — no
+    crash point leaves a dir that passes fs.exists but fails reads.
+    Each swap crash window settles exactly at the next entry point."""
+    import shutil
+
+    from idhub_spark.operators.dedup_index import (
+        _read_state_table,
+        minhash_index_delete,
+        minhash_index_stats,
+    )
+
+    path = str(tmp_path / "mh_swap")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+    n_app = appended.count()
+
+    # healthy partial doom: live delta readable, exactly one data file
+    victim = int(appended.select(F.min("doc_id")).first()[0])
+    keep = int(appended.filter(F.col("doc_id") != victim)
+               .select(F.min("doc_id")).first()[0])
+    rep = minhash_index_delete(spark, path, [victim])
+    assert rep["delta_rows_deleted"] == 1
+    assert spark.read.parquet(f"{path}/delta/docs").count() == n_app - 1
+    data = [f for f in os.listdir(f"{path}/delta/docs")
+            if not f.startswith(("_", "."))]
+    assert len(data) == 1 and not os.path.isdir(f"{path}/delta/._old_docs")
+
+    def _probe_keep_found():
+        ghost = _exact_copies(
+            docs.filter(F.col("doc_id") == keep), 1, 840_000)
+        got = minhash_index_probe(
+            spark, path, ghost, include_batch_pairs=False)
+        return any(r.dup_id == keep and r.est_jaccard == 1.0
+                   for r in got.collect())
+
+    # window A — crash between the aside rename and the staged
+    # rename-in: aside present, live absent, staged survivors present.
+    # The next read-only entry (probe) settles best-effort and heals.
+    shutil.copytree(f"{path}/delta/docs",
+                    f"{path}/_delete_staging/delta_docs")
+    os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    assert _probe_keep_found()
+    assert os.path.isdir(f"{path}/delta/docs")
+    assert not os.path.isdir(f"{path}/delta/._old_docs")
+    shutil.rmtree(f"{path}/_delete_staging", ignore_errors=True)
+
+    # window B — crash between the staged rename-in and the aside
+    # drop: live IS the survivor set; settle drops the aside only
+    shutil.copytree(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    st = {r.tbl: r for r in minhash_index_stats(spark, path).collect()}
+    assert st["docs"].delta_rows == n_app - 1
+    assert not os.path.isdir(f"{path}/delta/._old_docs")
+    assert _probe_keep_found()
+
+    # window C — staged survivors vanished (manual staging cleanup):
+    # the aside still holds the only copy; settle rolls it back
+    os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    rep2 = minhash_index_delete(spark, path, [victim])  # idempotent rerun
+    assert rep2["delta_rows_deleted"] == 0
+    assert os.path.isdir(f"{path}/delta/docs")
+    assert not os.path.isdir(f"{path}/delta/._old_docs")
+    assert _probe_keep_found()
+
+
+def test_compact_excludes_delete_debris(spark, docs, tmp_path):
+    """ADVICE r14 medium (second half): a one-sided delta buffer is a
+    crashed delete's debris and its rows are provably all RETRACTED —
+    minhash_index_compact must not fold them back into the compacted
+    copy (that silently undid the takedown); excluding them completes
+    the retraction."""
+    import shutil
+
+    from idhub_spark.operators.dedup_index import minhash_index_compact
+
+    path = str(tmp_path / "mh_cmp_debris")
+    dst = str(tmp_path / "mh_cmp_debris_out")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+    shutil.rmtree(f"{path}/delta/bands")
+
+    with pytest.warns(UserWarning, match="excluded from the compacted"):
+        minhash_index_compact(spark, path, dst)
+    assert spark.read.parquet(f"{dst}/docs").count() == base.count()
+    assert not os.path.isdir(f"{dst}/delta")
+    a_id = int(appended.select(F.min("doc_id")).first()[0])
+    ghost = _exact_copies(docs.filter(F.col("doc_id") == a_id), 1, 850_000)
+    got = minhash_index_probe(spark, dst, ghost, include_batch_pairs=False)
+    assert not any(r.dup_id == a_id for r in got.collect())
+
+
+def test_minhash_index_stopbucket_state_ready(spark, duck):
+    """The stop-bucket-guard driver query (plans/dedup_q.py
+    minhash_index_stopbucket_state — registered r15, VERDICT r14
+    ask #2) must hold every verdict contract AND hash-match its
+    oracle exactly, the same comparison the driver runs: organic
+    dups kept at est 1.0, the 48-copy boilerplate blob suppressed
+    under max_bucket_rows=20, and proven to collide unguarded."""
+    import idhub_spark.queries  # noqa: F401 — canonical plan import order
+    from idhub_spark.plans.dedup_q import (
+        MINHASH_STOPBUCKET_STATE_ORACLE,
+        minhash_index_stopbucket_state,
+    )
+    from tests.conftest import SF_DIR, assert_oracle_match
+
+    df = minhash_index_stopbucket_state(spark, SF_DIR)
+    assert_oracle_match(
+        df, duck, MINHASH_STOPBUCKET_STATE_ORACLE,
+        name="minhash_index_stopbucket_state",
+    )
