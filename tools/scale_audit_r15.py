@@ -17,14 +17,19 @@ minhash_index_stats now exposes per table as delta_files/delta_rows).
 Method per history size:
   build the bucketed (pb=4096/db=1024) index once; fix a 100-doc probe
   batch (copies of history docs, so probe work is constant across
-  cells); measure the N=0 probe wall (min-of-2); then grow the buffer
-  through checkpoints N = 1, 8, 32, 128 small (100-doc) delta appends,
-  at each checkpoint recording probe wall (min-of-2), delta file count
-  and bytes (via minhash_index_stats — also exercising the new
-  columns), and the probe's found-count (parity guard: planted copies
-  stay at est exactly 1.0 regardless of buffer depth). Finally fold
-  the 128-append buffer (minhash_index_fold_delta) and re-probe: the
-  fold must return the probe to ~the N=0 baseline.
+  cells); measure the N=0 probe wall (min-of-3 — the tiny smoke run
+  showed min-of-2 leaves +/-2 s noise that swamps a sub-second delta
+  term); then grow the buffer through checkpoints N = 1, 8, 32, 128
+  (plus 512 at the 2M scale, where the end-to-end tax first clears
+  the noise floor) small (100-doc) delta appends, at each checkpoint
+  recording probe wall (min-of-3), a DIRECT timing of the probe's two
+  delta-side reads (spark.read.parquet over delta/docs + delta/bands,
+  count — the isolated per-file term, clean of probe noise), delta
+  file count and bytes (via minhash_index_stats — also exercising the
+  new columns), and the probe's found-count (parity guard: planted
+  copies stay at est exactly 1.0 regardless of buffer depth). Finally
+  fold the deepest buffer (minhash_index_fold_delta) and re-probe:
+  the fold must return the probe to ~the N=0 baseline.
 
 Usage: python tools/scale_audit_r15.py [tiny|small|big]
 (rows to stdout; table goes into docs/scale_audit_r15.md). Walls
@@ -45,7 +50,11 @@ from tools.scale_audit import ROOT, timed  # noqa: E402
 from tools.scale_audit_r12 import synth_docs  # noqa: E402
 
 PB, DB = 4096, 1024
-CHECKPOINTS = [1, 8, 32, 128]  # cumulative buffered appends
+# cumulative buffered appends per scale; 512 only at 2M (the deep-
+# buffer end-to-end confirmation — the slope itself is measured from
+# the isolated delta scans, which are history-invariant)
+CHECKPOINTS = {"S": [1, 8, 32, 128], "XXL": [1, 8, 32, 128, 512],
+               "XXXL": [1, 8, 32, 128]}
 APPEND_DOCS = 100
 DELTA_BASE = 200_000_000
 COPY_BASE = 900_000_000
@@ -113,14 +122,26 @@ def main() -> None:
                     .count()
                 )
 
-            w0, found0 = timed(probe_found)
+            def delta_scan():
+                """The probe's delta-side term in isolation: one full
+                read of each buffered table (same shape as
+                _read_state_table's delta union — a row filter prunes
+                bytes, not files, so count() is the honest proxy)."""
+                n = 0
+                for t in ("docs", "bands"):
+                    p = f"{idx}/delta/{t}"
+                    if os.path.isdir(p):
+                        n += spark.read.parquet(p).count()
+                return n
+
+            w0, found0 = timed(probe_found, reps=3)
             print(
                 f"{tag} probe N=0: wall={w0:.2f}s found={found0}/100",
                 flush=True,
             )
 
             n_appended = 0
-            for ckpt in CHECKPOINTS:
+            for ckpt in CHECKPOINTS[tag]:
                 while n_appended < ckpt:
                     batch = synth_docs(
                         spark,
@@ -137,11 +158,13 @@ def main() -> None:
                 dfiles = st["docs"].delta_files + st["bands"].delta_files
                 drows = st["docs"].delta_rows + st["bands"].delta_rows
                 dbytes = delta_bytes(idx)
-                w, found = timed(probe_found)
+                w, found = timed(probe_found, reps=3)
+                w_scan, _ = timed(delta_scan, reps=3)
                 tax = w - w0
                 print(
                     f"{tag} probe N={ckpt}: wall={w:.2f}s "
                     f"tax={tax:+.2f}s ({100 * tax / w:.0f}% of wall) "
+                    f"delta_scan={w_scan:.2f}s "
                     f"delta_files={dfiles} delta_rows={drows} "
                     f"delta_bytes={dbytes / 1024:.0f}KiB found={found}/100",
                     flush=True,
