@@ -479,6 +479,9 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["docs"]["n_rows"] == 41
     assert rep["params"]["pb_buckets"] == 8
+    # the buffer split out of the totals (r15 fold-cadence signal)
+    assert rep["tables"]["docs"]["delta_rows"] == 1
+    assert rep["tables"]["docs"]["delta_files"] == 1
 
     # fold: the buffered append re-lays into the Hive layout in place
     rc = cli.main(["dedup-index", "fold", "--index", idx])
@@ -492,3 +495,4 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["docs"]["n_rows"] == 41  # nothing lost/doubled
+    assert rep["tables"]["docs"]["delta_rows"] == 0  # folded away
