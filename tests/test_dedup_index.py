@@ -1232,3 +1232,114 @@ def test_minhash_index_stopbucket_state_ready(spark, duck):
         df, duck, MINHASH_STOPBUCKET_STATE_ORACLE,
         name="minhash_index_stopbucket_state",
     )
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def test_delete_crash_injection_sweep(spark, docs, tmp_path, monkeypatch):
+    """Exhaustive driver-crash coverage of the retraction path: a
+    delete killed at EVERY driver-side filesystem-call boundary (the
+    points where the protocol's ordering logic lives) must leave a
+    state from which RERUNNING the same delete converges to exactly
+    the never-crashed outcome — same logical doc/band row sets, no
+    aside/staging debris, delta dir either gone or whole. The hand-
+    built window tests above pin the named crash states; this sweep
+    proves there are no UNNAMED ones. Injection wraps
+    merge_into._hadoop_fs (imported at call time by every dedup_index
+    fs touchpoint) to raise after K calls; Spark write jobs sit
+    between those calls, so every write/fs boundary is crossed."""
+    import shutil
+
+    from idhub_spark.operators import merge_into
+    from idhub_spark.operators.dedup_index import (
+        _read_state_table,
+        minhash_index_delete,
+    )
+
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    app_ids = sorted(r.doc_id for r in appended.select("doc_id").collect())
+    live_victim = int(base.select(F.min("doc_id")).first()[0])
+
+    # template index: live history + a buffered (delta) batch
+    tpl = str(tmp_path / "mh_tpl")
+    minhash_index_write(base, tpl, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+    assert minhash_index_append(appended, tpl) == "delta"
+    real_fs = merge_into._hadoop_fs
+
+    def state_sets(path):
+        d = {tuple(sorted(r.doc_id for r in
+             _read_state_table(spark, path, t).select("doc_id").collect()))
+             for t in ("docs",)}
+        b = _read_state_table(spark, path, "bands").count()
+        return d, b
+
+    # scenario A: mixed live + partial-delta victims (rename-swap path)
+    # scenario B: live + ALL delta victims (surv==0 drop path)
+    scenarios = {
+        "partial": [live_victim] + app_ids[:2],
+        "all_delta": [live_victim] + app_ids,
+    }
+    for name, victims in scenarios.items():
+        clean = str(tmp_path / f"mh_clean_{name}")
+        shutil.copytree(tpl, clean)
+        minhash_index_delete(spark, clean, victims)
+        want = state_sets(clean)
+
+        # count the clean run's fs-call boundaries on a fresh copy
+        counter = {"n": 0}
+
+        def counting(s, p):
+            counter["n"] += 1
+            return real_fs(s, p)
+
+        probe_run = str(tmp_path / f"mh_count_{name}")
+        shutil.copytree(tpl, probe_run)
+        monkeypatch.setattr(merge_into, "_hadoop_fs", counting)
+        minhash_index_delete(spark, probe_run, victims)
+        monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+        total = counter["n"]
+        assert total > 10, f"{name}: expected a real fs-call sweep"
+
+        # stride the sweep to bound wall (~12 points incl. first/last)
+        ks = sorted(set(range(1, total + 1, max(1, total // 10))) | {1, total})
+        for k in ks:
+            idx = str(tmp_path / f"mh_k_{name}_{k}")
+            shutil.copytree(tpl, idx)
+            calls = {"n": 0}
+
+            def crashing(s, p, _limit=k):
+                calls["n"] += 1
+                if calls["n"] > _limit:
+                    raise _InjectedCrash(f"fs call {calls['n']}")
+                return real_fs(s, p)
+
+            monkeypatch.setattr(merge_into, "_hadoop_fs", crashing)
+            try:
+                minhash_index_delete(spark, idx, victims)
+                crashed = False
+            except (_InjectedCrash, RuntimeError):
+                # RuntimeError: _move_tree/_settle raise their own
+                # wrapper around an injected failure — still a crash
+                crashed = True
+            finally:
+                monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+            assert crashed or k == total, f"{name} K={k}"
+
+            minhash_index_delete(spark, idx, victims)  # the rerun
+            assert state_sets(idx) == want, f"{name} K={k}"
+            assert not os.path.isdir(f"{idx}/_delete_staging"), (
+                f"{name} K={k}"
+            )
+            for t in ("docs", "bands"):
+                assert not os.path.isdir(f"{idx}/delta/._old_{t}"), (
+                    f"{name} K={k}"
+                )
+            if os.path.isdir(f"{idx}/delta"):
+                assert os.path.isdir(f"{idx}/delta/docs") == os.path.isdir(
+                    f"{idx}/delta/bands"
+                ), f"{name} K={k}"
+            shutil.rmtree(idx, ignore_errors=True)
