@@ -424,7 +424,8 @@ def _cmd_dedup_index(args) -> int:
 
         docs = _read(args.docs)
         route = minhash_index_append(
-            docs, args.index, id_col=args.id_col, text_col=args.text_col
+            docs, args.index, id_col=args.id_col, text_col=args.text_col,
+            batch_id=args.batch_id,
         )
         # logical table = live Hive layout ∪ delta buffer (a small
         # batch lands in the delta, so a live-only count misses it)
@@ -741,6 +742,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     di.add_argument("--no-batch-pairs", action="store_true",
                     help="probe: suppress within-batch pairs")
+    di.add_argument(
+        "--batch-id",
+        help="append: idempotency key — a retried append whose key is "
+        "already in the ingest log returns route='duplicate' instead "
+        "of double-ingesting (exactly-once under at-least-once retry)",
+    )
     di.add_argument("--out", help="probe: write the pair relation here")
     di.set_defaults(fn=_cmd_dedup_index)
 

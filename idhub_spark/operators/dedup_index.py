@@ -119,6 +119,7 @@ _STAGING = "_append_staging"
 _COMMITTED = "_COMMITTED"
 _DELTA = "delta"
 _FOLD = "_FOLD_DELTA"
+_INGEST_LOG = "_ingest_log"
 
 
 def _doc_state(
@@ -336,6 +337,14 @@ def _resume_or_discard_staging(spark, root: str, *, best_effort: bool = False) -
         )
 
 
+def _batch_key(batch_id: str) -> str:
+    """Filesystem-safe ingest-log key for a caller batch id (hashed —
+    ids are caller strings, never trusted as path components)."""
+    import hashlib
+
+    return hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:32]
+
+
 def _promote_staging(spark, root: str) -> None:
     """Rename a committed staging's files into the live layout. A
     staging carrying the _FOLD_DELTA marker is a minor compaction
@@ -343,12 +352,26 @@ def _promote_staging(spark, root: str) -> None:
     delta's rows re-laid-out, so after the rename-in the delta dir is
     deleted — in that order, and the delta delete precedes the staging
     delete, so every crash point resumes idempotently (re-promote
-    moves nothing, re-deletes nothing, then clears the staging)."""
+    moves nothing, re-deletes nothing, then clears the staging).
+
+    A staging carrying a _BATCH_<key> marker (an append with an
+    idempotency batch_id, r15) additionally records
+    <root>/_ingest_log/<key> AFTER the renames and BEFORE the staging
+    delete: a crash between renames and log write re-promotes (no-op)
+    then writes the log; between log write and staging delete the
+    re-promote and log touch are both idempotent — so the log entry
+    exists iff the batch's rows are fully live, which is exactly the
+    exactly-once test the retry path needs."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/{_STAGING}"
     fs, jstag = _hadoop_fs(spark, staging)
     folding = fs.exists(_hadoop_fs(spark, f"{staging}/{_FOLD}")[1])
+    batch_keys = [
+        st.getPath().getName()[len("_BATCH_"):]
+        for st in fs.listStatus(jstag)
+        if st.getPath().getName().startswith("_BATCH_")
+    ]
     # 'delta' last: its staged subtree mirrors delta/{docs,bands}, so
     # _move_tree lands the buffered batch's two files in one recursion
     for table in ("docs", "bands", _DELTA):
@@ -358,6 +381,9 @@ def _promote_staging(spark, root: str) -> None:
     if folding:
         _, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
         fs.delete(jdelta, True)
+    for key in batch_keys:
+        _, jlog = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}")
+        fs.create(jlog, True).close()
     fs.delete(jstag, True)
 
 
@@ -508,8 +534,10 @@ def minhash_index_write(
     fs, jparams = _hadoop_fs(spark, f"{root}/_params")
     # the delta buffer belongs to the OLD generation too: its rows
     # carry the old parameters' signatures, and docs/bands overwrite
-    # writes would never touch the sibling delta dir — clear it first
-    for stale in (_STAGING, "_delete_staging", _DELTA):
+    # writes would never touch the sibling delta dir — clear it first;
+    # the ingest log likewise (its batch ids name batches of the old
+    # corpus — a post-rebuild retry of one is a NEW ingest decision)
+    for stale in (_STAGING, "_delete_staging", _DELTA, _INGEST_LOG):
         _, jst = _hadoop_fs(spark, f"{root}/{stale}")
         if fs.exists(jst):
             fs.delete(jst, True)
@@ -548,6 +576,7 @@ def minhash_index_append(
     text_col: str = "text",
     mode: str = "auto",
     direct_min_docs: int | None = None,
+    batch_id: str | None = None,
 ) -> str:
     """Accept a batch INTO the index (after its probe survived review):
     I/O strictly ∝ batch (the batch's state is checkpointed once and
@@ -573,7 +602,23 @@ def minhash_index_append(
     default to direct (their append is already O(write partitions)
     files). mode='delta'/'direct' force a route. Probes/deletes read
     bands ∪ delta, so placement never changes results;
-    minhash_index_compact folds the delta back into the layout."""
+    minhash_index_compact folds the delta back into the layout.
+
+    batch_id (r15) — EXACTLY-ONCE ingest under at-least-once retries.
+    Without it, a retry of an append that crashed AFTER its staging
+    committed silently double-ingests: the retry's entry settle
+    promotes the staged batch, then the retry appends the same docs
+    again — violating the doc_ids-unique-for-life discipline with no
+    error. With a caller idempotency key, promotion records
+    <root>/_ingest_log/<sha256(batch_id)> atomically within the
+    existing marker protocol (log entry exists iff the batch's rows
+    are fully live — see _promote_staging), and an append whose key
+    is already logged returns 'duplicate' without reading the batch.
+    The log is one empty marker file per batch (pure file-existence
+    metadata, invisible to scans); minhash_index_compact carries it
+    to the compacted copy, a rebuild clears it with the rest of the
+    old generation. Returns the route taken
+    ('direct' | 'delta' | 'empty' | 'duplicate')."""
     if mode not in ("auto", "delta", "direct"):
         raise ValueError(f"minhash_index_append: unknown mode {mode!r}")
     root = path.rstrip("/")
@@ -583,6 +628,13 @@ def minhash_index_append(
     _resume_or_discard_staging(spark, root)
 
     from idhub_spark.operators.merge_into import _hadoop_fs
+
+    if batch_id is not None:
+        fs_log, jlog = _hadoop_fs(
+            spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
+        )
+        if fs_log.exists(jlog):
+            return "duplicate"
 
     staging = f"{root}/{_STAGING}"
     state = _doc_state(
@@ -624,6 +676,13 @@ def minhash_index_append(
         _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
     state.unpersist()
     fs, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
+    if batch_id is not None:
+        # part of the staging BEFORE the commit marker: a discarded
+        # (uncommitted) staging must never leave a log entry
+        _, jb = _hadoop_fs(
+            spark, f"{staging}/_BATCH_{_batch_key(batch_id)}"
+        )
+        fs.create(jb, True).close()
     fs.create(jmark, True).close()
     _promote_staging(spark, root)
     return route
@@ -1398,4 +1457,14 @@ def minhash_index_compact(
         n_out += o
     params = spark.read.parquet(f"{src}/_params")
     params.coalesce(1).write.mode("overwrite").parquet(f"{dst}/_params")
+    # carry the ingest log (r15): the compacted copy holds the same
+    # accepted batches, so their idempotency keys must keep rejecting
+    # retries — each entry is an empty marker file, recreated at dst
+    jlog_src = _hadoop_fs(spark, f"{src}/{_INGEST_LOG}")[1]
+    if fs.exists(jlog_src):
+        for st in fs.listStatus(jlog_src):
+            _, jd = _hadoop_fs(
+                spark, f"{dst}/{_INGEST_LOG}/{st.getPath().getName()}"
+            )
+            fs.create(jd, True).close()
     return n_src, n_out

@@ -1343,3 +1343,144 @@ def test_delete_crash_injection_sweep(spark, docs, tmp_path, monkeypatch):
                     f"{idx}/delta/bands"
                 ), f"{name} K={k}"
             shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_append_batch_id_exactly_once(spark, docs, tmp_path):
+    """r15 idempotent ingest: an append with a batch_id logs its key
+    atomically within the promotion protocol; a retried append with
+    the same key returns 'duplicate' and changes nothing; compact
+    carries the log to the compacted copy; a rebuild clears it (old
+    generation)."""
+    from idhub_spark.operators.dedup_index import (
+        _read_state_table,
+        minhash_index_compact,
+    )
+
+    path = str(tmp_path / "mh_once")
+    dst = str(tmp_path / "mh_once_packed")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+
+    assert minhash_index_append(appended, path, batch_id="crawl-7") == "delta"
+    n_all = docs.count()
+    assert _read_state_table(spark, path, "docs").count() == n_all
+
+    # the retry: same key -> no-op, no double ingest
+    assert minhash_index_append(
+        appended, path, batch_id="crawl-7") == "duplicate"
+    assert _read_state_table(spark, path, "docs").count() == n_all
+    # a DIFFERENT key ingests (caller's key, caller's meaning)
+    fresh = appended.select((F.col("doc_id") + 500_000).alias("doc_id"),
+                            "text")
+    assert minhash_index_append(fresh, path, batch_id="crawl-8") == "delta"
+    n_plus = n_all + appended.count()
+    assert _read_state_table(spark, path, "docs").count() == n_plus
+
+    # compact carries the log: the copy still rejects both keys
+    minhash_index_compact(spark, path, dst)
+    assert minhash_index_append(
+        appended, dst, batch_id="crawl-7") == "duplicate"
+    assert minhash_index_append(fresh, dst, batch_id="crawl-8") == "duplicate"
+    assert _read_state_table(spark, dst, "docs").count() == n_plus
+
+    # rebuild clears the log with the rest of the old generation
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+    assert not os.path.isdir(f"{path}/_ingest_log")
+    assert minhash_index_append(appended, path, batch_id="crawl-7") == "delta"
+
+
+def test_append_batch_id_crash_injection_sweep(spark, docs, tmp_path,
+                                               monkeypatch):
+    """The exactly-once guarantee under crashes, swept like the delete
+    test: an append with a batch_id killed at every strided driver
+    fs-call boundary, then RETRIED with the same key, must land the
+    batch exactly once — a crash before the commit marker discards
+    and the retry re-ingests; after it, the retry's entry settle
+    promotes+logs and the append returns 'duplicate'. Without the
+    key, the post-commit crash window double-ingests silently (the
+    gap this feature closes — pinned as the final control)."""
+    import shutil
+
+    from idhub_spark.operators import merge_into
+    from idhub_spark.operators.dedup_index import _read_state_table
+
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    n_all = docs.count()
+    tpl = str(tmp_path / "mh_once_tpl")
+    minhash_index_write(base, tpl, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+    real_fs = merge_into._hadoop_fs
+
+    counter = {"n": 0}
+
+    def counting(s, p):
+        counter["n"] += 1
+        return real_fs(s, p)
+
+    cnt_idx = str(tmp_path / "mh_once_cnt")
+    shutil.copytree(tpl, cnt_idx)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", counting)
+    assert minhash_index_append(appended, cnt_idx, batch_id="b1") == "delta"
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    total = counter["n"]
+    assert total > 5
+
+    ks = sorted(set(range(1, total + 1, max(1, total // 8))) | {1, total})
+    for k in ks:
+        idx = str(tmp_path / f"mh_once_k{k}")
+        shutil.copytree(tpl, idx)
+        calls = {"n": 0}
+
+        def crashing(s, p, _limit=k):
+            calls["n"] += 1
+            if calls["n"] > _limit:
+                raise _InjectedCrash(f"fs call {calls['n']}")
+            return real_fs(s, p)
+
+        monkeypatch.setattr(merge_into, "_hadoop_fs", crashing)
+        try:
+            minhash_index_append(appended, idx, batch_id="b1")
+            crashed = False
+        except (_InjectedCrash, RuntimeError):
+            crashed = True
+        finally:
+            monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+        assert crashed or k == total, f"K={k}"
+
+        route = minhash_index_append(appended, idx, batch_id="b1")
+        assert route in ("delta", "direct", "duplicate"), f"K={k}"
+        got = _read_state_table(spark, idx, "docs").count()
+        assert got == n_all, f"K={k}: {got} docs (exactly-once violated)"
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # the control: WITHOUT a batch_id, the post-commit crash window
+    # double-ingests on retry — the documented gap, kept honest here.
+    # The no-key append makes fewer fs calls, so count its own run.
+    cnt2 = str(tmp_path / "mh_once_cnt2")
+    shutil.copytree(tpl, cnt2)
+    counter["n"] = 0
+    monkeypatch.setattr(merge_into, "_hadoop_fs", counting)
+    assert minhash_index_append(appended, cnt2) == "delta"
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    total_nokey = counter["n"]
+
+    idx = str(tmp_path / "mh_once_nokey")
+    shutil.copytree(tpl, idx)
+    calls = {"n": 0}
+
+    def crash_late(s, p, _limit=total_nokey - 1):
+        calls["n"] += 1
+        if calls["n"] > _limit:
+            raise _InjectedCrash(f"fs call {calls['n']}")
+        return real_fs(s, p)
+
+    monkeypatch.setattr(merge_into, "_hadoop_fs", crash_late)
+    with pytest.raises((_InjectedCrash, RuntimeError)):
+        minhash_index_append(appended, idx)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    minhash_index_append(appended, idx)  # the naive retry
+    assert _read_state_table(spark, idx, "docs").count() > n_all
