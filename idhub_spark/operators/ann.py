@@ -847,7 +847,8 @@ def _ivf_index_materialize(
     vec_col: str,
     mode: str,
     files_per_cluster: int = 1,
-) -> None:
+    batch_id: str | None = None,
+) -> str | None:
     """Shared write path for on-disk IVF indexes: assign each vector to
     its nearest centroid, apply the codec's `encode` (a df->df adding
     `code_col`), and land a Hive layout PARTITIONED BY cluster. Each
@@ -902,7 +903,126 @@ def _ivf_index_materialize(
             F.col("cluster"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
         )
-    enc.write.mode(mode).partitionBy("cluster").parquet(path)
+    if mode != "append":
+        # a rebuild starts a new generation: a stale append staging
+        # was committed against the OLD fits (promoting it into the
+        # new index would mix codec generations) and the ingest log's
+        # batch ids name batches of the old corpus — clear both, the
+        # minhash_index_write discipline
+        from idhub_spark.operators.merge_into import _hadoop_fs
+
+        spark = vectors.sparkSession
+        fs, _ = _hadoop_fs(spark, path)
+        for stale in (_APPEND_STAGING, _INGEST_LOG):
+            jst = _hadoop_fs(spark, f"{path.rstrip('/')}/{stale}")[1]
+            if fs.exists(jst):
+                fs.delete(jst, True)
+        enc.write.mode(mode).partitionBy("cluster").parquet(path)
+        return None
+
+    # STAGED append (r15 — the dedup index's exactly-once protocol):
+    # the old direct write.mode('append') was job-atomic but left no
+    # record, so an at-least-once retry of an append that committed
+    # without being acknowledged landed the batch twice under
+    # duplicate vec_ids. Stage the batch's partition tree, mark
+    # _BATCH_<key> (when batch_id given) then _COMMITTED, and promote
+    # by file renames — the ingest-log entry is created after the
+    # renames and before the staging delete, so it exists iff the
+    # batch's rows are fully live at every crash point
+    # (_promote_append_staging), and a retry whose key is logged
+    # returns 'duplicate' without reading the batch.
+    from idhub_spark.operators.dedup_index import _batch_key
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    spark = vectors.sparkSession
+    root = path.rstrip("/")
+    _settle_append_staging(spark, root)
+    if batch_id is not None:
+        fs_log, jlog = _hadoop_fs(
+            spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
+        )
+        if fs_log.exists(jlog):
+            return "duplicate"
+    staging = f"{root}/{_APPEND_STAGING}"
+    enc.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{staging}/data"
+    )
+    fs, jmark = _hadoop_fs(spark, f"{staging}/_COMMITTED")
+    if batch_id is not None:
+        # part of the staging BEFORE the commit marker: a discarded
+        # (uncommitted) staging must never leave a log entry
+        _, jb = _hadoop_fs(spark, f"{staging}/_BATCH_{_batch_key(batch_id)}")
+        fs.create(jb, True).close()
+    fs.create(jmark, True).close()
+    _promote_append_staging(spark, root)
+    return "appended"
+
+
+_APPEND_STAGING = "_append_staging"
+_INGEST_LOG = "_ingest_log"
+
+
+def _promote_append_staging(spark, root: str) -> None:
+    """Rename a committed append staging's files into the live cluster
+    directories (append-only: existing files never touched — the
+    staged part-file names are write-unique, _move_tree raises on any
+    collision with the staging intact). _BATCH_<key> markers become
+    <root>/_ingest_log/<key> entries AFTER the renames and BEFORE the
+    staging delete: a crash between renames and log write re-promotes
+    (no-op) then writes the log; between log write and staging delete
+    both steps are idempotent — so the log entry exists iff the
+    batch's rows are fully live, the exactly-once test the retry
+    path needs."""
+    from idhub_spark.operators.dedup_index import _move_tree
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/{_APPEND_STAGING}"
+    fs, jstag = _hadoop_fs(spark, staging)
+    batch_keys = [
+        st.getPath().getName()[len("_BATCH_"):]
+        for st in fs.listStatus(jstag)
+        if st.getPath().getName().startswith("_BATCH_")
+    ]
+    _, jdata = _hadoop_fs(spark, f"{staging}/data")
+    if fs.exists(jdata):
+        _move_tree(spark, fs, f"{staging}/data", root)
+    for key in batch_keys:
+        _, jlog = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}")
+        fs.create(jlog, True).close()
+    fs.delete(jstag, True)
+
+
+def _settle_append_staging(spark, root: str, *, best_effort: bool = False) -> None:
+    """Append crash protocol (the dedup index's, ported r15): a
+    staging WITH the _COMMITTED marker was fully written and is
+    promoted (finishing an interrupted rename-in); one without can
+    never have been applied — discard. Every IVF entry point settles
+    first: writers (append/delete/compact/split/merge) mandatorily —
+    they must never act on an index they can't fully see — readers
+    (search/stats) best-effort, degrading to live-files-only with a
+    warning on read-only replicas. Two fs.exists when clean."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    staging = f"{root}/{_APPEND_STAGING}"
+    try:
+        fs, jstag = _hadoop_fs(spark, staging)
+        if not fs.exists(jstag):
+            return
+        if fs.exists(_hadoop_fs(spark, f"{staging}/_COMMITTED")[1]):
+            _promote_append_staging(spark, root)
+        else:
+            fs.delete(jstag, True)
+    except Exception:
+        if not best_effort:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"ivf index {root!r}: could not settle pending append "
+            "staging (concurrent writer or read-only storage); reading "
+            "live files only",
+            stacklevel=2,
+        )
 
 
 def _ivf_index_search(
@@ -944,6 +1064,10 @@ def _ivf_index_search(
     Deterministic output contract (query_id, neighbor_id, cosine,
     rank); equivalence tests pin byte-identical results vs the
     in-memory compositions."""
+    # settle a pending append staging best-effort (read-only entry
+    # point): a committed-but-unpromoted batch would otherwise be
+    # invisible to the scan until the next writer runs
+    _settle_append_staging(spark, path.rstrip("/"), best_effort=True)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("_id"), vec_d.alias("_v"))
     probes = _assign(q, centroids, nprobe=nprobe)
@@ -1097,12 +1221,17 @@ def ivf_sq8_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
-) -> None:
+    batch_id: str | None = None,
+) -> str:
     """Incremental SQ8 index maintenance: encode against the existing
     bounds (out-of-range values saturate — the clamp exists for
     exactly this drift case) and APPEND into the matching cluster
-    directories (see _ivf_index_materialize)."""
-    _ivf_index_materialize(
+    directories via the staged _COMMITTED-marker promotion (r15 —
+    see _ivf_index_materialize). batch_id is the idempotency key for
+    exactly-once ingest under at-least-once retries (the dedup
+    index's minhash_index_append(batch_id=...) contract). Returns
+    'appended' | 'duplicate'."""
+    return _ivf_index_materialize(
         vectors,
         centroids,
         path,
@@ -1112,6 +1241,7 @@ def ivf_sq8_index_append(
         vec_col=vec_col,
         mode="append",
         files_per_cluster=files_per_cluster,
+        batch_id=batch_id,
     )
 
 
@@ -1218,11 +1348,14 @@ def ivf_pq_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
-) -> None:
+    batch_id: str | None = None,
+) -> str:
     """Incremental PQ index maintenance: encode new vectors against the
     EXISTING codebook and APPEND into the matching cluster directories
-    — only touched clusters get new files."""
-    _ivf_index_materialize(
+    — only touched clusters get new files; staged _COMMITTED-marker
+    promotion with optional batch_id idempotency (r15 — see
+    ivf_sq8_index_append). Returns 'appended' | 'duplicate'."""
+    return _ivf_index_materialize(
         vectors,
         centroids,
         path,
@@ -1232,6 +1365,7 @@ def ivf_pq_index_append(
         vec_col=vec_col,
         mode="append",
         files_per_cluster=files_per_cluster,
+        batch_id=batch_id,
     )
 
 
@@ -1434,6 +1568,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     warning + live-files-only counts instead of failing a health
     check. Writers (delete/merge/split/compact) keep the mandatory
     settle; like them, stats assumes a SINGLE maintenance writer."""
+    _settle_append_staging(spark, path.rstrip("/"), best_effort=True)
     try:
         _settle_pending_maintenance(spark, path.rstrip("/"))
     except Exception:
@@ -1481,6 +1616,7 @@ def ivf_index_compact(
     copy. Returns (n_source_files, n_output_files)."""
     from idhub_spark.storage import compact_partitioned
 
+    _settle_append_staging(spark, src_path.rstrip("/"))
     _settle_pending_maintenance(spark, src_path.rstrip("/"))
     n_src, n_out = compact_partitioned(
         spark, src_path, dst_path, "cluster", target_bytes=target_bytes
@@ -1491,6 +1627,20 @@ def ivf_index_compact(
         fits = {}  # externally-managed fits: nothing to carry
     if fits:
         ivf_index_save_fits(spark, dst_path, **fits)
+    # carry the ingest log (r15): the compacted copy holds the same
+    # accepted batches, so their idempotency keys must keep rejecting
+    # retries — each entry is an empty marker file, recreated at dst
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jlog_src = _hadoop_fs(spark, f"{src_path.rstrip('/')}/{_INGEST_LOG}")
+    if fs.exists(jlog_src):
+        for st in fs.listStatus(jlog_src):
+            _, jd = _hadoop_fs(
+                spark,
+                f"{dst_path.rstrip('/')}/{_INGEST_LOG}/"
+                f"{st.getPath().getName()}",
+            )
+            fs.create(jd, True).close()
     return n_src, n_out
 
 
@@ -1754,6 +1904,7 @@ def ivf_index_split_cluster(
     jvm_path = lambda p: _hadoop_fs(spark, p)  # noqa: E731
     fs, _ = jvm_path(staging)
 
+    _settle_append_staging(spark, root)
     merged = _settle_merge_staging(spark, root)
     if merged is not None:
         # any caller-passed set predates the resumed merge
@@ -1974,7 +2125,10 @@ def ivf_index_delete(
     # after a crashed split the victims' rows may live ONLY in staging;
     # scanning without settling would report the delete complete while
     # a later resume renamed the retracted vectors back in — the one
-    # failure mode a takedown path must never have
+    # failure mode a takedown path must never have. The append staging
+    # is a retraction surface for the same reason (r15): a committed
+    # batch's rows live only there until promoted.
+    _settle_append_staging(spark, root)
     _settle_pending_maintenance(spark, root)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(id_col).alias(id_col)).distinct()
@@ -2093,6 +2247,7 @@ def ivf_index_merge_cold_clusters(
     root = path.rstrip("/")
     staging = f"{root}/_merge_staging"
 
+    _settle_append_staging(spark, root)
     split_res = _settle_split_staging(spark, root)
     if split_res is not None:
         # any caller-passed set predates the resumed split

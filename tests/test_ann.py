@@ -1726,3 +1726,125 @@ def test_merge_settle_legacy_staging_fallback(spark, tmp_path):
     assert sorted(rep2["merged_clusters"]) == [2, 3]  # fresh merge ran
     s2 = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path2).collect()}
     assert s2[-1] == 200 and set(s2) == {-1, 0, 1}
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def test_ivf_append_batch_id_exactly_once(spark, vectors, tmp_path):
+    """r15 staged IVF append + idempotency key (the dedup index's
+    batch_id contract ported): a retried append with the same key
+    returns 'duplicate' and changes nothing; compact carries the
+    ingest log; a rebuild clears it with the old generation."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        ivf_index_compact,
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    old = vectors.filter(F.col("vec_id") >= 100)
+    new = vectors.filter(F.col("vec_id") < 100)
+    centroids = kmeans_fit(old, k=8, max_iter=2)
+    bounds = sq8_fit(old)
+    path = str(tmp_path / "idx_once")
+    ivf_sq8_index_write(old, centroids, bounds, path)
+    n_all = vectors.count()
+
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, path, batch_id="v-7") == "appended"
+    assert not os.path.isdir(f"{path}/_append_staging")
+    assert spark.read.parquet(path).count() == n_all
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, path, batch_id="v-7") == "duplicate"
+    assert spark.read.parquet(path).count() == n_all
+
+    packed = str(tmp_path / "idx_once_packed")
+    ivf_index_compact(spark, path, packed)
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, packed, batch_id="v-7") == "duplicate"
+    assert spark.read.parquet(packed).count() == n_all
+
+    # rebuild clears the log (old generation)
+    ivf_sq8_index_write(old, centroids, bounds, path)
+    assert not os.path.isdir(f"{path}/_ingest_log")
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, path, batch_id="v-7") == "appended"
+
+
+def test_ivf_append_crash_injection_sweep(spark, vectors, tmp_path,
+                                          monkeypatch):
+    """The staged IVF append killed at every strided driver fs-call
+    boundary, then retried with the same batch_id, must land the
+    batch exactly once — crash before _COMMITTED discards and the
+    retry re-ingests; after it, the retry's entry settle promotes and
+    logs, and the append returns 'duplicate'. Search after each
+    retry sees a complete index (the best-effort settle heals a
+    committed-but-unpromoted staging)."""
+    import shutil
+
+    from idhub_spark.operators import merge_into
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        kmeans_fit,
+        sq8_fit,
+    )
+
+    old = vectors.filter(F.col("vec_id") >= 100)
+    new = vectors.filter(F.col("vec_id") < 100)
+    centroids = kmeans_fit(old, k=8, max_iter=2)
+    bounds = sq8_fit(old)
+    n_all = vectors.count()
+    tpl = str(tmp_path / "idx_sweep_tpl")
+    ivf_sq8_index_write(old, centroids, bounds, tpl)
+    real_fs = merge_into._hadoop_fs
+
+    counter = {"n": 0}
+
+    def counting(s, p):
+        counter["n"] += 1
+        return real_fs(s, p)
+
+    cnt = str(tmp_path / "idx_sweep_cnt")
+    shutil.copytree(tpl, cnt)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", counting)
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, cnt, batch_id="b1") == "appended"
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    total = counter["n"]
+    assert total > 5
+
+    ks = sorted(set(range(1, total + 1, max(1, total // 8))) | {1, total})
+    for k in ks:
+        idx = str(tmp_path / f"idx_sweep_k{k}")
+        shutil.copytree(tpl, idx)
+        calls = {"n": 0}
+
+        def crashing(s, p, _limit=k):
+            calls["n"] += 1
+            if calls["n"] > _limit:
+                raise _InjectedCrash(f"fs call {calls['n']}")
+            return real_fs(s, p)
+
+        monkeypatch.setattr(merge_into, "_hadoop_fs", crashing)
+        try:
+            ivf_sq8_index_append(new, centroids, bounds, idx, batch_id="b1")
+            crashed = False
+        except (_InjectedCrash, RuntimeError):
+            crashed = True
+        finally:
+            monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+        assert crashed or k == total, f"K={k}"
+
+        route = ivf_sq8_index_append(
+            new, centroids, bounds, idx, batch_id="b1")
+        assert route in ("appended", "duplicate"), f"K={k}"
+        got = spark.read.parquet(idx).count()
+        assert got == n_all, f"K={k}: {got} rows (exactly-once violated)"
+        assert not os.path.isdir(f"{idx}/_append_staging"), f"K={k}"
+        shutil.rmtree(idx, ignore_errors=True)
