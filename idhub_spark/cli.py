@@ -362,8 +362,17 @@ def _cmd_dedup_index(args) -> int:
         # error instead of a raw scan failure
         n_hashes, bands, pb, db = _load_params(spark, args.index.rstrip("/"))
         rows = minhash_index_stats(spark, args.index).collect()
+        from idhub_spark.operators.dedup_index import _RERUN_MARKER
+        from idhub_spark.operators.merge_into import _hadoop_fs
+
+        fs_m, jmark = _hadoop_fs(
+            spark, f"{args.index.rstrip('/')}/{_RERUN_MARKER}"
+        )
         print(json.dumps({
             "index": args.index, "action": "stats",
+            # True iff a crashed delete's rollback restored retracted
+            # rows — rerun the delete to re-complete the takedown
+            "delete_rerun_needed": bool(fs_m.exists(jmark)),
             "params": {"n_hashes": n_hashes, "bands": bands,
                        "pb_buckets": pb, "db_buckets": db},
             "tables": {
@@ -534,19 +543,27 @@ def _cmd_compact(args) -> int:
     from idhub_spark.storage import bucket_checksum, compact_small_files
 
     spark = get_spark("compact")
+    # only pass the horizon when set (the function default is the one
+    # source of truth); <=0 means "keep every entry" (horizon None)
+    hkw = {}
+    if args.ingest_log_horizon_s is not None:
+        hkw["ingest_log_horizon_s"] = (
+            args.ingest_log_horizon_s if args.ingest_log_horizon_s > 0
+            else None
+        )
     if args.index:
         from idhub_spark.operators.ann import ivf_index_compact
 
         n_src, n_out = ivf_index_compact(
             spark, args.src, args.dst,
-            target_bytes=args.target_mb * 1024 * 1024,
+            target_bytes=args.target_mb * 1024 * 1024, **hkw,
         )
     elif args.minhash_index:
         from idhub_spark.operators.dedup_index import minhash_index_compact
 
         n_src, n_out = minhash_index_compact(
             spark, args.src, args.dst,
-            target_bytes=args.target_mb * 1024 * 1024,
+            target_bytes=args.target_mb * 1024 * 1024, **hkw,
         )
     else:
         n_src, n_out = compact_small_files(
@@ -665,6 +682,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="src is a MinHash dedup index: carry its _params sidecar "
         "to dst so the compacted index stays self-contained",
+    )
+    c.add_argument(
+        "--ingest-log-horizon-s",
+        type=float,
+        default=None,
+        help="index modes: carry only ingest-log entries younger than "
+        "this retry horizon (default 7 days; <=0 keeps every entry). "
+        "Set above the orchestrator's maximum retry delay — a retry "
+        "arriving after the horizon re-ingests",
     )
     c.set_defaults(fn=_cmd_compact)
 

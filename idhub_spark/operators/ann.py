@@ -56,6 +56,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# one source of truth for ingest-log retention (rationale documented
+# at the constant's definition); no import cycle — dedup_index never
+# imports ann
+from idhub_spark.operators.dedup_index import (
+    INGEST_LOG_HORIZON_S,
+    _prune_ingest_log,
+)
+
 # assignment quantization: round(x * 1000) — exact-integer cluster
 # geometry at 1e-3 resolution
 _ASSIGN_SCALE = 1000.0
@@ -884,25 +892,33 @@ def _ivf_index_materialize(
     Parquet stays splittable, so read-side parallelism of a giant
     cluster does not depend on this knob — row groups fan out to
     tasks regardless."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # carry the ORIGINAL vector column into the index (float stays
-    # float — storing the double working copy would double the bytes)
-    base = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_orig"), vec_d.alias("_v")
-    )
-    enc = encode(_assign(base, centroids)).select(
-        F.col("_id").alias(id_col),
-        F.col("_orig").alias(vec_col),
-        code_col,
-        "cluster",
-    )
-    if files_per_cluster == 1:
-        enc = enc.repartition(F.col("cluster"))
-    else:
-        enc = enc.repartition(
+
+    def _enc(cents: DataFrame) -> DataFrame:
+        # built lazily AGAINST A CHOSEN CENTROID SET: the append path
+        # below may swap the caller-passed frame for the one a resumed
+        # split/merge produced, and the assignment must follow
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # carry the ORIGINAL vector column into the index (float stays
+        # float — storing the double working copy would double the
+        # bytes)
+        base = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_orig"),
+            vec_d.alias("_v"),
+        )
+        enc = encode(_assign(base, cents)).select(
+            F.col("_id").alias(id_col),
+            F.col("_orig").alias(vec_col),
+            code_col,
+            "cluster",
+        )
+        if files_per_cluster == 1:
+            return enc.repartition(F.col("cluster"))
+        return enc.repartition(
             F.col("cluster"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
         )
+
     if mode != "append":
         # a rebuild starts a new generation: a stale append staging
         # was committed against the OLD fits (promoting it into the
@@ -917,7 +933,7 @@ def _ivf_index_materialize(
             jst = _hadoop_fs(spark, f"{path.rstrip('/')}/{stale}")[1]
             if fs.exists(jst):
                 fs.delete(jst, True)
-        enc.write.mode(mode).partitionBy("cluster").parquet(path)
+        _enc(centroids).write.mode(mode).partitionBy("cluster").parquet(path)
         return None
 
     # STAGED append (r15 — the dedup index's exactly-once protocol):
@@ -937,6 +953,21 @@ def _ivf_index_materialize(
     spark = vectors.sparkSession
     root = path.rstrip("/")
     _settle_append_staging(spark, root)
+    # MANDATORY maintenance settle (ADVICE r15 medium): the append is a
+    # writer, and _settle_append_staging's own contract says writers
+    # must never act on an index they can't fully see. Without this, an
+    # append after a merge/split crashed mid-phase-2 would (a) promote
+    # new vectors into a still-present recorded cold/victim directory —
+    # the NEXT settle resumes the maintenance and re-deletes that dir,
+    # silently destroying the appended rows (the staged reassignment
+    # predates the append) — or (b) assign against caller-passed
+    # centroids that predate the resume, re-creating a deleted cluster
+    # dir as a zombie no probe ever routes to. Resuming first closes
+    # both; when a resume ran, its centroid set is the authoritative
+    # one for this batch's assignment (the caller's frame predates it).
+    resumed = _settle_pending_maintenance(spark, root)
+    if resumed is not None:
+        centroids = resumed
     if batch_id is not None:
         fs_log, jlog = _hadoop_fs(
             spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
@@ -944,7 +975,7 @@ def _ivf_index_materialize(
         if fs_log.exists(jlog):
             return "duplicate"
     staging = f"{root}/{_APPEND_STAGING}"
-    enc.write.mode("overwrite").partitionBy("cluster").parquet(
+    _enc(centroids).write.mode("overwrite").partitionBy("cluster").parquet(
         f"{staging}/data"
     )
     fs, jmark = _hadoop_fs(spark, f"{staging}/_COMMITTED")
@@ -1596,7 +1627,12 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
 
 
 def ivf_index_compact(
-    spark, src_path: str, dst_path: str, *, target_bytes: int = 128 * 1024 * 1024
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
 ) -> tuple[int, int]:
     """Compact an on-disk IVF index's append debris AND carry its
     _fits sidecar to the compacted copy. The generic
@@ -1629,18 +1665,33 @@ def ivf_index_compact(
         ivf_index_save_fits(spark, dst_path, **fits)
     # carry the ingest log (r15): the compacted copy holds the same
     # accepted batches, so their idempotency keys must keep rejecting
-    # retries — each entry is an empty marker file, recreated at dst
+    # retries — each entry is an empty marker file, recreated at dst.
+    # Only entries inside the retry horizon carry (r16, the VERDICT
+    # r15 size bound — minhash_index_compact's twin): the per-entry
+    # driver loop is O(batch_rate x horizon), not O(total batches
+    # ever), and carried entries keep the source's age via setTimes so
+    # the horizon clock never resets on compaction.
+    import time
+
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     fs, jlog_src = _hadoop_fs(spark, f"{src_path.rstrip('/')}/{_INGEST_LOG}")
     if fs.exists(jlog_src):
+        cutoff = (
+            int(time.time() * 1000) - int(ingest_log_horizon_s * 1000)
+            if ingest_log_horizon_s is not None
+            else None
+        )
         for st in fs.listStatus(jlog_src):
+            if cutoff is not None and st.getModificationTime() < cutoff:
+                continue
             _, jd = _hadoop_fs(
                 spark,
                 f"{dst_path.rstrip('/')}/{_INGEST_LOG}/"
                 f"{st.getPath().getName()}",
             )
             fs.create(jd, True).close()
+            fs.setTimes(jd, st.getModificationTime(), -1)
     return n_src, n_out
 
 
@@ -2248,6 +2299,10 @@ def ivf_index_merge_cold_clusters(
     staging = f"{root}/_merge_staging"
 
     _settle_append_staging(spark, root)
+    # the cold-merge IS the IVF periodic-maintenance cadence (the
+    # dedup fold's analog), so it also bounds the ingest log —
+    # retention rationale at dedup_index.INGEST_LOG_HORIZON_S
+    _prune_ingest_log(spark, root, INGEST_LOG_HORIZON_S)
     split_res = _settle_split_staging(spark, root)
     if split_res is not None:
         # any caller-passed set predates the resumed split

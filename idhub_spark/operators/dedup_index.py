@@ -120,6 +120,16 @@ _COMMITTED = "_COMMITTED"
 _DELTA = "delta"
 _FOLD = "_FOLD_DELTA"
 _INGEST_LOG = "_ingest_log"
+# root-level flag (dot-prefixed: invisible to every parquet scan) set
+# by _settle_delta_rewrite's rollback branch — the one settle outcome
+# that RESTORES rows a crashed delete had already retracted. Root-level
+# (not inside delta/) on purpose: a later fold that empties the buffer
+# drops the delta dir while the doomed rows it folded are now LIVE, so
+# the flag must outlive the buffer. Cleared by the next completed
+# delete (the at-least-once rerun the rollback implies), by a rebuild
+# (new generation), and carried by compact (the copy holds the same
+# rows). Surfaced as a warning by minhash_index_stats (ADVICE r15).
+_RERUN_MARKER = "._delete_rerun_needed"
 
 
 def _doc_state(
@@ -345,6 +355,49 @@ def _batch_key(batch_id: str) -> str:
     return hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:32]
 
 
+# Ingest-log retention (ADVICE/VERDICT r15: the log was the one r15
+# structure with NO size bound — one empty marker per accepted batch,
+# forever, carried entry-by-entry by every compact). Exactly-once only
+# needs the log to cover the caller's at-least-once RETRY window: a
+# retry that arrives after every queue/driver/orchestrator timeout has
+# expired is a new ingest decision, not a replay. Entries older than
+# the horizon are pruned at the maintenance cadence (fold + compact —
+# never on the hot append path, which stays O(1) fs calls), so the
+# log's size is bounded by batch_rate x horizon (~700 entries at the
+# engine's stated ~100 batches/day and the 7-day default) instead of
+# total batches ever (~36k/year). docs/operations.md §ingest-log.
+INGEST_LOG_HORIZON_S = 7 * 24 * 3600.0
+
+
+def _prune_ingest_log(
+    spark, root: str, horizon_s: float | None, *, now_ms: int | None = None
+) -> int:
+    """Delete ingest-log entries whose modification time is older than
+    the retry horizon. One listStatus + one delete per expired entry —
+    amortized O(batches accepted since the last prune) when run at the
+    fold/compact cadence. horizon_s=None disables (a caller that truly
+    needs replay protection over unbounded history keeps every entry
+    and accepts the growth). Returns the number pruned."""
+    if horizon_s is None:
+        return 0
+    import time
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jlog = _hadoop_fs(spark, f"{root.rstrip('/')}/{_INGEST_LOG}")
+    if not fs.exists(jlog):
+        return 0
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    cutoff = now_ms - int(horizon_s * 1000)
+    pruned = 0
+    for st in fs.listStatus(jlog):
+        if st.getModificationTime() < cutoff:
+            fs.delete(st.getPath(), False)
+            pruned += 1
+    return pruned
+
+
 def _promote_staging(spark, root: str) -> None:
     """Rename a committed staging's files into the live layout. A
     staging carrying the _FOLD_DELTA marker is a minor compaction
@@ -477,11 +530,32 @@ def _settle_delta_rewrite(spark, root: str, *, best_effort: bool = False) -> Non
                     )
                 fs.delete(jaside, True)
             else:
+                # ADVICE r15: the aside holds the SURVIVORS AND the
+                # doomed rows — rolling it back makes documents a
+                # crashed delete had retracted reappear in probe
+                # results until the delete is rerun. Never let that be
+                # silent: persist a root-level flag (BEFORE the rename,
+                # so a crash between the two re-enters this branch and
+                # re-creates it — idempotent overwrite) and warn here;
+                # minhash_index_stats re-warns while the flag stands,
+                # and the next completed delete clears it.
+                _, jmark = _hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")
+                fs.create(jmark, True).close()
                 if not fs.rename(jaside, jlive):
                     raise RuntimeError(
                         f"dedup index {root!r}: delta rewrite settle "
                         f"could not roll back {aside} -> {live}"
                     )
+                import warnings
+
+                warnings.warn(
+                    f"dedup index {root!r}: delta rewrite rolled back — "
+                    f"the restored {table!r} delta still holds rows a "
+                    "crashed delete had retracted; rerun the delete to "
+                    "re-complete the takedown "
+                    f"({_RERUN_MARKER} set until one completes)",
+                    stacklevel=2,
+                )
         except Exception:
             if not best_effort:
                 raise
@@ -537,7 +611,8 @@ def minhash_index_write(
     # writes would never touch the sibling delta dir — clear it first;
     # the ingest log likewise (its batch ids name batches of the old
     # corpus — a post-rebuild retry of one is a NEW ingest decision)
-    for stale in (_STAGING, "_delete_staging", _DELTA, _INGEST_LOG):
+    for stale in (_STAGING, "_delete_staging", _DELTA, _INGEST_LOG,
+                  _RERUN_MARKER):
         _, jst = _hadoop_fs(spark, f"{root}/{stale}")
         if fs.exists(jst):
             fs.delete(jst, True)
@@ -688,7 +763,12 @@ def minhash_index_append(
     return route
 
 
-def minhash_index_fold_delta(spark, path: str) -> dict:
+def minhash_index_fold_delta(
+    spark,
+    path: str,
+    *,
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
+) -> dict:
     """MINOR compaction — the LSM flush: re-lay ONLY the delta
     buffer's rows into the partitioned Hive layout (one file per
     touched partition, the direct-append shape) and drop the buffer.
@@ -727,6 +807,10 @@ def minhash_index_fold_delta(spark, path: str) -> dict:
     _, _, pb_buckets, db_buckets = _load_params(spark, root)
     _settle_delta_rewrite(spark, root)
     _resume_or_discard_staging(spark, root)
+    # the fold IS the maintenance cadence, so it also bounds the
+    # ingest log (retention rationale at INGEST_LOG_HORIZON_S) — runs
+    # even when the buffer turns out empty below
+    _prune_ingest_log(spark, root, ingest_log_horizon_s)
     fs, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
     if not fs.exists(jdelta):
         return {"folded_rows": 0, "files_written": 0}
@@ -971,12 +1055,16 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     (tbl, n_rows, n_files, n_partitions, delta_rows, delta_files,
     hot_bucket_rows).
 
-    delta_rows/delta_files split the LSM buffer out of the totals —
-    the fold-cadence signal (r15): every probe reads the WHOLE buffer
-    (row filter, no partition pruning), so its cost term grows with
-    delta_files; fold when they cross the operations-doc threshold
-    (docs/operations.md, numbers in docs/scale_audit_r15.md). Derived
-    from the same scan via the _d flag — no extra job.
+    delta_rows/delta_files are the LSM buffer's share OF the totals —
+    n_rows/n_files count the LOGICAL table (live ∪ delta), so the
+    buffer is INCLUDED in them; live-only counts are n_rows -
+    delta_rows / n_files - delta_files, never live + delta (that
+    double-counts — ADVICE r15). The breakdown is the fold-cadence
+    signal: every probe reads the WHOLE buffer (row filter, no
+    partition pruning), so its cost term grows with delta_files; fold
+    when they cross the operations-doc threshold (docs/operations.md,
+    numbers in docs/scale_audit_r15.md). Derived from the same scan
+    via the _d flag — no extra job.
 
     hot_bucket_rows (bands row only) is the largest (band, bkey)
     bucket — THE candidate-join cost signal: a probe that hits a hot
@@ -999,6 +1087,17 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     root = path.rstrip("/")
     _settle_delta_rewrite(spark, root, best_effort=True)
     _resume_or_discard_staging(spark, root, best_effort=True)
+    fs_m, jmark = _hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")
+    if fs_m.exists(jmark):
+        import warnings
+
+        warnings.warn(
+            f"dedup index {root!r}: a crashed delete's delta rewrite "
+            "was rolled back — retracted documents are live again "
+            "until the delete is rerun (flag cleared when one "
+            "completes)",
+            stacklevel=2,
+        )
     rows = []
     for tbl, part_col, bucket_cols in (
         ("docs", "db", None),
@@ -1337,6 +1436,14 @@ def minhash_index_delete(
 
     fs, jstag = _hadoop_fs(spark, staging)
     fs.delete(jstag, True)
+    # a COMPLETED delete is the rerun the rollback flag demands (the
+    # at-least-once retry discipline: the caller retries the same
+    # takedown until it returns) — clear it last, after every rewrite
+    # and cleanup above, so a crash anywhere in this run leaves the
+    # flag standing
+    _, jmark = _hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")
+    if fs.exists(jmark):
+        fs.delete(jmark, False)
     return {
         "rows_deleted": int(rows_live + rows_delta),
         "docs_partitions_rewritten": (
@@ -1350,7 +1457,12 @@ def minhash_index_delete(
 
 
 def minhash_index_compact(
-    spark, src_path: str, dst_path: str, *, target_bytes: int = 128 * 1024 * 1024
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
 ) -> tuple[int, int]:
     """Compact a dedup index's append debris AND carry its _params to
     the compacted copy — ivf_index_compact's twin. Every append lands
@@ -1459,12 +1571,34 @@ def minhash_index_compact(
     params.coalesce(1).write.mode("overwrite").parquet(f"{dst}/_params")
     # carry the ingest log (r15): the compacted copy holds the same
     # accepted batches, so their idempotency keys must keep rejecting
-    # retries — each entry is an empty marker file, recreated at dst
+    # retries — each entry is an empty marker file, recreated at dst.
+    # Only entries still inside the retry horizon carry (r16, the
+    # VERDICT r15 size bound): the per-entry driver loop is thereby
+    # O(batch_rate x horizon), not O(total batches ever), and the dst
+    # log is born pruned. Carried entries keep the SOURCE's age via
+    # setTimes, so the horizon clock never resets on compaction.
     jlog_src = _hadoop_fs(spark, f"{src}/{_INGEST_LOG}")[1]
     if fs.exists(jlog_src):
+        import time
+
+        cutoff = (
+            int(time.time() * 1000) - int(ingest_log_horizon_s * 1000)
+            if ingest_log_horizon_s is not None
+            else None
+        )
         for st in fs.listStatus(jlog_src):
+            if cutoff is not None and st.getModificationTime() < cutoff:
+                continue
             _, jd = _hadoop_fs(
                 spark, f"{dst}/{_INGEST_LOG}/{st.getPath().getName()}"
             )
             fs.create(jd, True).close()
+            fs.setTimes(jd, st.getModificationTime(), -1)
+    # carry the delete-rerun flag (ADVICE r15): the compacted copy
+    # holds the same rows, restored-doomed included — the pending
+    # takedown transfers with them
+    jmark_src = _hadoop_fs(spark, f"{src}/{_RERUN_MARKER}")[1]
+    if fs.exists(jmark_src):
+        _, jmark_dst = _hadoop_fs(spark, f"{dst}/{_RERUN_MARKER}")
+        fs.create(jmark_dst, True).close()
     return n_src, n_out

@@ -115,75 +115,80 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 15 front (window = first 50, which closes EXACTLY as the
-    # VERDICT r14 math pinned — 4 + 46, zero free slots):
-    # (1) minhash_index_lifecycle_state — MANDATORY (VERDICT r14
-    # ask #1a): its r13 evidence rode the r14 delta-buffer change on
-    # a documented targeted-sim MATCH and expires this round; its
-    # code path changed AGAIN in r15 (delete/fold crash-protocol
-    # hardening: _settle_delta_rewrite, per-subtable fold gates,
-    # rename-swap delta rewrite — ADVICE r14 fixes).
-    "minhash_index_lifecycle_state",
-    # (2) the two pre-staged composites, registered this round
-    # (VERDICT r14 asks #1b/#1c): the r14 LSM delta buffer + fold +
-    # cross-layer delete get their driver row; the IVF
-    # delete/cold-merge/stats legs get theirs.
-    "minhash_index_cadence_state",
-    "ivf_maintenance_state",
-    # (3) the stop-bucket guard's new driver row (VERDICT r14 ask #2):
-    # the index's one recall-affecting knob, previously pytest-only.
-    "minhash_index_stopbucket_state",
-    # (4) the 46-query r12-latest cohort (standing <=3-rounds rotation
-    # policy): CORRECTNESS_r12 keys minus the retired sketch_profile
-    # minus the 3 re-evidenced in r14 (minhash_index_probe_state,
-    # split_hot_clusters_state, pq_drift_check) = 46, so after this
-    # pass no live evidence is older than r13.
-    "blocked_fuzzy_linkage",
-    "boolean_parse",
-    "bpe_pair_counts",
-    "change_classification",
-    "dedup_cluster_canonical",
-    "downsample_majority_class",
-    "duplicate_id_detection",
-    "duplicate_subject_finder",
-    "embedding_near_dup",
-    "embedding_norm_stats",
-    "exact_dedup",
-    "extract_year",
-    "field_mapping",
-    "fragment_assembly",
-    "frame_sampling",
-    "gsid_mint_shape",
-    "id_validation",
-    "identity_components",
-    "incremental_merge_state",
-    "jdbc_partitioned_scan",
-    "keyed_lookup_semi",
-    "leakage_safe_split",
-    "multi_type_subjects",
-    "multimodal_decode",
-    "name_normalization",
-    "ngram_jaccard_pairs",
-    "orphan_detection",
-    "pending_resolutions_scan",
-    "quality_percentile_filter",
-    "redcap_dictionary_scan",
-    "registration_year_normalize",
-    "resolution_stats",
-    "rest_paginated_scan",
-    "salted_hot_key_join",
-    "sequence_packing",
-    "simhash_buckets",
-    "sliding_window_rollup",
-    "stratified_sample",
-    "streaming_dedup",
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
-    "subjects_by_source",
-    "tfidf_keywords",
-    "train_test_split",
-    "unpivot_candidates",
-    "weighted_mixture_sample",
+    # round 16 front (window = first 50, composed EXACTLY as VERDICT
+    # r15 ask #1 pinned — 2 changed-code rows + 48 of the 49-key
+    # r13-latest cohort):
+    # (1) the two rows riding r15-CHANGED entry points on r14
+    # evidence: split_hot_clusters_state's entry gained the mandatory
+    # append-staging settle (d13c2ef, ann.py), and
+    # minhash_index_probe_state's probe entry gained the best-effort
+    # _settle_delta_rewrite (8ae2840, dedup_index.py). Both paths
+    # changed AGAIN in r16 (the ADVICE r15 fixes: the IVF append's
+    # mandatory maintenance settle touches the shared materialize
+    # path; the delta-rewrite rollback grew the rerun flag).
+    "split_hot_clusters_state",
+    "minhash_index_probe_state",
+    # (2) the 48-key slice of the 49-key r13-latest cohort
+    # (CORRECTNESS_r13 keys never re-evidenced in r14/r15, standing
+    # <=3-rounds rotation policy). 2 + 49 = 51 > 50, so ONE cohort
+    # key — order_priority_pivot (TPC-H micro, code untouched since
+    # r13) — is DEFERRED to first position in r17, covered this round
+    # by a targeted sf0.01 sim MATCH (the r14 lifecycle precedent;
+    # run recorded in the round notes). After this pass no live
+    # evidence is older than r14 except that one documented deferral.
+    # NOTE: the four r15-evidenced index rows (lifecycle, cadence,
+    # ivf_maintenance, stopbucket) ride code that changed in r16 (the
+    # ADVICE fixes); their r15 evidence is valid until r18 and this
+    # round's full-registry sf0.01+sf0.1 sims re-verify them vs the
+    # oracle on the changed code — front them in r17.
+    "alias_resolution",
+    "ann_topk_ivf",
+    "ann_topk_multiprobe",
+    "asof_last_click",
+    "audit_trail",
+    "avg_yearly_small_qty",
+    "binary_features",
+    "bpe_merge_apply",
+    "change_stats",
+    "conflict_apply_state",
+    "conflict_detection",
+    "conflict_exclusion",
+    "conflict_summary",
+    "csv_roundtrip_staging",
+    "customer_order_distribution",
+    "data_type_counts",
+    "doc_chunking",
+    "doc_fingerprint",
+    "domain_mixture_weights",
+    "event_value_percentiles",
+    "family_linkage",
+    "first_wins_dedup",
+    "flexible_timestamp_parse",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_center_match",
+    "gopher_quality_rules",
+    "gsid_filter",
+    "heavy_hitter_users",
+    "identity_link_back",
+    "identity_resolution",
+    "image_resize_check",
+    "labkey_sync_state",
+    "lang_id_heuristic",
+    "per_center_summary",
+    "per_subject_review",
+    "pii_redaction",
+    "priority_status_rollup",
+    "quality_score",
+    "repetition_filter",
+    "replica_divergence",
+    "returnflag_status_cube",
+    "stateful_sessionize",
+    "subject_enrichment",
+    "token_count",
+    "top_revenue_supplier",
+    "type_coercion",
+    "vocabulary_topk",
 ]
 
 

@@ -1848,3 +1848,119 @@ def test_ivf_append_crash_injection_sweep(spark, vectors, tmp_path,
         assert got == n_all, f"K={k}: {got} rows (exactly-once violated)"
         assert not os.path.isdir(f"{idx}/_append_staging"), f"K={k}"
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_append_settles_pending_merge(spark, tmp_path):
+    """ADVICE r15 medium: the staged append is a WRITER — it settles
+    pending split/merge maintenance MANDATORILY before assigning, and
+    assigns against the RESUMED centroid set. A crashed mid-phase-2
+    merge (_applying sentinel, one cold dir half-deleted) followed by
+    an append of vectors nearest the COLD centroid (passed the STALE
+    pre-merge centroids) must resume the merge first and land the
+    batch in the surviving cluster — the old behavior either promoted
+    rows into a recorded cold dir the resume then re-deletes (silent
+    loss) or re-created the deleted cluster as a zombie no probe
+    routes to."""
+    import glob as _glob
+    import os
+    import pathlib
+
+    from idhub_spark.operators.ann import (
+        ivf_index_stats,
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_app_merge")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    staging = _fabricate_merge_staging(spark, path, centroids)
+    pathlib.Path(staging, "_applying").touch()
+    part_files = _glob.glob(f"{path}/cluster=2/*.parquet")
+    assert part_files
+    os.remove(part_files[0])
+
+    # 5 new vectors in the 10-blob — nearest the COLD centroid (2)
+    # under the stale 4-cluster set the caller still holds
+    dim = 8
+    new = spark.createDataFrame(
+        [(500 + i, [10.0 + i * 0.01] * dim) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert ivf_sq8_index_append(
+        new, centroids, bounds, path, batch_id="m-1") == "appended"
+
+    # the merge resumed BEFORE the append: staging gone, no zombie
+    # cold dirs, every row accounted for exactly once
+    assert not os.path.isdir(staging)
+    assert not os.path.isdir(f"{path}/cluster=2")
+    assert not os.path.isdir(f"{path}/cluster=3")
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s[-1] == 205 and set(s) == {-1, 0, 1}
+
+    # the appended rows are REACHABLE: the no-arg search (resumed
+    # fits) routes a 10-blob query to its surviving cluster
+    q = spark.createDataFrame(
+        [(9000, [10.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    got = ivf_sq8_search_index(spark, path, q, k=5, nprobe=1)
+    assert {r.neighbor_id for r in got.collect()} & set(range(500, 505))
+
+
+def test_ivf_ingest_log_horizon(spark, tmp_path):
+    """r16 (VERDICT r15): the IVF ingest log is bounded by the retry
+    horizon — the cold-merge cadence op prunes aged entries in place;
+    ivf_index_compact carries only in-horizon entries with source
+    mtimes preserved (the horizon clock never resets)."""
+    import os
+    import time
+
+    from idhub_spark.operators.ann import (
+        ivf_index_compact,
+        ivf_index_merge_cold_clusters,
+        ivf_sq8_index_append,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+    from idhub_spark.operators.dedup_index import _batch_key
+
+    vecs, centroids = _merge_fixture(spark)
+    bounds = sq8_fit(vecs)
+    path = str(tmp_path / "idx_log")
+    ivf_sq8_index_write(vecs, centroids, bounds, path)
+    dim = 8
+    n1 = spark.createDataFrame(
+        [(900, [5.0] * dim)], "vec_id long, embedding array<double>")
+    n2 = spark.createDataFrame(
+        [(901, [-5.0] * dim)], "vec_id long, embedding array<double>")
+    assert ivf_sq8_index_append(
+        n1, centroids, bounds, path, batch_id="a") == "appended"
+    assert ivf_sq8_index_append(
+        n2, centroids, bounds, path, batch_id="b") == "appended"
+    old_key = f"{path}/_ingest_log/{_batch_key('a')}"
+    new_key = f"{path}/_ingest_log/{_batch_key('b')}"
+    aged = time.time() - 8 * 24 * 3600
+    os.utime(old_key, (aged, aged))
+
+    # no cluster is cold at min_rows=1 — the prune still runs at entry
+    ivf_index_merge_cold_clusters(spark, path, min_rows=1)
+    assert not os.path.exists(old_key) and os.path.exists(new_key)
+    assert ivf_sq8_index_append(
+        n2, centroids, bounds, path, batch_id="b") == "duplicate"
+
+    # compact carry-prune with mtime preserved
+    n3 = spark.createDataFrame(
+        [(902, [5.0] * dim)], "vec_id long, embedding array<double>")
+    assert ivf_sq8_index_append(
+        n3, centroids, bounds, path, batch_id="c") == "appended"
+    os.utime(f"{path}/_ingest_log/{_batch_key('c')}", (aged, aged))
+    src_mtime = os.path.getmtime(new_key)
+    dst = str(tmp_path / "idx_log_packed")
+    ivf_index_compact(spark, path, dst)
+    assert not os.path.exists(f"{dst}/_ingest_log/{_batch_key('c')}")
+    dst_new = f"{dst}/_ingest_log/{_batch_key('b')}"
+    assert os.path.exists(dst_new)
+    assert int(os.path.getmtime(dst_new)) == int(src_mtime)

@@ -479,9 +479,12 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["docs"]["n_rows"] == 41
     assert rep["params"]["pb_buckets"] == 8
-    # the buffer split out of the totals (r15 fold-cadence signal)
+    # the buffer's share OF the totals (r15 fold-cadence signal;
+    # n_rows already includes it — live-only = n_rows - delta_rows)
     assert rep["tables"]["docs"]["delta_rows"] == 1
     assert rep["tables"]["docs"]["delta_files"] == 1
+    # no crashed-delete rollback pending (ADVICE r15 flag, surfaced)
+    assert rep["delete_rerun_needed"] is False
 
     # fold: the buffered append re-lays into the Hive layout in place
     rc = cli.main(["dedup-index", "fold", "--index", idx])

@@ -1484,3 +1484,110 @@ def test_append_batch_id_crash_injection_sweep(spark, docs, tmp_path,
     monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
     minhash_index_append(appended, idx)  # the naive retry
     assert _read_state_table(spark, idx, "docs").count() > n_all
+
+
+def test_delta_rewrite_rollback_warns_and_flags(spark, docs, tmp_path):
+    """ADVICE r15 low: the settle's rollback branch restores rows a
+    crashed delete had already retracted — it must never be silent.
+    The rollback warns and sets the root-level rerun flag; stats
+    re-warns while the flag stands; the next COMPLETED delete clears
+    it; compact carries it; a rebuild clears it with the old
+    generation."""
+    import warnings as _warnings
+
+    from idhub_spark.operators.dedup_index import (
+        _RERUN_MARKER,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_stats,
+    )
+
+    path = str(tmp_path / "mh_rb")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert minhash_index_append(appended, path) == "delta"
+    victim = int(appended.select(F.min("doc_id")).first()[0])
+    minhash_index_delete(spark, path, [victim])
+    assert not os.path.exists(f"{path}/{_RERUN_MARKER}")
+
+    # fabricate the rollback state (window C of the rename-swap
+    # protocol): aside present, live AND staged survivors absent
+    os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    with pytest.warns(UserWarning, match="rolled back"):
+        minhash_index_stats(spark, path)
+    assert os.path.isdir(f"{path}/delta/docs")
+    assert os.path.exists(f"{path}/{_RERUN_MARKER}")
+
+    # every later stats read keeps surfacing the pending takedown
+    with pytest.warns(UserWarning, match="live again"):
+        minhash_index_stats(spark, path)
+
+    # compact carries the flag with the rows it still holds
+    dst = str(tmp_path / "mh_rb_packed")
+    minhash_index_compact(spark, path, dst)
+    assert os.path.exists(f"{dst}/{_RERUN_MARKER}")
+
+    # the delete rerun re-completes the retraction and clears the flag
+    minhash_index_delete(spark, path, [victim])
+    assert not os.path.exists(f"{path}/{_RERUN_MARKER}")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        minhash_index_stats(spark, path)
+    assert not [w for w in caught if "live again" in str(w.message)]
+
+    # rebuild clears it with the rest of the old generation
+    minhash_index_write(base, dst, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    assert not os.path.exists(f"{dst}/{_RERUN_MARKER}")
+
+
+def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
+    """r16 (VERDICT r15): the ingest log is bounded by the retry
+    horizon — fold prunes entries older than it in place, compact
+    carries only in-horizon entries WITH their source mtimes (the
+    horizon clock never resets on compaction), and a post-horizon
+    retry is a new ingest decision by documented contract."""
+    import time
+
+    from idhub_spark.operators.dedup_index import (
+        _batch_key,
+        minhash_index_compact,
+        minhash_index_fold_delta,
+    )
+
+    path = str(tmp_path / "mh_log")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 3)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+    assert minhash_index_append(b1, path, batch_id="old-batch") == "delta"
+    assert minhash_index_append(b2, path, batch_id="new-batch") == "delta"
+    old_key = f"{path}/_ingest_log/{_batch_key('old-batch')}"
+    new_key = f"{path}/_ingest_log/{_batch_key('new-batch')}"
+    assert os.path.exists(old_key) and os.path.exists(new_key)
+
+    # age the first entry beyond the 7-day default horizon
+    aged = time.time() - 8 * 24 * 3600
+    os.utime(old_key, (aged, aged))
+
+    # fold prunes it in place; the fresh entry survives and still
+    # rejects its retry; the aged key is a NEW ingest decision now
+    minhash_index_fold_delta(spark, path)
+    assert not os.path.exists(old_key) and os.path.exists(new_key)
+    assert minhash_index_append(b2, path, batch_id="new-batch") == "duplicate"
+    assert minhash_index_append(
+        b1.select((F.col("doc_id") + 700_000).alias("doc_id"), "text"),
+        path, batch_id="old-batch") == "delta"
+
+    # compact: only in-horizon entries carry, source mtimes preserved
+    os.utime(f"{path}/_ingest_log/{_batch_key('old-batch')}", (aged, aged))
+    src_mtime = os.path.getmtime(new_key)
+    dst = str(tmp_path / "mh_log_packed")
+    minhash_index_compact(spark, path, dst)
+    assert not os.path.exists(f"{dst}/_ingest_log/{_batch_key('old-batch')}")
+    dst_new = f"{dst}/_ingest_log/{_batch_key('new-batch')}"
+    assert os.path.exists(dst_new)
+    assert int(os.path.getmtime(dst_new)) == int(src_mtime)
