@@ -952,7 +952,6 @@ def _ivf_index_materialize(
 
     spark = vectors.sparkSession
     root = path.rstrip("/")
-    _settle_append_staging(spark, root)
     # MANDATORY maintenance settle (ADVICE r15 medium): the append is a
     # writer, and _settle_append_staging's own contract says writers
     # must never act on an index they can't fully see. Without this, an
@@ -965,9 +964,12 @@ def _ivf_index_materialize(
     # dir as a zombie no probe ever routes to. Resuming first closes
     # both; when a resume ran, its centroid set is the authoritative
     # one for this batch's assignment (the caller's frame predates it).
+    # Runs BEFORE the append-staging settle (the ordering argument in
+    # _settle_append_staging's docstring).
     resumed = _settle_pending_maintenance(spark, root)
     if resumed is not None:
         centroids = resumed
+    _settle_append_staging(spark, root)
     if batch_id is not None:
         fs_log, jlog = _hadoop_fs(
             spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
@@ -1031,7 +1033,23 @@ def _settle_append_staging(spark, root: str, *, best_effort: bool = False) -> No
     first: writers (append/delete/compact/split/merge) mandatorily —
     they must never act on an index they can't fully see — readers
     (search/stats) best-effort, degrading to live-files-only with a
-    warning on read-only replicas. Two fs.exists when clean."""
+    warning on read-only replicas. Two fs.exists when clean.
+
+    ORDER (r16): runs AFTER the split/merge maintenance settles at
+    every entry point that does both. A committed append staging can
+    coexist with a pending maintenance staging only when the append
+    ran after the maintenance crashed (maintenance writers promote any
+    append staging at entry, single-writer assumed) — i.e. only via a
+    pre-r16 append that didn't settle maintenance first, so its
+    cluster assignment may predate the crashed merge/split. Promoting
+    it FIRST would rename its rows into a recorded cold/victim
+    directory the maintenance resume then deletes — silently
+    DESTROYING them; resuming the maintenance first leaves the worst
+    case at 'promoted into a no-longer-routed cluster dir' — rows
+    visible to stats/compact and recoverable by re-assignment, never
+    silently gone. Appends staged by the r16 protocol settled
+    maintenance before assigning, so for them the two orders are
+    equivalent."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/{_APPEND_STAGING}"
@@ -1599,7 +1617,6 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     warning + live-files-only counts instead of failing a health
     check. Writers (delete/merge/split/compact) keep the mandatory
     settle; like them, stats assumes a SINGLE maintenance writer."""
-    _settle_append_staging(spark, path.rstrip("/"), best_effort=True)
     try:
         _settle_pending_maintenance(spark, path.rstrip("/"))
     except Exception:
@@ -1611,6 +1628,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
             "live files only",
             stacklevel=2,
         )
+    _settle_append_staging(spark, path.rstrip("/"), best_effort=True)
     idx = spark.read.parquet(path).select(
         "cluster", F.input_file_name().alias("_f")
     )
@@ -1652,8 +1670,10 @@ def ivf_index_compact(
     copy. Returns (n_source_files, n_output_files)."""
     from idhub_spark.storage import compact_partitioned
 
-    _settle_append_staging(spark, src_path.rstrip("/"))
+    # maintenance settles BEFORE the append-staging settle (ordering
+    # argument in _settle_append_staging's docstring)
     _settle_pending_maintenance(spark, src_path.rstrip("/"))
+    _settle_append_staging(spark, src_path.rstrip("/"))
     n_src, n_out = compact_partitioned(
         spark, src_path, dst_path, "cluster", target_bytes=target_bytes
     )
@@ -1955,12 +1975,14 @@ def ivf_index_split_cluster(
     jvm_path = lambda p: _hadoop_fs(spark, p)  # noqa: E731
     fs, _ = jvm_path(staging)
 
-    _settle_append_staging(spark, root)
+    # maintenance settles BEFORE the append-staging settle (ordering
+    # argument in _settle_append_staging's docstring)
     merged = _settle_merge_staging(spark, root)
     if merged is not None:
         # any caller-passed set predates the resumed merge
         centroids = merged
     res = _settle_split_staging(spark, root)
+    _settle_append_staging(spark, root)
     if res is not None:
         staged_cluster, resumed = res
         if staged_cluster == cluster:
@@ -2178,9 +2200,10 @@ def ivf_index_delete(
     # a later resume renamed the retracted vectors back in — the one
     # failure mode a takedown path must never have. The append staging
     # is a retraction surface for the same reason (r15): a committed
-    # batch's rows live only there until promoted.
-    _settle_append_staging(spark, root)
+    # batch's rows live only there until promoted. Maintenance settles
+    # first (ordering argument in _settle_append_staging's docstring).
     _settle_pending_maintenance(spark, root)
+    _settle_append_staging(spark, root)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(id_col).alias(id_col)).distinct()
     else:
@@ -2298,11 +2321,12 @@ def ivf_index_merge_cold_clusters(
     root = path.rstrip("/")
     staging = f"{root}/_merge_staging"
 
-    _settle_append_staging(spark, root)
     # the cold-merge IS the IVF periodic-maintenance cadence (the
     # dedup fold's analog), so it also bounds the ingest log —
     # retention rationale at dedup_index.INGEST_LOG_HORIZON_S
     _prune_ingest_log(spark, root, INGEST_LOG_HORIZON_S)
+    # maintenance settles BEFORE the append-staging settle (ordering
+    # argument in _settle_append_staging's docstring)
     split_res = _settle_split_staging(spark, root)
     if split_res is not None:
         # any caller-passed set predates the resumed split
@@ -2310,6 +2334,7 @@ def ivf_index_merge_cold_clusters(
     resumed = _settle_merge_staging(spark, root)
     if resumed is not None:
         centroids = resumed
+    _settle_append_staging(spark, root)
 
     if centroids is None:
         fits = ivf_index_load_fits(spark, path)

@@ -1964,3 +1964,68 @@ def test_ivf_ingest_log_horizon(spark, tmp_path):
     dst_new = f"{dst}/_ingest_log/{_batch_key('b')}"
     assert os.path.exists(dst_new)
     assert int(os.path.getmtime(dst_new)) == int(src_mtime)
+
+
+def test_legacy_append_staging_with_pending_merge_not_destroyed(
+    spark, tmp_path
+):
+    """r16 settle ORDER: maintenance resumes BEFORE the append-staging
+    promotion at every entry point. A committed append staging can
+    coexist with a pending maintenance staging only via a pre-r16
+    append (new-protocol appends settle maintenance before staging),
+    so its assignment may predate the crashed merge — promoting it
+    FIRST would rename its rows into a recorded cold dir the resume
+    then deletes (silent loss). With the resume first, the worst case
+    is 'promoted into a no-longer-routed directory': rows remain
+    stats/compact-visible and recoverable, never silently gone."""
+    import glob as _glob
+    import os
+    import pathlib
+
+    from idhub_spark.operators.ann import (
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_legacy_app")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    staging = _fabricate_merge_staging(spark, path, centroids)
+    pathlib.Path(staging, "_applying").touch()
+    part_files = _glob.glob(f"{path}/cluster=2/*.parquet")
+    assert part_files
+    os.remove(part_files[0])  # the mid-phase-2 merge crash
+
+    # the LEGACY committed append staging: 5 rows already assigned to
+    # the recorded COLD cluster 2 (a pre-merge assignment)
+    dim = 8
+    new = spark.createDataFrame(
+        [(500 + i, [10.0 + i * 0.01] * dim) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    enc = sq8_encode(
+        new.select(
+            "vec_id", "embedding", vec_d.alias("_v"), F.lit(2).alias("cluster")
+        ),
+        bounds,
+        vec_col="_v",
+    ).select("vec_id", "embedding", "code", "cluster")
+    app = f"{path}/_append_staging"
+    enc.repartition(1).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{app}/data"
+    )
+    pathlib.Path(app, "_COMMITTED").touch()
+
+    # ANY entry point settles: resume the merge, THEN promote
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert not os.path.isdir(staging) and not os.path.isdir(app)
+    # every row accounted for: the 200 pre-merge rows live in the
+    # survivors, the 5 legacy-staged rows in the re-created (zombie)
+    # cluster=2 dir — visible, not destroyed (the old promote-first
+    # order would read 200 here with the batch silently deleted)
+    assert s[-1] == 205
+    assert s.get(2) == 5 and s[0] + s[1] == 200
