@@ -480,6 +480,21 @@ def _cmd_dedup_index(args) -> int:
     return 0
 
 
+def _cmd_adopt_unrouted(args) -> int:
+    """Recovery entrypoint for ivf_index_adopt_unrouted: re-home rows
+    in cluster dirs absent from the centroid set (zombie dirs no probe
+    routes to — legacy staging promotions, restored backups); one JSON
+    line."""
+    from idhub_spark.operators.ann import ivf_index_adopt_unrouted
+
+    spark = get_spark("adopt-unrouted")
+    rep = ivf_index_adopt_unrouted(spark, args.index)
+    print(json.dumps(
+        {"index": args.index, "action": "adopt_unrouted", **rep}
+    ))
+    return 0
+
+
 def _cmd_merge_cold(args) -> int:
     """Maintenance entrypoint for ivf_index_merge_cold_clusters: fold
     every cluster below --min-rows into its members' nearest surviving
@@ -785,6 +800,14 @@ def main(argv: list[str] | None = None) -> int:
     mc.add_argument("--index", required=True, help="index root path")
     mc.add_argument("--min-rows", type=int, required=True)
     mc.set_defaults(fn=_cmd_merge_cold)
+
+    au = sub.add_parser(
+        "adopt-unrouted",
+        help="re-home IVF rows living in cluster dirs absent from the "
+        "centroid set (zombie dirs no probe routes to)",
+    )
+    au.add_argument("--index", required=True, help="index root path")
+    au.set_defaults(fn=_cmd_adopt_unrouted)
 
     idel = sub.add_parser(
         "index-delete",

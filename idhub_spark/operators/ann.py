@@ -2402,3 +2402,98 @@ def ivf_index_merge_cold_clusters(
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
     _apply_merge_staging(spark, root, survivors, cold)
     return survivors, {"merged_clusters": cold, "rows_moved": rows_moved}
+
+
+def ivf_index_adopt_unrouted(
+    spark,
+    path: str,
+    *,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-home rows living in cluster directories that are NOT in the
+    index's centroid set — 'zombie' clusters no probe ever routes to,
+    so their rows are invisible to every search while still counting
+    in stats and compactions. The known producer is a LEGACY append
+    staging promoted after a maintenance resume (the recoverable
+    worst case the r16 settle ordering chose — see
+    _settle_append_staging); a manually restored backup directory
+    lands in the same state. ivf_index_merge_cold_clusters cannot
+    help: it judges coldness over the CENTROID set, so an on-disk id
+    without a centroid row is never selected.
+
+    Recovery is pure re-ASSIGNMENT — the stored code column stays
+    valid (SQ8/PQ codes depend only on bounds/codebook, never on the
+    cluster), so no codec knowledge is needed: read ONLY the zombie
+    directories, assign each row to its nearest live centroid, and
+    run the exact staged cold-merge protocol (staged reassigned rows,
+    recorded source dirs, _applying sentinel, FS-rename promotion)
+    with the centroid set unchanged — a crash at any point resumes
+    through _settle_merge_staging like any merge. I/O ∝ zombie rows;
+    the zombie scan is a directory listing (no Spark job) and the
+    centroid collect is k-bounded.
+
+    Returns {"adopted_rows", "dropped_clusters"} (empty when the
+    index is clean — the common case costs the entry settles plus one
+    listStatus)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+    from idhub_spark.session import literal_frame
+
+    root = path.rstrip("/")
+    staging = f"{root}/_merge_staging"
+    # writer discipline: maintenance first (its resume can CREATE the
+    # zombie this operator exists to fix), then the append staging
+    resumed = _settle_pending_maintenance(spark, root)
+    if resumed is not None:
+        centroids = resumed
+    _settle_append_staging(spark, root)
+
+    if centroids is None:
+        fits = ivf_index_load_fits(spark, path)
+        if "centroids" not in fits:
+            raise ValueError(
+                f"ivf_index_adopt_unrouted: no _fits/centroids under "
+                f"{path!r}; pass centroids= explicitly"
+            )
+        centroids = fits["centroids"]
+
+    cent_ids = {int(r.cluster) for r in centroids.select("cluster").collect()}
+    fs, jroot = _hadoop_fs(spark, root)
+    on_disk = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jroot)
+        if st.isDirectory() and st.getPath().getName().startswith("cluster=")
+    }
+    zombies = sorted(on_disk - cent_ids)
+    if not zombies:
+        return {"adopted_rows": 0, "dropped_clusters": []}
+
+    members = spark.read.parquet(root).filter(F.col("cluster").isin(zombies))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = _assign(
+        members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")),
+        centroids,
+    ).select(F.col("_id").alias(id_col), "cluster")
+    out = (
+        members.drop("cluster")
+        .join(assigned, id_col)
+        .localCheckpoint(eager=True)
+    )
+    adopted = int(out.count())
+    (
+        out.repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{staging}/data")
+    )
+    out.unpersist()
+    cents = centroids.localCheckpoint(eager=True)
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/_new_centroids"
+    )
+    literal_frame(
+        spark, [(int(c),) for c in zombies], "cluster int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
+    _apply_merge_staging(spark, root, cents, zombies)
+    return {"adopted_rows": adopted, "dropped_clusters": zombies}

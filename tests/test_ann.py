@@ -2029,3 +2029,85 @@ def test_legacy_append_staging_with_pending_merge_not_destroyed(
     # order would read 200 here with the batch silently deleted)
     assert s[-1] == 205
     assert s.get(2) == 5 and s[0] + s[1] == 200
+
+
+def test_ivf_index_adopt_unrouted(spark, tmp_path):
+    """ivf_index_adopt_unrouted: rows in a cluster dir ABSENT from the
+    centroid set (the recoverable zombie state the r16 settle order
+    leaves behind — see test_legacy_append_staging_...) re-assign to
+    their nearest live centroid through the staged merge protocol and
+    become searchable; the zombie dir drops; a rerun is a no-op; and
+    the cold-merge alone never selects them (it judges coldness over
+    the CENTROID set — pinned here so the gap stays documented)."""
+    import glob as _glob
+    import os
+    import pathlib
+
+    from idhub_spark.operators.ann import (
+        ivf_index_adopt_unrouted,
+        ivf_index_merge_cold_clusters,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        ivf_sq8_search_index,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    # same fabrication as the legacy-ordering test: mid-phase-2 merge
+    # crash + a legacy committed append staging assigned to the
+    # recorded cold cluster 2 -> after the settle, cluster=2 is a
+    # zombie dir holding the 5 appended rows
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_adopt")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    staging = _fabricate_merge_staging(spark, path, centroids)
+    pathlib.Path(staging, "_applying").touch()
+    os.remove(_glob.glob(f"{path}/cluster=2/*.parquet")[0])
+    dim = 8
+    new = spark.createDataFrame(
+        [(500 + i, [10.0 + i * 0.01] * dim) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    enc = sq8_encode(
+        new.select(
+            "vec_id", "embedding", vec_d.alias("_v"), F.lit(2).alias("cluster")
+        ),
+        bounds,
+        vec_col="_v",
+    ).select("vec_id", "embedding", "code", "cluster")
+    app = f"{path}/_append_staging"
+    enc.repartition(1).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{app}/data"
+    )
+    pathlib.Path(app, "_COMMITTED").touch()
+    ivf_index_stats(spark, path).collect()  # settle -> zombie state
+    assert os.path.isdir(f"{path}/cluster=2")
+
+    # the cold-merge does NOT adopt a zombie: cluster 2 has no
+    # centroid row, so centroid-set coldness never selects it
+    _, rep = ivf_index_merge_cold_clusters(spark, path, min_rows=1)
+    assert rep == {"merged_clusters": [], "rows_moved": 0}
+    assert os.path.isdir(f"{path}/cluster=2")
+
+    rep2 = ivf_index_adopt_unrouted(spark, path)
+    assert rep2 == {"adopted_rows": 5, "dropped_clusters": [2]}
+    assert not os.path.isdir(f"{path}/cluster=2")
+    assert not os.path.isdir(f"{path}/_merge_staging")
+    s = {r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()}
+    assert s[-1] == 205 and set(s) == {-1, 0, 1}
+
+    # the adopted rows are now REACHABLE by the no-arg search
+    q = spark.createDataFrame(
+        [(9000, [10.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    got = ivf_sq8_search_index(spark, path, q, k=5, nprobe=1)
+    assert {r.neighbor_id for r in got.collect()} & set(range(500, 505))
+
+    # clean index: a rerun costs the settles + one listing, changes
+    # nothing
+    assert ivf_index_adopt_unrouted(spark, path) == {
+        "adopted_rows": 0,
+        "dropped_clusters": [],
+    }
