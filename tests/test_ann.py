@@ -2111,3 +2111,100 @@ def test_ivf_index_adopt_unrouted(spark, tmp_path):
         "adopted_rows": 0,
         "dropped_clusters": [],
     }
+
+
+def test_adopt_unrouted_crash_injection_sweep(spark, tmp_path, monkeypatch):
+    """ivf_index_adopt_unrouted killed at every strided driver fs-call
+    boundary, then rerun, must converge: every row adopted exactly
+    once (no loss, no doubling — distinct vec_ids checked), zombie dir
+    and staging gone. The adoption rides the staged merge protocol, so
+    each crash window resolves through _settle_merge_staging exactly
+    like a crashed cold-merge."""
+    import glob as _glob
+    import os
+    import pathlib
+    import shutil
+
+    from idhub_spark.operators import merge_into
+    from idhub_spark.operators.ann import (
+        ivf_index_adopt_unrouted,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    # template: the settled zombie state (cluster=2 holds 5 rows, live
+    # centroids are {0, 1}) — same fabrication as the adopt test
+    vectors, centroids = _merge_fixture(spark)
+    tpl = str(tmp_path / "idx_az_tpl")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, tpl)
+    staging = _fabricate_merge_staging(spark, tpl, centroids)
+    pathlib.Path(staging, "_applying").touch()
+    os.remove(_glob.glob(f"{tpl}/cluster=2/*.parquet")[0])
+    dim = 8
+    new = spark.createDataFrame(
+        [(500 + i, [10.0 + i * 0.01] * dim) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    enc = sq8_encode(
+        new.select(
+            "vec_id", "embedding", vec_d.alias("_v"), F.lit(2).alias("cluster")
+        ),
+        bounds,
+        vec_col="_v",
+    ).select("vec_id", "embedding", "code", "cluster")
+    enc.repartition(1).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{tpl}/_append_staging/data"
+    )
+    pathlib.Path(tpl, "_append_staging", "_COMMITTED").touch()
+    ivf_index_stats(spark, tpl).collect()  # settle -> zombie in place
+    assert os.path.isdir(f"{tpl}/cluster=2")
+
+    real_fs = merge_into._hadoop_fs
+    counter = {"n": 0}
+
+    def counting(s, p):
+        counter["n"] += 1
+        return real_fs(s, p)
+
+    cnt = str(tmp_path / "idx_az_cnt")
+    shutil.copytree(tpl, cnt)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", counting)
+    assert ivf_index_adopt_unrouted(spark, cnt)["adopted_rows"] == 5
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    total = counter["n"]
+    assert total > 5
+
+    ks = sorted(set(range(1, total + 1, max(1, total // 8))) | {1, total})
+    for k in ks:
+        idx = str(tmp_path / f"idx_az_k{k}")
+        shutil.copytree(tpl, idx)
+        calls = {"n": 0}
+
+        def crashing(s, p, _limit=k):
+            calls["n"] += 1
+            if calls["n"] > _limit:
+                raise _InjectedCrash(f"fs call {calls['n']}")
+            return real_fs(s, p)
+
+        monkeypatch.setattr(merge_into, "_hadoop_fs", crashing)
+        try:
+            ivf_index_adopt_unrouted(spark, idx)
+            crashed = False
+        except (_InjectedCrash, RuntimeError):
+            crashed = True
+        finally:
+            monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+        assert crashed or k == total, f"K={k}"
+
+        rep = ivf_index_adopt_unrouted(spark, idx)  # the rerun
+        assert rep["adopted_rows"] in (0, 5), f"K={k}: {rep}"
+        got = spark.read.parquet(idx)
+        assert got.count() == 205, f"K={k}: row loss/doubling"
+        assert got.select("vec_id").distinct().count() == 205, f"K={k}"
+        assert not os.path.isdir(f"{idx}/cluster=2"), f"K={k}"
+        assert not os.path.isdir(f"{idx}/_merge_staging"), f"K={k}"
+        shutil.rmtree(idx, ignore_errors=True)
