@@ -389,7 +389,19 @@ def _cmd_dedup_index(args) -> int:
         return 0
     if args.action == "fold":
         _load_params(spark, args.index.rstrip("/"))  # clear non-index error
-        rep = minhash_index_fold_delta(spark, args.index)
+        # only pass the horizon when set (the function default is the
+        # one source of truth); <=0 means "keep every entry" — the
+        # compact subcommand's mapping (ADVICE r16: the fold cadence
+        # must be tunable from the CLI too, or a CLI-only operator who
+        # disabled pruning at compact still loses entries at the fold)
+        hkw = {}
+        if args.ingest_log_horizon_s is not None:
+            hkw["ingest_log_horizon_s"] = (
+                args.ingest_log_horizon_s
+                if args.ingest_log_horizon_s > 0
+                else None
+            )
+        rep = minhash_index_fold_delta(spark, args.index, **hkw)
         print(json.dumps({"index": args.index, "action": "fold", **rep}))
         return 0
 
@@ -509,8 +521,19 @@ def _cmd_merge_cold(args) -> int:
         r.cluster: r.n_rows
         for r in ivf_index_stats(spark, args.index).collect()
     }
+    # same horizon mapping as the compact subcommand (ADVICE r16: the
+    # cold-merge prunes the ingest log at the maintenance cadence, so
+    # an operator who disabled pruning elsewhere must be able to
+    # disable it here)
+    hkw = {}
+    if args.ingest_log_horizon_s is not None:
+        hkw["ingest_log_horizon_s"] = (
+            args.ingest_log_horizon_s
+            if args.ingest_log_horizon_s > 0
+            else None
+        )
     cents, rep = ivf_index_merge_cold_clusters(
-        spark, args.index, min_rows=args.min_rows
+        spark, args.index, min_rows=args.min_rows, **hkw
     )
     after = {
         r.cluster: r.n_rows
@@ -790,6 +813,14 @@ def main(argv: list[str] | None = None) -> int:
         "of double-ingesting (exactly-once under at-least-once retry)",
     )
     di.add_argument("--out", help="probe: write the pair relation here")
+    di.add_argument(
+        "--ingest-log-horizon-s",
+        type=float,
+        default=None,
+        help="fold: prune ingest-log entries older than this retry "
+        "horizon at the fold cadence (default 7 days; <=0 keeps every "
+        "entry — match whatever the compact subcommand uses)",
+    )
     di.set_defaults(fn=_cmd_dedup_index)
 
     mc = sub.add_parser(
@@ -799,6 +830,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     mc.add_argument("--index", required=True, help="index root path")
     mc.add_argument("--min-rows", type=int, required=True)
+    mc.add_argument(
+        "--ingest-log-horizon-s",
+        type=float,
+        default=None,
+        help="prune ingest-log entries older than this retry horizon "
+        "at the merge cadence (default 7 days; <=0 keeps every entry "
+        "— match whatever the compact subcommand uses)",
+    )
     mc.set_defaults(fn=_cmd_merge_cold)
 
     au = sub.add_parser(

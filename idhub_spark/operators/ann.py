@@ -61,7 +61,11 @@ from pyspark.sql import functions as F
 # imports ann
 from idhub_spark.operators.dedup_index import (
     INGEST_LOG_HORIZON_S,
+    _ingest_log_has,
+    _marker_name,
+    _marker_parse,
     _prune_ingest_log,
+    _record_ingest_entries,
 )
 
 # assignment quantization: round(x * 1000) — exact-integer cluster
@@ -970,12 +974,10 @@ def _ivf_index_materialize(
     if resumed is not None:
         centroids = resumed
     _settle_append_staging(spark, root)
-    if batch_id is not None:
-        fs_log, jlog = _hadoop_fs(
-            spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
-        )
-        if fs_log.exists(jlog):
-            return "duplicate"
+    if batch_id is not None and _ingest_log_has(
+        spark, root, _batch_key(batch_id)
+    ):
+        return "duplicate"
     staging = f"{root}/{_APPEND_STAGING}"
     _enc(centroids).write.mode("overwrite").partitionBy("cluster").parquet(
         f"{staging}/data"
@@ -1000,7 +1002,9 @@ def _promote_append_staging(spark, root: str) -> None:
     directories (append-only: existing files never touched — the
     staged part-file names are write-unique, _move_tree raises on any
     collision with the staging intact). _BATCH_<key> markers become
-    <root>/_ingest_log/<key> entries AFTER the renames and BEFORE the
+    <root>/_ingest_log/<key>.<accept_ms> entries (accept time in the
+    name — storage-independent age, dedup_index._marker_parse) AFTER
+    the renames and BEFORE the
     staging delete: a crash between renames and log write re-promotes
     (no-op) then writes the log; between log write and staging delete
     both steps are idempotent — so the log entry exists iff the
@@ -1019,9 +1023,7 @@ def _promote_append_staging(spark, root: str) -> None:
     _, jdata = _hadoop_fs(spark, f"{staging}/data")
     if fs.exists(jdata):
         _move_tree(spark, fs, f"{staging}/data", root)
-    for key in batch_keys:
-        _, jlog = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}")
-        fs.create(jlog, True).close()
+    _record_ingest_entries(spark, fs, root, batch_keys)
     fs.delete(jstag, True)
 
 
@@ -1689,8 +1691,11 @@ def ivf_index_compact(
     # Only entries inside the retry horizon carry (r16, the VERDICT
     # r15 size bound — minhash_index_compact's twin): the per-entry
     # driver loop is O(batch_rate x horizon), not O(total batches
-    # ever), and carried entries keep the source's age via setTimes so
-    # the horizon clock never resets on compaction.
+    # ever). Carried entries keep the source's accept time in the dst
+    # FILENAME (r17 — the old fs.setTimes carry silently no-ops on
+    # object stores, resetting the horizon clock at every compact);
+    # legacy bare-key entries canonicalize to the named form with
+    # their source mtime as the accept time.
     import time
 
     from idhub_spark.operators.merge_into import _hadoop_fs
@@ -1703,15 +1708,17 @@ def ivf_index_compact(
             else None
         )
         for st in fs.listStatus(jlog_src):
-            if cutoff is not None and st.getModificationTime() < cutoff:
+            key, accept_ms = _marker_parse(
+                st.getPath().getName(), st.getModificationTime()
+            )
+            if cutoff is not None and accept_ms < cutoff:
                 continue
             _, jd = _hadoop_fs(
                 spark,
                 f"{dst_path.rstrip('/')}/{_INGEST_LOG}/"
-                f"{st.getPath().getName()}",
+                f"{_marker_name(key, accept_ms)}",
             )
             fs.create(jd, True).close()
-            fs.setTimes(jd, st.getModificationTime(), -1)
     return n_src, n_out
 
 
@@ -2278,6 +2285,7 @@ def ivf_index_merge_cold_clusters(
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
 ) -> tuple[DataFrame, dict]:
     """The split policy's inverse — fold every cluster holding FEWER
     than min_rows rows into its members' nearest SURVIVING cluster.
@@ -2323,8 +2331,11 @@ def ivf_index_merge_cold_clusters(
 
     # the cold-merge IS the IVF periodic-maintenance cadence (the
     # dedup fold's analog), so it also bounds the ingest log —
-    # retention rationale at dedup_index.INGEST_LOG_HORIZON_S
-    _prune_ingest_log(spark, root, INGEST_LOG_HORIZON_S)
+    # retention rationale at dedup_index.INGEST_LOG_HORIZON_S. The
+    # horizon is a kwarg, not hardcoded (ADVICE r16): an operator who
+    # disabled pruning at compact must be able to disable it here too,
+    # or cold-merge silently re-admits post-horizon retries.
+    _prune_ingest_log(spark, root, ingest_log_horizon_s)
     # maintenance settles BEFORE the append-staging settle (ordering
     # argument in _settle_append_staging's docstring)
     split_res = _settle_split_staging(spark, root)
@@ -2409,7 +2420,6 @@ def ivf_index_adopt_unrouted(
     path: str,
     *,
     centroids: DataFrame | None = None,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Re-home rows living in cluster directories that are NOT in the
@@ -2432,7 +2442,10 @@ def ivf_index_adopt_unrouted(
     with the centroid set unchanged — a crash at any point resumes
     through _settle_merge_staging like any merge. I/O ∝ zombie rows;
     the zombie scan is a directory listing (no Spark job) and the
-    centroid collect is k-bounded.
+    centroid collect is k-bounded. Adoption is per PHYSICAL row with
+    no uniqueness assumption on the stored ids (ADVICE r16): the same
+    vec_id appearing in two zombie dirs — overlapping legacy batches —
+    re-homes as two rows, never a quadratic join fan-out.
 
     Returns {"adopted_rows", "dropped_clusters"} (empty when the
     index is clean — the common case costs the entry settles plus one
@@ -2471,13 +2484,22 @@ def ivf_index_adopt_unrouted(
 
     members = spark.read.parquet(root).filter(F.col("cluster").isin(zombies))
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    assigned = _assign(
-        members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")),
-        centroids,
-    ).select(F.col("_id").alias(id_col), "cluster")
+    # assign on the members frame DIRECTLY (ADVICE r16): the old
+    # select-then-join-back on bare id_col assumed vec_id uniqueness —
+    # the same id in two zombie dirs (overlapping legacy batches)
+    # fanned the join out quadratically and duplicated adopted rows.
+    # A synthetic per-row _id keeps every physical row independent
+    # (_assign windows by _id, so duplicates would otherwise collapse);
+    # _assign preserves input columns, so the original row rides along.
+    keep = [c for c in members.columns if c != "cluster"]
     out = (
-        members.drop("cluster")
-        .join(assigned, id_col)
+        _assign(
+            members.drop("cluster")
+            .withColumn("_id", F.monotonically_increasing_id())
+            .withColumn("_v", vec_d),
+            centroids,
+        )
+        .select(*keep, "cluster")
         .localCheckpoint(eager=True)
     )
     adopted = int(out.count())

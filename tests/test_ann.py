@@ -1911,11 +1911,15 @@ def test_append_settles_pending_merge(spark, tmp_path):
 
 
 def test_ivf_ingest_log_horizon(spark, tmp_path):
-    """r16 (VERDICT r15): the IVF ingest log is bounded by the retry
-    horizon — the cold-merge cadence op prunes aged entries in place;
-    ivf_index_compact carries only in-horizon entries with source
-    mtimes preserved (the horizon clock never resets)."""
-    import os
+    """r16 (VERDICT r15) + r17: the IVF ingest log is bounded by the
+    retry horizon with entry age in the FILENAME (storage-independent
+    — the dedup index's twin; aging here rewinds the NAME and forces
+    mtime to NOW, the object-store case the old setTimes carry lost).
+    The cold-merge cadence op prunes aged entries in place — horizon
+    now a kwarg, ADVICE r16: None disables it, matching the compact
+    surface, so pruning disabled at compact stays disabled here —
+    and ivf_index_compact carries in-horizon entries under their
+    canonical accept-time name."""
     import time
 
     from idhub_spark.operators.ann import (
@@ -1926,6 +1930,8 @@ def test_ivf_ingest_log_horizon(spark, tmp_path):
         sq8_fit,
     )
     from idhub_spark.operators.dedup_index import _batch_key
+
+    from tests.test_dedup_index import _age_entry, _log_entry
 
     vecs, centroids = _merge_fixture(spark)
     bounds = sq8_fit(vecs)
@@ -1940,30 +1946,32 @@ def test_ivf_ingest_log_horizon(spark, tmp_path):
         n1, centroids, bounds, path, batch_id="a") == "appended"
     assert ivf_sq8_index_append(
         n2, centroids, bounds, path, batch_id="b") == "appended"
-    old_key = f"{path}/_ingest_log/{_batch_key('a')}"
-    new_key = f"{path}/_ingest_log/{_batch_key('b')}"
-    aged = time.time() - 8 * 24 * 3600
-    os.utime(old_key, (aged, aged))
+    _age_entry(path, _batch_key("a"), 8 * 24 * 3600 * 1000)
 
-    # no cluster is cold at min_rows=1 — the prune still runs at entry
+    # ADVICE r16: horizon=None disables the prune at the merge cadence
+    # (no cluster is cold at min_rows=1 — only the entry prune runs)
+    ivf_index_merge_cold_clusters(
+        spark, path, min_rows=1, ingest_log_horizon_s=None)
+    assert _log_entry(path, _batch_key("a"))[0] is not None
+    # the default horizon prunes it in place, fresh mtime ignored
     ivf_index_merge_cold_clusters(spark, path, min_rows=1)
-    assert not os.path.exists(old_key) and os.path.exists(new_key)
+    assert _log_entry(path, _batch_key("a"))[0] is None
+    assert _log_entry(path, _batch_key("b"))[0] is not None
     assert ivf_sq8_index_append(
         n2, centroids, bounds, path, batch_id="b") == "duplicate"
 
-    # compact carry-prune with mtime preserved
+    # compact carry-prune: aged-by-name never carries; the in-horizon
+    # entry carries with its accept time intact in the NAME
     n3 = spark.createDataFrame(
         [(902, [5.0] * dim)], "vec_id long, embedding array<double>")
     assert ivf_sq8_index_append(
         n3, centroids, bounds, path, batch_id="c") == "appended"
-    os.utime(f"{path}/_ingest_log/{_batch_key('c')}", (aged, aged))
-    src_mtime = os.path.getmtime(new_key)
+    _age_entry(path, _batch_key("c"), 8 * 24 * 3600 * 1000)
+    b_ms = _log_entry(path, _batch_key("b"))[1]
     dst = str(tmp_path / "idx_log_packed")
     ivf_index_compact(spark, path, dst)
-    assert not os.path.exists(f"{dst}/_ingest_log/{_batch_key('c')}")
-    dst_new = f"{dst}/_ingest_log/{_batch_key('b')}"
-    assert os.path.exists(dst_new)
-    assert int(os.path.getmtime(dst_new)) == int(src_mtime)
+    assert _log_entry(dst, _batch_key("c"))[0] is None
+    assert _log_entry(dst, _batch_key("b"))[1] == b_ms
 
 
 def test_legacy_append_staging_with_pending_merge_not_destroyed(
@@ -2111,6 +2119,54 @@ def test_ivf_index_adopt_unrouted(spark, tmp_path):
         "adopted_rows": 0,
         "dropped_clusters": [],
     }
+
+
+def test_adopt_unrouted_duplicate_ids_no_fanout(spark, tmp_path):
+    """ADVICE r16: the same vec_id in TWO zombie dirs (overlapping
+    legacy batches, twice-restored backups) must adopt as exactly two
+    physical rows — the old select-then-join-back on bare vec_id
+    fanned out quadratically (2 zombie copies -> 4 adopted rows).
+    Assignment now runs on the members frame directly with a
+    synthetic per-row id."""
+    from idhub_spark.operators.ann import (
+        ivf_index_adopt_unrouted,
+        ivf_index_stats,
+        ivf_sq8_index_write,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_adopt_dup")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    before = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+
+    # two manually 'restored backup' dirs, both holding vec_id=777
+    dim = 8
+    dup = spark.createDataFrame(
+        [(777, [10.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    enc = sq8_encode(
+        dup.select("vec_id", "embedding", vec_d.alias("_v")),
+        bounds,
+        vec_col="_v",
+    ).select("vec_id", "embedding", "code")
+    for zombie in (900, 901):
+        enc.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/cluster={zombie}"
+        )
+
+    rep = ivf_index_adopt_unrouted(spark, path)
+    assert rep["adopted_rows"] == 2  # physical rows, never 2x2
+    assert rep["dropped_clusters"] == [900, 901]
+    after = {
+        r.cluster: r.n_rows for r in ivf_index_stats(spark, path).collect()
+    }
+    assert after[-1] == before[-1] + 2
 
 
 def test_adopt_unrouted_crash_injection_sweep(spark, tmp_path, monkeypatch):

@@ -499,3 +499,29 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["docs"]["n_rows"] == 41  # nothing lost/doubled
     assert rep["tables"]["docs"]["delta_rows"] == 0  # folded away
+
+    # fold exposes --ingest-log-horizon-s (ADVICE r16): <=0 keeps
+    # every entry — an aged key survives the keep-all fold and still
+    # rejects its retry; the default-horizon fold then prunes it
+    from tests.test_dedup_index import _age_entry, _log_entry
+    from idhub_spark.operators.dedup_index import _batch_key
+
+    b2 = docs.filter(F.col("doc_id") == 9).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    b2src = str(tmp_path / "batch2")
+    b2.write.parquet(b2src)
+    rc = cli.main(["dedup-index", "append", "--index", idx, "--docs",
+                   b2src, "--batch-id", "cli-b2"])
+    assert rc == 0
+    capsys.readouterr()
+    _age_entry(idx, _batch_key("cli-b2"), 8 * 24 * 3600 * 1000)
+    rc = cli.main(["dedup-index", "fold", "--index", idx,
+                   "--ingest-log-horizon-s", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    assert _log_entry(idx, _batch_key("cli-b2"))[0] is not None
+    rc = cli.main(["dedup-index", "fold", "--index", idx])
+    assert rc == 0
+    capsys.readouterr()
+    assert _log_entry(idx, _batch_key("cli-b2"))[0] is None

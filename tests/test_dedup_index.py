@@ -1490,15 +1490,22 @@ def test_delta_rewrite_rollback_warns_and_flags(spark, docs, tmp_path):
     """ADVICE r15 low: the settle's rollback branch restores rows a
     crashed delete had already retracted — it must never be silent.
     The rollback warns and sets the root-level rerun flag; stats
-    re-warns while the flag stands; the next COMPLETED delete clears
-    it; compact carries it; a rebuild clears it with the old
-    generation."""
+    re-warns while the flag stands; compact carries it; a rebuild
+    clears it with the old generation. r17 narrows the CLEAR (ADVICE
+    r16): an UNRELATED delete — one that never touched the delta
+    buffer (rows_delta == 0, buffer present) — used to clear the flag
+    while the restored retracted rows stayed live; now only a delete
+    that rewrote the buffer clears it, and once a fold consumes the
+    buffer (restored rows now LIVE, untraceable) any completed delete
+    clears under the documented same-takedown retry contract
+    (docs/operations.md)."""
     import warnings as _warnings
 
     from idhub_spark.operators.dedup_index import (
         _RERUN_MARKER,
         minhash_index_compact,
         minhash_index_delete,
+        minhash_index_fold_delta,
         minhash_index_stats,
     )
 
@@ -1508,12 +1515,17 @@ def test_delta_rewrite_rollback_warns_and_flags(spark, docs, tmp_path):
     minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
                         db_buckets=8)
     assert minhash_index_append(appended, path) == "delta"
-    victim = int(appended.select(F.min("doc_id")).first()[0])
-    minhash_index_delete(spark, path, [victim])
+    odd_ids = [
+        r.doc_id
+        for r in appended.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    victim1, victim2 = int(odd_ids[0]), int(odd_ids[1])
+    minhash_index_delete(spark, path, [victim1])
     assert not os.path.exists(f"{path}/{_RERUN_MARKER}")
 
     # fabricate the rollback state (window C of the rename-swap
-    # protocol): aside present, live AND staged survivors absent
+    # protocol): aside present, live AND staged survivors absent —
+    # models a delete of victim2 that crashed mid-swap
     os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
     with pytest.warns(UserWarning, match="rolled back"):
         minhash_index_stats(spark, path)
@@ -1529,13 +1541,36 @@ def test_delta_rewrite_rollback_warns_and_flags(spark, docs, tmp_path):
     minhash_index_compact(spark, path, dst)
     assert os.path.exists(f"{dst}/{_RERUN_MARKER}")
 
-    # the delete rerun re-completes the retraction and clears the flag
-    minhash_index_delete(spark, path, [victim])
+    # ADVICE r16: an unrelated delete (live-only ids, buffer present
+    # and untouched) must NOT clear the flag
+    bystander = int(base.select(F.min("doc_id")).first()[0])
+    rep_unrel = minhash_index_delete(spark, path, [bystander])
+    assert rep_unrel["delta_rows_deleted"] == 0
+    assert os.path.exists(f"{path}/{_RERUN_MARKER}")
+    with pytest.warns(UserWarning, match="live again"):
+        minhash_index_stats(spark, path)
+
+    # the same-takedown rerun rewrites the buffer and clears the flag
+    rep_rerun = minhash_index_delete(spark, path, [victim2])
+    assert rep_rerun["delta_rows_deleted"] > 0
     assert not os.path.exists(f"{path}/{_RERUN_MARKER}")
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
         minhash_index_stats(spark, path)
     assert not [w for w in caught if "live again" in str(w.message)]
+
+    # once a FOLD consumes the buffer, the restored rows are live and
+    # untraceable — any completed delete clears, per the documented
+    # same-takedown contract (the pre-r17 semantics, confined here)
+    os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    with pytest.warns(UserWarning, match="rolled back"):
+        minhash_index_stats(spark, path)
+    assert os.path.exists(f"{path}/{_RERUN_MARKER}")
+    minhash_index_fold_delta(spark, path)
+    assert not os.path.isdir(f"{path}/delta")
+    assert os.path.exists(f"{path}/{_RERUN_MARKER}")  # fold never clears
+    minhash_index_delete(spark, path, [bystander])
+    assert not os.path.exists(f"{path}/{_RERUN_MARKER}")
 
     # rebuild clears it with the rest of the old generation
     minhash_index_write(base, dst, n_hashes=8, bands=2, pb_buckets=8,
@@ -1543,11 +1578,42 @@ def test_delta_rewrite_rollback_warns_and_flags(spark, docs, tmp_path):
     assert not os.path.exists(f"{dst}/{_RERUN_MARKER}")
 
 
+def _log_entry(path, key):
+    """(fullpath, accept_ms | None) of the ingest-log entry for key,
+    (None, None) when absent — r17 entries are named <key>.<accept_ms>
+    (accept_ms None = legacy bare-key form)."""
+    import glob as _glob
+
+    hits = _glob.glob(f"{path}/_ingest_log/{key}*")
+    if not hits:
+        return None, None
+    name = os.path.basename(hits[0])
+    stem, _, suf = name.rpartition(".")
+    return hits[0], int(suf) if stem and suf.isdigit() else None
+
+
+def _age_entry(path, key, delta_ms):
+    """Rewind an entry's NAMED accept time by delta_ms while forcing
+    its file mtime to NOW — age must come from the name alone (the
+    storage-independence contract, _marker_parse)."""
+    import time
+
+    p, ms = _log_entry(path, key)
+    aged = f"{path}/_ingest_log/{key}.{ms - delta_ms}"
+    os.rename(p, aged)
+    now = time.time()
+    os.utime(aged, (now, now))
+
+
 def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
-    """r16 (VERDICT r15): the ingest log is bounded by the retry
-    horizon — fold prunes entries older than it in place, compact
-    carries only in-horizon entries WITH their source mtimes (the
-    horizon clock never resets on compaction), and a post-horizon
+    """r16 (VERDICT r15) + r17 (VERDICT r16): the ingest log is
+    bounded by the retry horizon, with entry AGE in the FILENAME
+    (<key>.<accept_ms>) so the clock is storage-independent — every
+    aging step here rewinds the NAME while forcing the file mtime to
+    NOW, the object-store worst case the old setTimes carry lost to.
+    Fold prunes aged entries in place; compact carries only in-horizon
+    entries under their canonical name; legacy bare-key entries
+    mtime-age and canonicalize at first carry; and a post-horizon
     retry is a new ingest decision by documented contract."""
     import time
 
@@ -1565,29 +1631,79 @@ def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
                         db_buckets=4)
     assert minhash_index_append(b1, path, batch_id="old-batch") == "delta"
     assert minhash_index_append(b2, path, batch_id="new-batch") == "delta"
-    old_key = f"{path}/_ingest_log/{_batch_key('old-batch')}"
-    new_key = f"{path}/_ingest_log/{_batch_key('new-batch')}"
-    assert os.path.exists(old_key) and os.path.exists(new_key)
+    assert _log_entry(path, _batch_key("old-batch"))[1] is not None
+    assert _log_entry(path, _batch_key("new-batch"))[1] is not None
 
-    # age the first entry beyond the 7-day default horizon
-    aged = time.time() - 8 * 24 * 3600
-    os.utime(old_key, (aged, aged))
+    # age the first entry beyond the 7-day default horizon (by NAME;
+    # mtime forced fresh — the prune must ignore it)
+    _age_entry(path, _batch_key("old-batch"), 8 * 24 * 3600 * 1000)
 
     # fold prunes it in place; the fresh entry survives and still
     # rejects its retry; the aged key is a NEW ingest decision now
     minhash_index_fold_delta(spark, path)
-    assert not os.path.exists(old_key) and os.path.exists(new_key)
+    assert _log_entry(path, _batch_key("old-batch"))[0] is None
+    assert _log_entry(path, _batch_key("new-batch"))[0] is not None
     assert minhash_index_append(b2, path, batch_id="new-batch") == "duplicate"
     assert minhash_index_append(
         b1.select((F.col("doc_id") + 700_000).alias("doc_id"), "text"),
         path, batch_id="old-batch") == "delta"
 
-    # compact: only in-horizon entries carry, source mtimes preserved
-    os.utime(f"{path}/_ingest_log/{_batch_key('old-batch')}", (aged, aged))
-    src_mtime = os.path.getmtime(new_key)
+    # compact: aged-by-name entries don't carry even at fresh mtime;
+    # in-horizon entries carry under the SAME canonical name; a legacy
+    # bare-key entry (pre-r17 form) still rejects its retry via the
+    # prefix-glob dup check and canonicalizes at carry with its mtime
+    # as the accept time
+    _age_entry(path, _batch_key("old-batch"), 8 * 24 * 3600 * 1000)
+    legacy_key = _batch_key("legacy-batch")
+    legacy_p = f"{path}/_ingest_log/{legacy_key}"
+    open(legacy_p, "w").close()
+    legacy_s = int(time.time()) - 3600  # inside the horizon
+    os.utime(legacy_p, (legacy_s, legacy_s))
+    assert minhash_index_append(b2, path, batch_id="legacy-batch") == "duplicate"
+    new_ms = _log_entry(path, _batch_key("new-batch"))[1]
     dst = str(tmp_path / "mh_log_packed")
     minhash_index_compact(spark, path, dst)
-    assert not os.path.exists(f"{dst}/_ingest_log/{_batch_key('old-batch')}")
-    dst_new = f"{dst}/_ingest_log/{_batch_key('new-batch')}"
-    assert os.path.exists(dst_new)
-    assert int(os.path.getmtime(dst_new)) == int(src_mtime)
+    assert _log_entry(dst, _batch_key("old-batch"))[0] is None
+    assert _log_entry(dst, _batch_key("new-batch"))[1] == new_ms
+    assert _log_entry(dst, legacy_key)[1] == legacy_s * 1000
+
+
+def test_ingest_log_horizon_survives_mtime_reset(spark, docs, tmp_path):
+    """r17 (VERDICT r16 what's-wrong #1): entry age must survive a
+    storage tier where mtimes are useless (S3A — setTimes is a silent
+    no-op and every carried object's mtime is its write time; the old
+    carry never aged entries out there). Worst case simulated: carry
+    an in-horizon entry, force the dst file's mtime to NOW, advance
+    the clock past the horizon — the prune must still drop it, from
+    the NAMED accept time alone."""
+    import time
+
+    from idhub_spark.operators.dedup_index import (
+        INGEST_LOG_HORIZON_S,
+        _batch_key,
+        _prune_ingest_log,
+        minhash_index_compact,
+    )
+
+    path = str(tmp_path / "mh_s3")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=4,
+                        db_buckets=4)
+    assert minhash_index_append(b1, path, batch_id="batch-x") == "delta"
+    # 6 days old by name — inside the 7-day horizon, so it carries
+    _age_entry(path, _batch_key("batch-x"), 6 * 24 * 3600 * 1000)
+    near_ms = _log_entry(path, _batch_key("batch-x"))[1]
+    dst = str(tmp_path / "mh_s3_packed")
+    minhash_index_compact(spark, path, dst)
+    d, dms = _log_entry(dst, _batch_key("batch-x"))
+    assert dms == near_ms  # accept time rode the carry in the NAME
+    now = time.time()
+    os.utime(d, (now, now))  # object-store rebirth: mtime = write time
+    # two more days pass -> past the horizon; prune must drop it
+    pruned = _prune_ingest_log(
+        spark, dst, INGEST_LOG_HORIZON_S,
+        now_ms=int(now * 1000) + 2 * 24 * 3600 * 1000,
+    )
+    assert pruned == 1
+    assert _log_entry(dst, _batch_key("batch-x"))[0] is None
