@@ -387,6 +387,13 @@ def _cmd_dedup_index(args) -> int:
             },
         }))
         return 0
+    if args.action == "fsck":
+        from idhub_spark.operators.dedup_index import minhash_index_fsck
+
+        rep = minhash_index_fsck(spark, args.index)
+        print(json.dumps({"index": args.index, "action": "fsck", **rep}))
+        # nonzero on findings so cron alerting can key on the exit code
+        return 0 if rep["healthy"] else 3
     if args.action == "fold":
         _load_params(spark, args.index.rstrip("/"))  # clear non-index error
         # only pass the horizon when set (the function default is the
@@ -490,6 +497,18 @@ def _cmd_dedup_index(args) -> int:
         "out": args.out,
     }))
     return 0
+
+
+def _cmd_index_fsck(args) -> int:
+    """Read-only IVF index health check (ivf_index_fsck): classifies
+    pending stagings, zombie dirs, orphan centroids, ingest-log age —
+    zero mutations; one JSON line; exit 3 on findings (cron-friendly)."""
+    from idhub_spark.operators.ann import ivf_index_fsck
+
+    spark = get_spark("index-fsck")
+    rep = ivf_index_fsck(spark, args.index)
+    print(json.dumps({"index": args.index, "action": "fsck", **rep}))
+    return 0 if rep["healthy"] else 3
 
 
 def _cmd_adopt_unrouted(args) -> int:
@@ -772,13 +791,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     di.add_argument(
         "action",
-        choices=["build", "append", "probe", "delete", "stats", "fold"],
+        choices=["build", "append", "probe", "delete", "stats", "fold",
+                 "fsck"],
         help="build (overwrite), append a reviewed batch, probe a new "
         "batch for near-duplicates against history, delete (retract) "
         "documents — --docs then carries the id frame — report "
-        "index health (stats: rows/files/partitions + hot bucket), or "
+        "index health (stats: rows/files/partitions + hot bucket), "
         "fold the LSM delta buffer into the Hive layout (the minor "
-        "compaction; daily cadence — docs/operations.md)",
+        "compaction; daily cadence — docs/operations.md), or fsck: a "
+        "READ-ONLY crash-debris/health classification (zero "
+        "mutations, replica-safe; exit 3 on findings)",
     )
     di.add_argument("--index", required=True, help="index root path")
     di.add_argument(
@@ -839,6 +861,16 @@ def main(argv: list[str] | None = None) -> int:
         "— match whatever the compact subcommand uses)",
     )
     mc.set_defaults(fn=_cmd_merge_cold)
+
+    ifk = sub.add_parser(
+        "index-fsck",
+        help="READ-ONLY IVF index health check: pending stagings (with "
+        "the action a settle would take), zombie dirs, orphan "
+        "centroids, ingest-log age; zero mutations, replica-safe; "
+        "exit 3 on findings",
+    )
+    ifk.add_argument("--index", required=True, help="index root path")
+    ifk.set_defaults(fn=_cmd_index_fsck)
 
     au = sub.add_parser(
         "adopt-unrouted",

@@ -2519,3 +2519,196 @@ def ivf_index_adopt_unrouted(
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
     _apply_merge_staging(spark, root, cents, zombies)
     return {"adopted_rows": adopted, "dropped_clusters": zombies}
+
+
+def ivf_index_fsck(
+    spark,
+    path: str,
+    *,
+    centroids: DataFrame | None = None,
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
+) -> dict:
+    """READ-ONLY health check of an on-disk IVF index —
+    minhash_index_fsck's twin, zero mutations (safe on a read-only
+    replica, safe while the single writer runs, safe in cron
+    alerting). The settle functions RESOLVE crash debris; fsck only
+    CLASSIFIES it, reporting for each pending staging the action the
+    next writer-entry settle would take, plus the two index states no
+    settle fixes on its own:
+
+    - ZOMBIE dirs (cluster dirs absent from the centroid set — rows
+      invisible to every probe; fix = ivf_index_adopt_unrouted), and
+    - ORPHAN centroids (centroid rows whose directory is gone — each
+      wastes one of every matching search's nprobe slots; fix =
+      ivf_index_merge_cold_clusters, which folds 0-row clusters).
+
+    Classification mirrors _settle_append_staging /
+    _settle_split_staging / _settle_merge_staging exactly (their
+    docstrings hold the protocol arguments), including the merge
+    settle's legacy no-sentinel upgrade rule; the 'ambiguous' merge
+    state (sentinel present, cold list unreadable) is the one the
+    settle refuses to guess on — fsck reports it instead of raising.
+
+    Returns {"healthy", "findings": [str...], "pending_append_staging",
+    "pending_split_staging", "pending_merge_staging",
+    "stale_delete_staging", "zombie_clusters", "orphan_centroids",
+    "n_cluster_dirs", "fits", "ingest_log"}. healthy == no findings;
+    informational rows (prunable ingest entries) never flag by
+    themselves. Cost: a handful of fs calls + k-bounded centroid
+    collect + tiny marker reads when stagings exist; no data scan."""
+    from idhub_spark.operators.dedup_index import _ingest_log_report
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    root = path.rstrip("/")
+    fs, jroot = _hadoop_fs(spark, root)
+    findings: list[str] = []
+
+    staging = f"{root}/{_APPEND_STAGING}"
+    append_state = None
+    if fs.exists(_hadoop_fs(spark, staging)[1]):
+        committed = fs.exists(_hadoop_fs(spark, f"{staging}/_COMMITTED")[1])
+        batch_keys = [
+            st.getPath().getName()[len("_BATCH_"):]
+            for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
+            if st.getPath().getName().startswith("_BATCH_")
+        ]
+        append_state = {
+            "state": "committed" if committed else "uncommitted",
+            "settle_action": "promote" if committed else "discard",
+            "batch_keys": batch_keys,
+        }
+        findings.append(
+            f"append staging pending ({append_state['state']}; settle "
+            f"would {append_state['settle_action']})"
+        )
+
+    split_state = None
+    sstag = f"{root}/_split_staging"
+    if fs.exists(_hadoop_fs(spark, sstag)[1]):
+        src_cluster = None
+        if fs.exists(_hadoop_fs(spark, f"{sstag}/_source_cluster")[1]):
+            try:
+                src_cluster = int(
+                    spark.read.parquet(f"{sstag}/_source_cluster")
+                    .collect()[0]
+                    .cluster
+                )
+            except Exception:
+                src_cluster = None
+        if src_cluster is None:
+            split_state = {"state": "unapplied", "settle_action": "discard",
+                           "source_cluster": None}
+        elif fs.exists(_hadoop_fs(spark, f"{root}/cluster={src_cluster}")[1]):
+            split_state = {"state": "unapplied", "settle_action": "discard",
+                           "source_cluster": src_cluster}
+        else:
+            split_state = {"state": "mid-apply", "settle_action": "resume",
+                           "source_cluster": src_cluster}
+        findings.append(
+            f"split staging pending ({split_state['state']}; settle "
+            f"would {split_state['settle_action']})"
+        )
+
+    merge_state = None
+    mstag = f"{root}/_merge_staging"
+    if fs.exists(_hadoop_fs(spark, mstag)[1]):
+        applying = fs.exists(_hadoop_fs(spark, f"{mstag}/_applying")[1])
+        try:
+            staged_cold = [
+                int(r.cluster)
+                for r in spark.read.parquet(
+                    f"{mstag}/_cold_clusters"
+                ).collect()
+            ]
+        except Exception:
+            staged_cold = None
+        if staged_cold is None and applying:
+            merge_state = {
+                "state": "ambiguous",
+                "settle_action": "raise (manual inspection — phase 2 "
+                "started but the cold list is unreadable)",
+                "cold_clusters": None,
+            }
+        else:
+            if staged_cold and not applying:
+                # the settle's legacy upgrade rule: a recorded cold dir
+                # missing proves phase 2 ran on a pre-sentinel staging
+                if any(
+                    not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
+                    for c in staged_cold
+                ):
+                    applying = True
+            if staged_cold and applying:
+                merge_state = {"state": "mid-apply",
+                               "settle_action": "resume",
+                               "cold_clusters": staged_cold}
+            else:
+                merge_state = {"state": "unapplied",
+                               "settle_action": "discard",
+                               "cold_clusters": staged_cold}
+        findings.append(
+            f"merge staging pending ({merge_state['state']}; settle "
+            f"would {merge_state['settle_action']})"
+        )
+
+    stale_del = fs.exists(_hadoop_fs(spark, f"{root}/_delete_staging")[1])
+    if stale_del:
+        findings.append(
+            "delete staging present (a retraction crashed mid-run or is "
+            "in flight — rerun the takedown to completion)"
+        )
+
+    fits_present = sorted(
+        st.getPath().getName()
+        for st in (
+            fs.listStatus(_hadoop_fs(spark, f"{root}/_fits")[1])
+            if fs.exists(_hadoop_fs(spark, f"{root}/_fits")[1])
+            else []
+        )
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+    if centroids is None and "centroids" in fits_present:
+        centroids = ivf_index_load_fits(spark, path)["centroids"]
+
+    on_disk = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jroot)
+        if st.isDirectory() and st.getPath().getName().startswith("cluster=")
+    }
+    zombies, orphans = None, None
+    if centroids is not None:
+        cent_ids = {
+            int(r.cluster) for r in centroids.select("cluster").collect()
+        }
+        zombies = sorted(on_disk - cent_ids)
+        orphans = sorted(cent_ids - on_disk)
+        if zombies:
+            findings.append(
+                f"{len(zombies)} zombie cluster dir(s) not in the centroid "
+                f"set (rows unreachable by probes — run adopt-unrouted): "
+                f"{zombies}"
+            )
+        if orphans:
+            findings.append(
+                f"{len(orphans)} orphan centroid(s) without a directory "
+                f"(each wastes an nprobe slot — run merge-cold): {orphans}"
+            )
+    else:
+        findings.append(
+            "no centroid set (_fits/centroids absent and none passed) — "
+            "zombie/orphan check skipped"
+        )
+
+    return {
+        "healthy": not findings,
+        "findings": findings,
+        "pending_append_staging": append_state,
+        "pending_split_staging": split_state,
+        "pending_merge_staging": merge_state,
+        "stale_delete_staging": stale_del,
+        "zombie_clusters": zombies,
+        "orphan_centroids": orphans,
+        "n_cluster_dirs": len(on_disk),
+        "fits": fits_present,
+        "ingest_log": _ingest_log_report(spark, root, ingest_log_horizon_s),
+    }

@@ -1684,3 +1684,158 @@ def minhash_index_compact(
         _, jmark_dst = _hadoop_fs(spark, f"{dst}/{_RERUN_MARKER}")
         fs.create(jmark_dst, True).close()
     return n_src, n_out
+
+
+def _ingest_log_report(spark, root: str, horizon_s: float | None) -> dict:
+    """Read-only profile of an index's ingest log (shared by both
+    fsck surfaces): entry count, how many are legacy bare-key form
+    (pre-r17, mtime-dated), the oldest/newest accept age, and how many
+    are past the retry horizon (prunable at the next maintenance
+    cadence). One listStatus; no Spark job; never mutates."""
+    import time
+
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fs, jlog = _hadoop_fs(spark, f"{root.rstrip('/')}/{_INGEST_LOG}")
+    if not fs.exists(jlog):
+        return {"n_entries": 0, "n_legacy": 0, "oldest_age_s": None,
+                "newest_age_s": None, "n_past_horizon": 0}
+    now_ms = int(time.time() * 1000)
+    ages, n_legacy = [], 0
+    for st in fs.listStatus(jlog):
+        name = st.getPath().getName()
+        key, accept_ms = _marker_parse(name, st.getModificationTime())
+        if key == name:
+            n_legacy += 1
+        ages.append((now_ms - accept_ms) / 1000.0)
+    past = (
+        sum(1 for a in ages if a > horizon_s) if horizon_s is not None else 0
+    )
+    return {
+        "n_entries": len(ages),
+        "n_legacy": n_legacy,
+        "oldest_age_s": round(max(ages), 3) if ages else None,
+        "newest_age_s": round(min(ages), 3) if ages else None,
+        "n_past_horizon": past,
+    }
+
+
+def minhash_index_fsck(
+    spark,
+    path: str,
+    *,
+    ingest_log_horizon_s: float | None = INGEST_LOG_HORIZON_S,
+) -> dict:
+    """READ-ONLY health check of a persisted dedup index — the
+    diagnosis half of every settle/maintenance surface, with zero
+    mutations (safe on a read-only replica, safe WHILE the single
+    writer runs, safe in cron alerting). Where the settle functions
+    resolve crash debris, fsck only CLASSIFIES it: each pending state
+    is reported with the action the next writer-entry settle would
+    take, so an operator can decide to trigger one (any write entry
+    point, or stats for best-effort) with full knowledge.
+
+    Returns {"healthy", "findings": [str...], "pending_append_staging",
+    "pending_delta_rewrite": {table: state}, "delete_rerun_needed",
+    "stale_delete_staging", "delta": {present, files}, "ingest_log",
+    "params"}. healthy == no findings; informational rows (prunable
+    ingest entries, buffered delta files) never flag by themselves.
+
+    States mirror _resume_or_discard_staging and _settle_delta_rewrite
+    exactly (see their docstrings for the protocol arguments):
+    append staging committed -> 'committed (settle promotes)' else
+    'uncommitted (settle discards)'; delta rewrite aside+live ->
+    'aside drop pending', aside+staged -> 'promote pending',
+    aside-only -> 'ROLLBACK pending (restores retracted rows — rerun
+    the takedown after settling)'."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    root = path.rstrip("/")
+    # raises the clear no-_params error on a non-index path
+    n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
+    fs, _ = _hadoop_fs(spark, root)
+    findings: list[str] = []
+
+    staging = f"{root}/{_STAGING}"
+    append_state = None
+    if fs.exists(_hadoop_fs(spark, staging)[1]):
+        committed = fs.exists(_hadoop_fs(spark, f"{staging}/{_COMMITTED}")[1])
+        folding = fs.exists(_hadoop_fs(spark, f"{staging}/{_FOLD}")[1])
+        batch_keys = [
+            st.getPath().getName()[len("_BATCH_"):]
+            for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
+            if st.getPath().getName().startswith("_BATCH_")
+        ]
+        append_state = {
+            "state": "committed" if committed else "uncommitted",
+            "settle_action": "promote" if committed else "discard",
+            "is_fold": folding,
+            "batch_keys": batch_keys,
+        }
+        findings.append(
+            f"append staging pending ({append_state['state']}; settle "
+            f"would {append_state['settle_action']})"
+        )
+
+    rewrite = {}
+    for table in ("docs", "bands"):
+        aside = f"{root}/{_DELTA}/._old_{table}"
+        if not fs.exists(_hadoop_fs(spark, aside)[1]):
+            continue
+        live_ok = fs.exists(_hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1])
+        staged_ok = fs.exists(
+            _hadoop_fs(spark, f"{root}/_delete_staging/delta_{table}")[1]
+        )
+        if live_ok:
+            rewrite[table] = "aside drop pending"
+        elif staged_ok:
+            rewrite[table] = "promote pending"
+        else:
+            rewrite[table] = (
+                "ROLLBACK pending (restores retracted rows — rerun the "
+                "takedown after settling)"
+            )
+        findings.append(f"delta rewrite pending on {table!r}: {rewrite[table]}")
+
+    rerun = fs.exists(_hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")[1])
+    if rerun:
+        findings.append(
+            "delete rerun needed (a rollback restored retracted rows)"
+        )
+    stale_del = fs.exists(_hadoop_fs(spark, f"{root}/_delete_staging")[1])
+    if stale_del:
+        findings.append(
+            "delete staging present (a retraction crashed mid-run or is "
+            "in flight — rerun the takedown to completion)"
+        )
+
+    jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")[1]
+    delta_info = {"present": False, "files": 0}
+    if fs.exists(jdelta):
+        n = 0
+        for table in ("docs", "bands"):
+            jt = _hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1]
+            if fs.exists(jt):
+                n += sum(
+                    1
+                    for st in fs.listStatus(jt)
+                    if not st.getPath().getName().startswith(("_", "."))
+                )
+        delta_info = {"present": True, "files": n}
+
+    return {
+        "healthy": not findings,
+        "findings": findings,
+        "pending_append_staging": append_state,
+        "pending_delta_rewrite": rewrite,
+        "delete_rerun_needed": rerun,
+        "stale_delete_staging": stale_del,
+        "delta": delta_info,
+        "ingest_log": _ingest_log_report(spark, root, ingest_log_horizon_s),
+        "params": {
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "pb_buckets": pb_buckets,
+            "db_buckets": db_buckets,
+        },
+    }

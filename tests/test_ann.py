@@ -2264,3 +2264,65 @@ def test_adopt_unrouted_crash_injection_sweep(spark, tmp_path, monkeypatch):
         assert not os.path.isdir(f"{idx}/cluster=2"), f"K={k}"
         assert not os.path.isdir(f"{idx}/_merge_staging"), f"K={k}"
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivf_index_fsck(spark, tmp_path):
+    """ivf_index_fsck: READ-ONLY classification — healthy on a clean
+    index; names zombies (adopt-unrouted's case), orphan centroids
+    (merge-cold's case), and a committed append staging with the
+    settle action, all WITHOUT mutating anything."""
+    import shutil
+
+    from idhub_spark import cli as _cli
+    from idhub_spark.operators.ann import (
+        ivf_index_fsck,
+        ivf_sq8_index_write,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_fsck")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, path)
+    rep = ivf_index_fsck(spark, path)
+    assert rep["healthy"] is True and rep["findings"] == []
+    assert rep["zombie_clusters"] == [] and rep["orphan_centroids"] == []
+    assert rep["n_cluster_dirs"] == centroids.count()
+    assert "centroids" in rep["fits"]
+    assert _cli.main(["index-fsck", "--index", path]) == 0
+
+    # a zombie dir (restored backup): flagged, NOT touched
+    dim = 8
+    extra = spark.createDataFrame(
+        [(777, [10.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq8_encode(
+        extra.select("vec_id", "embedding", vec_d.alias("_v")),
+        bounds, vec_col="_v",
+    ).select("vec_id", "embedding", "code").repartition(1).write.parquet(
+        f"{path}/cluster=900"
+    )
+    rep = ivf_index_fsck(spark, path)
+    assert rep["healthy"] is False and rep["zombie_clusters"] == [900]
+    assert any("adopt-unrouted" in f for f in rep["findings"])
+    assert os.path.isdir(f"{path}/cluster=900")  # read-only proof
+    assert _cli.main(["index-fsck", "--index", path]) == 3
+    shutil.rmtree(f"{path}/cluster=900")
+
+    # an orphan centroid (dir dropped, row kept — the delete's state):
+    # flagged with the merge-cold pointer
+    victim_dir = f"{path}/cluster=0"
+    shutil.rmtree(victim_dir)
+    rep = ivf_index_fsck(spark, path)
+    assert rep["orphan_centroids"] == [0]
+    assert any("merge-cold" in f for f in rep["findings"])
+
+    # a committed append staging: classified 'promote', left in place
+    os.makedirs(f"{path}/_append_staging/data")
+    open(f"{path}/_append_staging/_COMMITTED", "w").close()
+    rep = ivf_index_fsck(spark, path)
+    assert rep["pending_append_staging"]["state"] == "committed"
+    assert rep["pending_append_staging"]["settle_action"] == "promote"
+    assert os.path.isdir(f"{path}/_append_staging")  # not settled

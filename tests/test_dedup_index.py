@@ -1707,3 +1707,70 @@ def test_ingest_log_horizon_survives_mtime_reset(spark, docs, tmp_path):
     )
     assert pruned == 1
     assert _log_entry(dst, _batch_key("batch-x"))[0] is None
+
+
+def test_minhash_index_fsck(spark, docs, tmp_path):
+    """minhash_index_fsck: READ-ONLY classification of every pending
+    state — it must report exactly what the settle functions would do
+    WITHOUT doing any of it (replica-safe diagnosis), surface the
+    rollback hazard before a settle triggers it, and stay quiet on a
+    healthy index."""
+    from idhub_spark.operators.dedup_index import (
+        _RERUN_MARKER,
+        minhash_index_fsck,
+        minhash_index_stats,
+    )
+
+    path = str(tmp_path / "mh_fsck")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    appended = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(base, path, n_hashes=8, bands=2, pb_buckets=8,
+                        db_buckets=8)
+    rep = minhash_index_fsck(spark, path)
+    assert rep["healthy"] is True and rep["findings"] == []
+    assert rep["params"]["pb_buckets"] == 8
+    assert rep["ingest_log"]["n_entries"] == 0
+    assert rep["delta"]["present"] is False
+
+    # a buffered keyed append: delta + one named log entry, still healthy
+    assert minhash_index_append(appended, path, batch_id="b1") == "delta"
+    rep = minhash_index_fsck(spark, path)
+    assert rep["healthy"] is True
+    log = rep["ingest_log"]
+    assert log["n_entries"] == 1 and log["n_legacy"] == 0
+    assert log["n_past_horizon"] == 0 and log["oldest_age_s"] < 3600
+    assert rep["delta"] == {"present": True, "files": 2}
+
+    # fabricate an UNCOMMITTED append staging: fsck classifies discard
+    # and MUTATES NOTHING (the staging survives the check)
+    os.makedirs(f"{path}/_append_staging/docs")
+    rep = minhash_index_fsck(spark, path)
+    assert rep["healthy"] is False
+    assert rep["pending_append_staging"]["state"] == "uncommitted"
+    assert rep["pending_append_staging"]["settle_action"] == "discard"
+    assert os.path.isdir(f"{path}/_append_staging")  # read-only proof
+    os.rmdir(f"{path}/_append_staging/docs")
+    os.rmdir(f"{path}/_append_staging")
+
+    # fabricate the rollback window (aside only): fsck names the
+    # hazard WITHOUT settling — aside intact, no rerun flag created
+    os.rename(f"{path}/delta/docs", f"{path}/delta/._old_docs")
+    rep = minhash_index_fsck(spark, path)
+    assert rep["healthy"] is False
+    assert "ROLLBACK" in rep["pending_delta_rewrite"]["docs"]
+    assert os.path.isdir(f"{path}/delta/._old_docs")  # still pending
+    assert not os.path.exists(f"{path}/{_RERUN_MARKER}")  # not settled
+
+    # after a real settle (stats, best-effort) the flag exists and
+    # fsck keeps surfacing it
+    with pytest.warns(UserWarning, match="rolled back"):
+        minhash_index_stats(spark, path)
+    rep = minhash_index_fsck(spark, path)
+    assert rep["delete_rerun_needed"] is True
+    assert any("rerun" in f for f in rep["findings"])
+
+    # CLI front: exit 3 on findings (cron-friendly)
+    from idhub_spark import cli as _cli
+
+    rc = _cli.main(["dedup-index", "fsck", "--index", path])
+    assert rc == 3
