@@ -2556,7 +2556,10 @@ def ivf_index_fsck(
     informational rows (prunable ingest entries) never flag by
     themselves. Cost: a handful of fs calls + k-bounded centroid
     collect + tiny marker reads when stagings exist; no data scan."""
-    from idhub_spark.operators.dedup_index import _ingest_log_report
+    from idhub_spark.operators.dedup_index import (
+        _fsck_guard,
+        _ingest_log_report,
+    )
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     root = path.rstrip("/")
@@ -2565,91 +2568,103 @@ def ivf_index_fsck(
 
     staging = f"{root}/{_APPEND_STAGING}"
     append_state = None
-    if fs.exists(_hadoop_fs(spark, staging)[1]):
-        committed = fs.exists(_hadoop_fs(spark, f"{staging}/_COMMITTED")[1])
-        batch_keys = [
-            st.getPath().getName()[len("_BATCH_"):]
-            for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
-            if st.getPath().getName().startswith("_BATCH_")
-        ]
-        append_state = {
-            "state": "committed" if committed else "uncommitted",
-            "settle_action": "promote" if committed else "discard",
-            "batch_keys": batch_keys,
-        }
-        findings.append(
-            f"append staging pending ({append_state['state']}; settle "
-            f"would {append_state['settle_action']})"
-        )
+    with _fsck_guard(findings, "append staging"):
+        if fs.exists(_hadoop_fs(spark, staging)[1]):
+            committed = fs.exists(
+                _hadoop_fs(spark, f"{staging}/_COMMITTED")[1]
+            )
+            batch_keys = [
+                st.getPath().getName()[len("_BATCH_"):]
+                for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
+                if st.getPath().getName().startswith("_BATCH_")
+            ]
+            append_state = {
+                "state": "committed" if committed else "uncommitted",
+                "settle_action": "promote" if committed else "discard",
+                "batch_keys": batch_keys,
+            }
+            findings.append(
+                f"append staging pending ({append_state['state']}; settle "
+                f"would {append_state['settle_action']})"
+            )
 
     split_state = None
     sstag = f"{root}/_split_staging"
-    if fs.exists(_hadoop_fs(spark, sstag)[1]):
-        src_cluster = None
-        if fs.exists(_hadoop_fs(spark, f"{sstag}/_source_cluster")[1]):
-            try:
-                src_cluster = int(
-                    spark.read.parquet(f"{sstag}/_source_cluster")
-                    .collect()[0]
-                    .cluster
-                )
-            except Exception:
-                src_cluster = None
-        if src_cluster is None:
-            split_state = {"state": "unapplied", "settle_action": "discard",
-                           "source_cluster": None}
-        elif fs.exists(_hadoop_fs(spark, f"{root}/cluster={src_cluster}")[1]):
-            split_state = {"state": "unapplied", "settle_action": "discard",
-                           "source_cluster": src_cluster}
-        else:
-            split_state = {"state": "mid-apply", "settle_action": "resume",
-                           "source_cluster": src_cluster}
-        findings.append(
-            f"split staging pending ({split_state['state']}; settle "
-            f"would {split_state['settle_action']})"
-        )
+    with _fsck_guard(findings, "split staging"):
+        if fs.exists(_hadoop_fs(spark, sstag)[1]):
+            src_cluster = None
+            if fs.exists(_hadoop_fs(spark, f"{sstag}/_source_cluster")[1]):
+                try:
+                    src_cluster = int(
+                        spark.read.parquet(f"{sstag}/_source_cluster")
+                        .collect()[0]
+                        .cluster
+                    )
+                except Exception:
+                    src_cluster = None
+            if src_cluster is None:
+                split_state = {"state": "unapplied",
+                               "settle_action": "discard",
+                               "source_cluster": None}
+            elif fs.exists(
+                _hadoop_fs(spark, f"{root}/cluster={src_cluster}")[1]
+            ):
+                split_state = {"state": "unapplied",
+                               "settle_action": "discard",
+                               "source_cluster": src_cluster}
+            else:
+                split_state = {"state": "mid-apply",
+                               "settle_action": "resume",
+                               "source_cluster": src_cluster}
+            findings.append(
+                f"split staging pending ({split_state['state']}; settle "
+                f"would {split_state['settle_action']})"
+            )
 
     merge_state = None
     mstag = f"{root}/_merge_staging"
-    if fs.exists(_hadoop_fs(spark, mstag)[1]):
-        applying = fs.exists(_hadoop_fs(spark, f"{mstag}/_applying")[1])
-        try:
-            staged_cold = [
-                int(r.cluster)
-                for r in spark.read.parquet(
-                    f"{mstag}/_cold_clusters"
-                ).collect()
-            ]
-        except Exception:
-            staged_cold = None
-        if staged_cold is None and applying:
-            merge_state = {
-                "state": "ambiguous",
-                "settle_action": "raise (manual inspection — phase 2 "
-                "started but the cold list is unreadable)",
-                "cold_clusters": None,
-            }
-        else:
-            if staged_cold and not applying:
-                # the settle's legacy upgrade rule: a recorded cold dir
-                # missing proves phase 2 ran on a pre-sentinel staging
-                if any(
-                    not fs.exists(_hadoop_fs(spark, f"{root}/cluster={c}")[1])
-                    for c in staged_cold
-                ):
-                    applying = True
-            if staged_cold and applying:
-                merge_state = {"state": "mid-apply",
-                               "settle_action": "resume",
-                               "cold_clusters": staged_cold}
+    with _fsck_guard(findings, "merge staging"):
+        if fs.exists(_hadoop_fs(spark, mstag)[1]):
+            applying = fs.exists(_hadoop_fs(spark, f"{mstag}/_applying")[1])
+            try:
+                staged_cold = [
+                    int(r.cluster)
+                    for r in spark.read.parquet(
+                        f"{mstag}/_cold_clusters"
+                    ).collect()
+                ]
+            except Exception:
+                staged_cold = None
+            if staged_cold is None and applying:
+                merge_state = {
+                    "state": "ambiguous",
+                    "settle_action": "raise (manual inspection — phase 2 "
+                    "started but the cold list is unreadable)",
+                    "cold_clusters": None,
+                }
             else:
-                merge_state = {"state": "unapplied",
-                               "settle_action": "discard",
-                               "cold_clusters": staged_cold}
-        findings.append(
-            f"merge staging pending ({merge_state['state']}; settle "
-            f"would {merge_state['settle_action']})"
-        )
+                if staged_cold and not applying:
+                    # the settle's legacy upgrade rule: a recorded cold
+                    # dir missing proves phase 2 ran pre-sentinel
+                    if any(
+                        not fs.exists(
+                            _hadoop_fs(spark, f"{root}/cluster={c}")[1]
+                        )
+                        for c in staged_cold
+                    ):
+                        applying = True
+                if staged_cold and applying:
+                    merge_state = {"state": "mid-apply",
+                                   "settle_action": "resume",
+                                   "cold_clusters": staged_cold}
+                else:
+                    merge_state = {"state": "unapplied",
+                                   "settle_action": "discard",
+                                   "cold_clusters": staged_cold}
+            findings.append(
+                f"merge staging pending ({merge_state['state']}; settle "
+                f"would {merge_state['settle_action']})"
+            )
 
     stale_del = fs.exists(_hadoop_fs(spark, f"{root}/_delete_staging")[1])
     if stale_del:
@@ -2658,46 +2673,55 @@ def ivf_index_fsck(
             "in flight — rerun the takedown to completion)"
         )
 
-    fits_present = sorted(
-        st.getPath().getName()
-        for st in (
-            fs.listStatus(_hadoop_fs(spark, f"{root}/_fits")[1])
-            if fs.exists(_hadoop_fs(spark, f"{root}/_fits")[1])
-            else []
-        )
-        if not st.getPath().getName().startswith(("_", "."))
-    )
-    if centroids is None and "centroids" in fits_present:
-        centroids = ivf_index_load_fits(spark, path)["centroids"]
-
-    on_disk = {
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(jroot)
-        if st.isDirectory() and st.getPath().getName().startswith("cluster=")
-    }
+    fits_present = []
+    on_disk = set()
     zombies, orphans = None, None
-    if centroids is not None:
-        cent_ids = {
-            int(r.cluster) for r in centroids.select("cluster").collect()
-        }
-        zombies = sorted(on_disk - cent_ids)
-        orphans = sorted(cent_ids - on_disk)
-        if zombies:
-            findings.append(
-                f"{len(zombies)} zombie cluster dir(s) not in the centroid "
-                f"set (rows unreachable by probes — run adopt-unrouted): "
-                f"{zombies}"
+    with _fsck_guard(findings, "fits / cluster layout"):
+        fits_present = sorted(
+            st.getPath().getName()
+            for st in (
+                fs.listStatus(_hadoop_fs(spark, f"{root}/_fits")[1])
+                if fs.exists(_hadoop_fs(spark, f"{root}/_fits")[1])
+                else []
             )
-        if orphans:
-            findings.append(
-                f"{len(orphans)} orphan centroid(s) without a directory "
-                f"(each wastes an nprobe slot — run merge-cold): {orphans}"
-            )
-    else:
-        findings.append(
-            "no centroid set (_fits/centroids absent and none passed) — "
-            "zombie/orphan check skipped"
+            if not st.getPath().getName().startswith(("_", "."))
         )
+        if centroids is None and "centroids" in fits_present:
+            centroids = ivf_index_load_fits(spark, path)["centroids"]
+
+        on_disk = {
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(jroot)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("cluster=")
+        }
+        if centroids is not None:
+            cent_ids = {
+                int(r.cluster) for r in centroids.select("cluster").collect()
+            }
+            zombies = sorted(on_disk - cent_ids)
+            orphans = sorted(cent_ids - on_disk)
+            if zombies:
+                findings.append(
+                    f"{len(zombies)} zombie cluster dir(s) not in the "
+                    f"centroid set (rows unreachable by probes — run "
+                    f"adopt-unrouted): {zombies}"
+                )
+            if orphans:
+                findings.append(
+                    f"{len(orphans)} orphan centroid(s) without a "
+                    f"directory (each wastes an nprobe slot — run "
+                    f"merge-cold): {orphans}"
+                )
+        else:
+            findings.append(
+                "no centroid set (_fits/centroids absent and none passed) "
+                "— zombie/orphan check skipped"
+            )
+
+    log_report = None
+    with _fsck_guard(findings, "ingest log"):
+        log_report = _ingest_log_report(spark, root, ingest_log_horizon_s)
 
     return {
         "healthy": not findings,
@@ -2710,5 +2734,5 @@ def ivf_index_fsck(
         "orphan_centroids": orphans,
         "n_cluster_dirs": len(on_disk),
         "fits": fits_present,
-        "ingest_log": _ingest_log_report(spark, root, ingest_log_horizon_s),
+        "ingest_log": log_report,
     }

@@ -1720,6 +1720,28 @@ def _ingest_log_report(spark, root: str, horizon_s: float | None) -> dict:
     }
 
 
+def _fsck_guard(findings: list, label: str):
+    """Context manager shared by both fsck surfaces: a concurrent
+    writer settling/promoting debris between an fsck's exists and its
+    follow-up listing/read must degrade to a FINDING ('rerun fsck'),
+    never crash the check — fsck is advisory and documented safe to
+    run while the single writer runs, so transient races are expected
+    states, not errors."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        try:
+            yield
+        except Exception:
+            findings.append(
+                f"could not inspect {label} (changed under the check — "
+                "concurrent writer? — or unreadable): rerun fsck"
+            )
+
+    return _cm()
+
+
 def minhash_index_fsck(
     spark,
     path: str,
@@ -1758,44 +1780,52 @@ def minhash_index_fsck(
 
     staging = f"{root}/{_STAGING}"
     append_state = None
-    if fs.exists(_hadoop_fs(spark, staging)[1]):
-        committed = fs.exists(_hadoop_fs(spark, f"{staging}/{_COMMITTED}")[1])
-        folding = fs.exists(_hadoop_fs(spark, f"{staging}/{_FOLD}")[1])
-        batch_keys = [
-            st.getPath().getName()[len("_BATCH_"):]
-            for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
-            if st.getPath().getName().startswith("_BATCH_")
-        ]
-        append_state = {
-            "state": "committed" if committed else "uncommitted",
-            "settle_action": "promote" if committed else "discard",
-            "is_fold": folding,
-            "batch_keys": batch_keys,
-        }
-        findings.append(
-            f"append staging pending ({append_state['state']}; settle "
-            f"would {append_state['settle_action']})"
-        )
+    with _fsck_guard(findings, "append staging"):
+        if fs.exists(_hadoop_fs(spark, staging)[1]):
+            committed = fs.exists(
+                _hadoop_fs(spark, f"{staging}/{_COMMITTED}")[1]
+            )
+            folding = fs.exists(_hadoop_fs(spark, f"{staging}/{_FOLD}")[1])
+            batch_keys = [
+                st.getPath().getName()[len("_BATCH_"):]
+                for st in fs.listStatus(_hadoop_fs(spark, staging)[1])
+                if st.getPath().getName().startswith("_BATCH_")
+            ]
+            append_state = {
+                "state": "committed" if committed else "uncommitted",
+                "settle_action": "promote" if committed else "discard",
+                "is_fold": folding,
+                "batch_keys": batch_keys,
+            }
+            findings.append(
+                f"append staging pending ({append_state['state']}; settle "
+                f"would {append_state['settle_action']})"
+            )
 
     rewrite = {}
     for table in ("docs", "bands"):
-        aside = f"{root}/{_DELTA}/._old_{table}"
-        if not fs.exists(_hadoop_fs(spark, aside)[1]):
-            continue
-        live_ok = fs.exists(_hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1])
-        staged_ok = fs.exists(
-            _hadoop_fs(spark, f"{root}/_delete_staging/delta_{table}")[1]
-        )
-        if live_ok:
-            rewrite[table] = "aside drop pending"
-        elif staged_ok:
-            rewrite[table] = "promote pending"
-        else:
-            rewrite[table] = (
-                "ROLLBACK pending (restores retracted rows — rerun the "
-                "takedown after settling)"
+        with _fsck_guard(findings, f"delta rewrite state of {table!r}"):
+            aside = f"{root}/{_DELTA}/._old_{table}"
+            if not fs.exists(_hadoop_fs(spark, aside)[1]):
+                continue
+            live_ok = fs.exists(
+                _hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1]
             )
-        findings.append(f"delta rewrite pending on {table!r}: {rewrite[table]}")
+            staged_ok = fs.exists(
+                _hadoop_fs(spark, f"{root}/_delete_staging/delta_{table}")[1]
+            )
+            if live_ok:
+                rewrite[table] = "aside drop pending"
+            elif staged_ok:
+                rewrite[table] = "promote pending"
+            else:
+                rewrite[table] = (
+                    "ROLLBACK pending (restores retracted rows — rerun "
+                    "the takedown after settling)"
+                )
+            findings.append(
+                f"delta rewrite pending on {table!r}: {rewrite[table]}"
+            )
 
     rerun = fs.exists(_hadoop_fs(spark, f"{root}/{_RERUN_MARKER}")[1])
     if rerun:
@@ -1811,17 +1841,22 @@ def minhash_index_fsck(
 
     jdelta = _hadoop_fs(spark, f"{root}/{_DELTA}")[1]
     delta_info = {"present": False, "files": 0}
-    if fs.exists(jdelta):
-        n = 0
-        for table in ("docs", "bands"):
-            jt = _hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1]
-            if fs.exists(jt):
-                n += sum(
-                    1
-                    for st in fs.listStatus(jt)
-                    if not st.getPath().getName().startswith(("_", "."))
-                )
-        delta_info = {"present": True, "files": n}
+    with _fsck_guard(findings, "delta buffer"):
+        if fs.exists(jdelta):
+            n = 0
+            for table in ("docs", "bands"):
+                jt = _hadoop_fs(spark, f"{root}/{_DELTA}/{table}")[1]
+                if fs.exists(jt):
+                    n += sum(
+                        1
+                        for st in fs.listStatus(jt)
+                        if not st.getPath().getName().startswith(("_", "."))
+                    )
+            delta_info = {"present": True, "files": n}
+
+    log_report = None
+    with _fsck_guard(findings, "ingest log"):
+        log_report = _ingest_log_report(spark, root, ingest_log_horizon_s)
 
     return {
         "healthy": not findings,
@@ -1831,7 +1866,7 @@ def minhash_index_fsck(
         "delete_rerun_needed": rerun,
         "stale_delete_staging": stale_del,
         "delta": delta_info,
-        "ingest_log": _ingest_log_report(spark, root, ingest_log_horizon_s),
+        "ingest_log": log_report,
         "params": {
             "n_hashes": n_hashes,
             "bands": bands,

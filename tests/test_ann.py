@@ -2266,7 +2266,7 @@ def test_adopt_unrouted_crash_injection_sweep(spark, tmp_path, monkeypatch):
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_ivf_index_fsck(spark, tmp_path):
+def test_ivf_index_fsck(spark, tmp_path, monkeypatch):
     """ivf_index_fsck: READ-ONLY classification — healthy on a clean
     index; names zombies (adopt-unrouted's case), orphan centroids
     (merge-cold's case), and a committed append staging with the
@@ -2326,3 +2326,25 @@ def test_ivf_index_fsck(spark, tmp_path):
     assert rep["pending_append_staging"]["state"] == "committed"
     assert rep["pending_append_staging"]["settle_action"] == "promote"
     assert os.path.isdir(f"{path}/_append_staging")  # not settled
+    shutil.rmtree(f"{path}/_append_staging")
+
+    # concurrent-writer race: a staging vanishing mid-inspection must
+    # degrade to a 'rerun fsck' finding, never crash the check
+    import idhub_spark.operators.merge_into as merge_into
+
+    os.makedirs(f"{path}/_merge_staging")
+    real_fs = merge_into._hadoop_fs
+
+    def racy(s, p):
+        if p.endswith("_applying"):
+            raise RuntimeError("vanished under the check")
+        return real_fs(s, p)
+
+    monkeypatch.setattr(merge_into, "_hadoop_fs", racy)
+    rep = ivf_index_fsck(spark, path)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    assert rep["healthy"] is False
+    assert any(
+        "could not inspect merge staging" in f for f in rep["findings"]
+    )
+    assert rep["pending_merge_staging"] is None  # classification aborted

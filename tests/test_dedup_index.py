@@ -1709,7 +1709,7 @@ def test_ingest_log_horizon_survives_mtime_reset(spark, docs, tmp_path):
     assert _log_entry(dst, _batch_key("batch-x"))[0] is None
 
 
-def test_minhash_index_fsck(spark, docs, tmp_path):
+def test_minhash_index_fsck(spark, docs, tmp_path, monkeypatch):
     """minhash_index_fsck: READ-ONLY classification of every pending
     state — it must report exactly what the settle functions would do
     WITHOUT doing any of it (replica-safe diagnosis), surface the
@@ -1774,3 +1774,25 @@ def test_minhash_index_fsck(spark, docs, tmp_path):
 
     rc = _cli.main(["dedup-index", "fsck", "--index", path])
     assert rc == 3
+
+    # concurrent-writer race: a settle promoting the staging between
+    # fsck's exists and its follow-up calls must degrade to a
+    # 'rerun fsck' finding, never crash the advisory check
+    import idhub_spark.operators.merge_into as merge_into
+
+    os.makedirs(f"{path}/_append_staging/docs", exist_ok=True)
+    real_fs = merge_into._hadoop_fs
+
+    def racy(s, p):
+        if p.endswith("_COMMITTED"):
+            raise RuntimeError("vanished under the check")
+        return real_fs(s, p)
+
+    monkeypatch.setattr(merge_into, "_hadoop_fs", racy)
+    rep = minhash_index_fsck(spark, path)
+    monkeypatch.setattr(merge_into, "_hadoop_fs", real_fs)
+    assert rep["healthy"] is False
+    assert any(
+        "could not inspect append staging" in f for f in rep["findings"]
+    )
+    assert rep["pending_append_staging"] is None  # classification aborted
