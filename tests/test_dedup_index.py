@@ -1796,3 +1796,42 @@ def test_minhash_index_fsck(spark, docs, tmp_path, monkeypatch):
         "could not inspect append staging" in f for f in rep["findings"]
     )
     assert rep["pending_append_staging"] is None  # classification aborted
+
+
+def test_marker_parse_roundtrip_properties():
+    """Property-pin the r17 marker-name codec (no Spark): the named
+    form round-trips exactly for every hex key and accept_ms; legacy
+    bare keys (pure hex, no dot) always fall back to the supplied
+    mtime; and the batch-key alphabet guarantees the bare/named forms
+    can never be confused (a sha256-prefix key contains no '.')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from idhub_spark.operators.dedup_index import (
+        _batch_key,
+        _marker_name,
+        _marker_parse,
+    )
+
+    hex_key = st.text(alphabet="0123456789abcdef", min_size=32, max_size=32)
+
+    @settings(max_examples=200, deadline=None)
+    @given(key=hex_key, accept_ms=st.integers(min_value=0, max_value=2**53),
+           mtime=st.integers(min_value=0, max_value=2**53))
+    def roundtrip(key, accept_ms, mtime):
+        assert _marker_parse(_marker_name(key, accept_ms), mtime) == (
+            key, accept_ms,
+        )
+        # legacy bare form: key comes back verbatim, age = mtime
+        assert _marker_parse(key, mtime) == (key, mtime)
+
+    roundtrip()
+
+    @settings(max_examples=100, deadline=None)
+    @given(batch_id=st.text(min_size=1, max_size=64))
+    def key_alphabet(batch_id):
+        k = _batch_key(batch_id)
+        assert len(k) == 32 and "." not in k
+        assert all(c in "0123456789abcdef" for c in k)
+
+    key_alphabet()
