@@ -28,6 +28,24 @@ from idhub_spark.session import get_spark
 from idhub_spark.validate import batch_id_valid
 
 
+def _horizon_kw(args) -> dict:
+    """Map --ingest-log-horizon-s to the operator kwarg, one shared
+    rule for every consumer (compact / fold / merge-cold / both fscks —
+    ADVICE r17: the fscks must honor the same flag so n_past_horizon is
+    profiled against the operator's real horizon, not the 7-day
+    default): unset -> {} (the function default is the one source of
+    truth), <=0 -> None (keep / profile every entry), else the value."""
+    if args.ingest_log_horizon_s is None:
+        return {}
+    return {
+        "ingest_log_horizon_s": (
+            args.ingest_log_horizon_s
+            if args.ingest_log_horizon_s > 0
+            else None
+        )
+    }
+
+
 def _cmd_validate_fragment(args) -> int:
     from idhub_spark.pipelines.validate_fragment import validate_fragment
     from idhub_spark.sources.files import csv_scan, parquet_scan
@@ -356,6 +374,20 @@ def _cmd_dedup_index(args) -> int:
     )
     from idhub_spark.sources.files import csv_scan, parquet_scan
 
+    # --ingest-log-horizon-s is parser-shared across every dedup-index
+    # action but only fold (prune) and fsck (age profile) consume it;
+    # warn instead of silently ignoring so an operator doesn't believe
+    # an append/probe/delete/stats run took the horizon into account
+    # (ADVICE r17).
+    if args.ingest_log_horizon_s is not None and args.action not in (
+        "fold",
+        "fsck",
+    ):
+        print(
+            "dedup-index: --ingest-log-horizon-s only affects fold and "
+            f"fsck; ignored for {args.action!r}",
+            file=sys.stderr,
+        )
     spark = get_spark("dedup-index")
     if args.action == "stats":
         # params first: a non-index path gets the clear 'no _params'
@@ -390,25 +422,13 @@ def _cmd_dedup_index(args) -> int:
     if args.action == "fsck":
         from idhub_spark.operators.dedup_index import minhash_index_fsck
 
-        rep = minhash_index_fsck(spark, args.index)
+        rep = minhash_index_fsck(spark, args.index, **_horizon_kw(args))
         print(json.dumps({"index": args.index, "action": "fsck", **rep}))
         # nonzero on findings so cron alerting can key on the exit code
         return 0 if rep["healthy"] else 3
     if args.action == "fold":
         _load_params(spark, args.index.rstrip("/"))  # clear non-index error
-        # only pass the horizon when set (the function default is the
-        # one source of truth); <=0 means "keep every entry" — the
-        # compact subcommand's mapping (ADVICE r16: the fold cadence
-        # must be tunable from the CLI too, or a CLI-only operator who
-        # disabled pruning at compact still loses entries at the fold)
-        hkw = {}
-        if args.ingest_log_horizon_s is not None:
-            hkw["ingest_log_horizon_s"] = (
-                args.ingest_log_horizon_s
-                if args.ingest_log_horizon_s > 0
-                else None
-            )
-        rep = minhash_index_fold_delta(spark, args.index, **hkw)
+        rep = minhash_index_fold_delta(spark, args.index, **_horizon_kw(args))
         print(json.dumps({"index": args.index, "action": "fold", **rep}))
         return 0
 
@@ -506,7 +526,7 @@ def _cmd_index_fsck(args) -> int:
     from idhub_spark.operators.ann import ivf_index_fsck
 
     spark = get_spark("index-fsck")
-    rep = ivf_index_fsck(spark, args.index)
+    rep = ivf_index_fsck(spark, args.index, **_horizon_kw(args))
     print(json.dumps({"index": args.index, "action": "fsck", **rep}))
     return 0 if rep["healthy"] else 3
 
@@ -544,15 +564,8 @@ def _cmd_merge_cold(args) -> int:
     # cold-merge prunes the ingest log at the maintenance cadence, so
     # an operator who disabled pruning elsewhere must be able to
     # disable it here)
-    hkw = {}
-    if args.ingest_log_horizon_s is not None:
-        hkw["ingest_log_horizon_s"] = (
-            args.ingest_log_horizon_s
-            if args.ingest_log_horizon_s > 0
-            else None
-        )
     cents, rep = ivf_index_merge_cold_clusters(
-        spark, args.index, min_rows=args.min_rows, **hkw
+        spark, args.index, min_rows=args.min_rows, **_horizon_kw(args)
     )
     after = {
         r.cluster: r.n_rows
@@ -602,12 +615,7 @@ def _cmd_compact(args) -> int:
     spark = get_spark("compact")
     # only pass the horizon when set (the function default is the one
     # source of truth); <=0 means "keep every entry" (horizon None)
-    hkw = {}
-    if args.ingest_log_horizon_s is not None:
-        hkw["ingest_log_horizon_s"] = (
-            args.ingest_log_horizon_s if args.ingest_log_horizon_s > 0
-            else None
-        )
+    hkw = _horizon_kw(args)
     if args.index:
         from idhub_spark.operators.ann import ivf_index_compact
 
@@ -840,8 +848,10 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=None,
         help="fold: prune ingest-log entries older than this retry "
-        "horizon at the fold cadence (default 7 days; <=0 keeps every "
-        "entry — match whatever the compact subcommand uses)",
+        "horizon at the fold cadence; fsck: profile entry age against "
+        "it (default 7 days; <=0 keeps/profiles every entry — match "
+        "whatever the compact subcommand uses); warned-and-ignored for "
+        "other actions",
     )
     di.set_defaults(fn=_cmd_dedup_index)
 
@@ -870,6 +880,15 @@ def main(argv: list[str] | None = None) -> int:
         "exit 3 on findings",
     )
     ifk.add_argument("--index", required=True, help="index root path")
+    ifk.add_argument(
+        "--ingest-log-horizon-s",
+        type=float,
+        default=None,
+        help="profile ingest-log entry age against this retry horizon "
+        "(default 7 days; <=0 profiles every entry as in-horizon) — "
+        "match whatever the maintenance subcommands use; informational "
+        "only, never flags by itself",
+    )
     ifk.set_defaults(fn=_cmd_index_fsck)
 
     au = sub.add_parser(

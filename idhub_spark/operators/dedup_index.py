@@ -381,15 +381,24 @@ def _marker_name(key: str, accept_ms: int) -> str:
 
 
 def _ingest_log_has(spark, root: str, key: str) -> bool:
-    """True iff the ingest log records `key` — one globStatus RPC over
-    <key>* (matches both the named r17 form and legacy bare keys; keys
-    are fixed-length sha256 prefixes, so no other key can share a
-    prefix). Null glob result = log dir absent."""
+    """True iff the ingest log records `key` — one listStatus of the
+    log dir with a driver-side name prefix match (matches both the
+    named r17 form and legacy bare keys; keys are fixed-length sha256
+    prefixes, so no other key shares a prefix). listStatus rather than
+    globStatus(<key>*): the index ROOT is a caller path interpolated
+    into the pattern, so glob metacharacters in it ([, ], *, ?, {})
+    would silently misdirect the duplicate check and re-admit retried
+    batches (ADVICE r17). The dir is horizon-bounded (~700 entries at
+    the documented cadence), so the listing costs the same LIST an
+    object store pays for the glob. Absent dir = not logged."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
-    fs, jglob = _hadoop_fs(spark, f"{root}/{_INGEST_LOG}/{key}*")
-    matches = fs.globStatus(jglob)
-    return matches is not None and len(matches) > 0
+    fs, jlog = _hadoop_fs(spark, f"{root.rstrip('/')}/{_INGEST_LOG}")
+    if not fs.exists(jlog):
+        return False
+    return any(
+        st.getPath().getName().startswith(key) for st in fs.listStatus(jlog)
+    )
 
 
 def _record_ingest_entries(spark, fs, root: str, keys: list[str]) -> None:

@@ -2348,3 +2348,48 @@ def test_ivf_index_fsck(spark, tmp_path, monkeypatch):
         "could not inspect merge staging" in f for f in rep["findings"]
     )
     assert rep["pending_merge_staging"] is None  # classification aborted
+
+
+def test_merge_staging_empty_cold_with_sentinel(spark, tmp_path):
+    """Empty staged_cold ([] — readable, zero rows) WITH the _applying
+    sentinel: both the fsck classification and _settle_merge_staging
+    must treat it as 'unapplied → discard' (ADVICE r17 — the agreement
+    was incidental; pin it so a future settle change can't silently
+    diverge from the fsck report). An empty cold list means phase 2
+    has nothing it could have half-applied: no cold dir was ever
+    deleted, no staged rows exist outside _new_centroids, so the
+    discard loses nothing even though the sentinel says phase 2
+    began."""
+    import os
+
+    from idhub_spark.operators.ann import (
+        _settle_merge_staging,
+        ivf_index_fsck,
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+
+    vectors, centroids = _merge_fixture(spark)
+    path = str(tmp_path / "idx_empty_cold")
+    ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
+    n_before = spark.read.parquet(path).count()
+
+    staging = f"{path}/_merge_staging"
+    centroids.coalesce(1).write.parquet(f"{staging}/_new_centroids")
+    # readable but EMPTY cold list (schema-only parquet), sentinel set
+    spark.createDataFrame([], "cluster int").write.parquet(
+        f"{staging}/_cold_clusters"
+    )
+    open(f"{staging}/_applying", "w").close()
+
+    # fsck first (read-only): classified unapplied/discard, not touched
+    rep = ivf_index_fsck(spark, path)
+    assert rep["pending_merge_staging"]["state"] == "unapplied"
+    assert rep["pending_merge_staging"]["settle_action"] == "discard"
+    assert rep["pending_merge_staging"]["cold_clusters"] == []
+    assert os.path.isdir(staging)  # read-only proof
+
+    # the settle does exactly what fsck predicted: discard, no resume
+    assert _settle_merge_staging(spark, path) is None
+    assert not os.path.isdir(staging)
+    assert spark.read.parquet(path).count() == n_before

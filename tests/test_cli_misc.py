@@ -525,3 +525,94 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     assert _log_entry(idx, _batch_key("cli-b2"))[0] is None
+
+
+def test_cli_fsck_honors_ingest_log_horizon(spark, tmp_path, capsys):
+    """ADVICE r17: both fsck entry points must honor
+    --ingest-log-horizon-s (<=0 -> profile every entry as in-horizon,
+    same mapping as fold/compact/merge-cold), so n_past_horizon is
+    reported against the operator's REAL horizon instead of the 7-day
+    default; and passing the flag with a non-consuming dedup-index
+    action warns instead of silently ignoring."""
+    import sys as _sys
+
+    from idhub_spark.operators.dedup_index import _batch_key
+    from tests.test_dedup_index import _age_entry
+
+    docs = spark.createDataFrame(
+        [(i, f"fsck horizon body {i} shared tail words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_fh")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "idx_fh")
+    assert cli.main(
+        ["dedup-index", "build", "--index", idx, "--docs", src,
+         "--pb-buckets", "4", "--db-buckets", "4"]
+    ) == 0
+    batch = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    bsrc = str(tmp_path / "batch_fh")
+    batch.write.parquet(bsrc)
+    assert cli.main(
+        ["dedup-index", "append", "--index", idx, "--docs", bsrc,
+         "--batch-id", "fh-1"]
+    ) == 0
+    capsys.readouterr()
+    _age_entry(idx, _batch_key("fh-1"), 8 * 24 * 3600 * 1000)  # 8 days
+
+    # default horizon (7 d): the aged entry profiles past it
+    assert cli.main(["dedup-index", "fsck", "--index", idx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ingest_log"]["n_past_horizon"] == 1
+    # <=0 -> None: every entry in-horizon (the fold/compact mapping)
+    assert cli.main(
+        ["dedup-index", "fsck", "--index", idx,
+         "--ingest-log-horizon-s", "0"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ingest_log"]["n_past_horizon"] == 0
+    # a tighter explicit horizon flips an in-horizon entry to past it
+    assert cli.main(
+        ["dedup-index", "fsck", "--index", idx,
+         "--ingest-log-horizon-s", str(9 * 24 * 3600)]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ingest_log"]["n_past_horizon"] == 0
+
+    # non-consuming action: flag warned-and-ignored, run unaffected
+    assert cli.main(
+        ["dedup-index", "stats", "--index", idx,
+         "--ingest-log-horizon-s", "60"]
+    ) == 0
+    cap = capsys.readouterr()
+    assert "--ingest-log-horizon-s only affects fold and fsck" in cap.err
+    assert json.loads(cap.out.strip().splitlines()[-1])["tables"]
+
+    # index-fsck: same flag, same mapping, on the IVF twin
+    from idhub_spark.operators.ann import (
+        ivf_sq8_index_write,
+        sq8_fit,
+    )
+    from tests.test_ann import _merge_fixture
+
+    vectors, centroids = _merge_fixture(spark)
+    vidx = str(tmp_path / "ivf_fh")
+    bounds = sq8_fit(vectors)
+    ivf_sq8_index_write(vectors, centroids, bounds, vidx)
+    vbatch = vectors.limit(3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    from idhub_spark.operators.ann import ivf_sq8_index_append
+
+    assert ivf_sq8_index_append(
+        vbatch, centroids, bounds, vidx, batch_id="fh-ivf"
+    ) == "appended"
+    _age_entry(vidx, _batch_key("fh-ivf"), 8 * 24 * 3600 * 1000)
+    assert cli.main(["index-fsck", "--index", vidx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ingest_log"]["n_past_horizon"] == 1
+    assert cli.main(
+        ["index-fsck", "--index", vidx, "--ingest-log-horizon-s", "0"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ingest_log"]["n_past_horizon"] == 0

@@ -1605,6 +1605,37 @@ def _age_entry(path, key, delta_ms):
     os.utime(aged, (now, now))
 
 
+def test_ingest_log_dup_check_glob_metachar_root(spark, tmp_path):
+    """ADVICE r17: the exactly-once dup check must not interpolate the
+    caller's index ROOT into a glob pattern — globStatus on
+    '<root>/_ingest_log/<key>*' with a root containing glob
+    metacharacters ([, ], *, {}) matched a DIFFERENT directory (e.g.
+    '[1]' matches the single character '1'), silently re-admitting
+    every retried batch. _ingest_log_has now lists the log dir and
+    prefix-matches names driver-side, so only the LEAF is ever
+    pattern-sensitive (and keys are fixed-length hex). Unit-level: a
+    full index can't live under such a root anyway (Spark read paths
+    glob too), but the marker protocol itself must stay correct."""
+    from idhub_spark.operators.dedup_index import (
+        _batch_key,
+        _ingest_log_has,
+        _marker_name,
+    )
+
+    for weird in ("mh[1]idx", "mh{a}idx", "mh*idx"):
+        root = str(tmp_path / weird)
+        key = _batch_key("crawl-7")
+        os.makedirs(f"{root}/_ingest_log")
+        open(f"{root}/_ingest_log/{_marker_name(key, 1755000000000)}",
+             "w").close()
+        assert _ingest_log_has(spark, root, key) is True, weird
+        assert _ingest_log_has(spark, root, _batch_key("other")) is False
+    # absent log dir (fresh index): False, no error
+    assert _ingest_log_has(
+        spark, str(tmp_path / "mh[2]fresh"), _batch_key("x")
+    ) is False
+
+
 def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
     """r16 (VERDICT r15) + r17 (VERDICT r16): the ingest log is
     bounded by the retry horizon, with entry AGE in the FILENAME
@@ -1651,7 +1682,7 @@ def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
     # compact: aged-by-name entries don't carry even at fresh mtime;
     # in-horizon entries carry under the SAME canonical name; a legacy
     # bare-key entry (pre-r17 form) still rejects its retry via the
-    # prefix-glob dup check and canonicalizes at carry with its mtime
+    # name-prefix dup check and canonicalizes at carry with its mtime
     # as the accept time
     _age_entry(path, _batch_key("old-batch"), 8 * 24 * 3600 * 1000)
     legacy_key = _batch_key("legacy-batch")
