@@ -9,6 +9,14 @@ row already hash-verifies the same mechanism:
 - ann_topk_bucketed — its single-bucket candidate join is executed and
   hash-verified inside the registered ann_recall_at_k, and
   ann_topk_multiprobe supersets the probe (Hamming<=1 ⊇ Hamming=0).
+- large_orders / order_priority_check / idle_customers — retired r18
+  (VERDICT r17 ask #2: break the deferral-debt cycle by RETIRING
+  low-information TPC-H-parity rows instead of rolling deferrals).
+  Q18's aggregate→HAVING→join-back is pinned by avg_yearly_small_qty
+  and returned_item_report; Q4's EXISTS-as-left-semi by
+  keyed_lookup_semi and order_priority_pivot; Q22's NOT-EXISTS-as-
+  left-anti by conflict_exclusion / orphan_detection and its broadcast
+  scalar threshold by lsh_recall_eval / weighted_mixture_sample.
 
 If one of these regresses here, re-register it before shipping the fix
 (a broken mechanism must not hide behind a retired row).
@@ -30,6 +38,14 @@ def _retired():
         GROUPED_ZSCORE_NATIVE_ORACLE,
         grouped_zscore_native,
     )
+    from idhub_spark.plans.tpch import (
+        IDLE_CUSTOMERS_ORACLE,
+        LARGE_ORDERS_ORACLE,
+        ORDER_PRIORITY_CHECK_ORACLE,
+        idle_customers,
+        large_orders,
+        order_priority_check,
+    )
 
     return {
         "grouped_zscore_native": (
@@ -37,6 +53,12 @@ def _retired():
             GROUPED_ZSCORE_NATIVE_ORACLE,
         ),
         "ann_topk_bucketed": (ann_topk_bucketed, ANN_TOPK_BUCKETED_ORACLE),
+        "large_orders": (large_orders, LARGE_ORDERS_ORACLE),
+        "order_priority_check": (
+            order_priority_check,
+            ORDER_PRIORITY_CHECK_ORACLE,
+        ),
+        "idle_customers": (idle_customers, IDLE_CUSTOMERS_ORACLE),
     }
 
 
@@ -52,5 +74,12 @@ def test_retired_not_registered():
     so pin the current state."""
     from idhub_spark.queries import REGISTRY
 
-    for name in ("grouped_zscore_native", "ann_topk_bucketed", "sketch_profile"):
+    for name in (
+        "grouped_zscore_native",
+        "ann_topk_bucketed",
+        "sketch_profile",
+        "large_orders",
+        "order_priority_check",
+        "idle_customers",
+    ):
         assert name not in REGISTRY
