@@ -380,25 +380,43 @@ def _marker_name(key: str, accept_ms: int) -> str:
     return f"{key}.{accept_ms}"
 
 
+# Hadoop glob metacharacters (org.apache.hadoop.fs.GlobPattern):
+# backslash first so escapes aren't double-escaped.
+_GLOB_SPECIALS = "\\*?[]{}"
+
+
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters so a literal path
+    can be embedded in a globStatus pattern. Hadoop's Globber
+    unescapes during matching, so an escaped component matches the
+    literal directory name."""
+    return "".join(
+        ("\\" + ch) if ch in _GLOB_SPECIALS else ch for ch in path
+    )
+
+
 def _ingest_log_has(spark, root: str, key: str) -> bool:
-    """True iff the ingest log records `key` — one listStatus of the
-    log dir with a driver-side name prefix match (matches both the
-    named r17 form and legacy bare keys; keys are fixed-length sha256
-    prefixes, so no other key shares a prefix). listStatus rather than
-    globStatus(<key>*): the index ROOT is a caller path interpolated
-    into the pattern, so glob metacharacters in it ([, ], *, ?, {})
-    would silently misdirect the duplicate check and re-admit retried
-    batches (ADVICE r17). The dir is horizon-bounded (~700 entries at
-    the documented cadence), so the listing costs the same LIST an
-    object store pays for the glob. Absent dir = not logged."""
+    """True iff the ingest log records `key` — one globStatus RPC over
+    <escaped-root>/_ingest_log/<key>* (matches both the named r17 form
+    and legacy bare keys; keys are fixed-length sha256 prefixes, so no
+    other key shares a prefix). The index ROOT is a caller path, so it
+    is glob-ESCAPED before interpolation — a root containing glob
+    metacharacters ([, ], *, ?, {}) would otherwise silently misdirect
+    the duplicate check and re-admit retried batches (ADVICE r17; the
+    key itself is safe hex and stays unescaped). globStatus, not
+    listStatus + driver-side prefix match: the matching must stay
+    JVM-side — iterating FileStatus names through Py4J measured
+    563-790 ms/call at the documented ~700-entry log bound vs 26-29 ms
+    for the escaped glob (docs/scale_audit_r18.md §1), and on object
+    stores both issue the same LIST. Null glob result = log dir
+    absent."""
     from idhub_spark.operators.merge_into import _hadoop_fs
 
-    fs, jlog = _hadoop_fs(spark, f"{root.rstrip('/')}/{_INGEST_LOG}")
-    if not fs.exists(jlog):
-        return False
-    return any(
-        st.getPath().getName().startswith(key) for st in fs.listStatus(jlog)
+    fs, jglob = _hadoop_fs(
+        spark, f"{_glob_escape(root.rstrip('/'))}/{_INGEST_LOG}/{key}*"
     )
+    matches = fs.globStatus(jglob)
+    return matches is not None and len(matches) > 0
 
 
 def _record_ingest_entries(spark, fs, root: str, keys: list[str]) -> None:

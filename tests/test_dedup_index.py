@@ -1611,8 +1611,10 @@ def test_ingest_log_dup_check_glob_metachar_root(spark, tmp_path):
     '<root>/_ingest_log/<key>*' with a root containing glob
     metacharacters ([, ], *, {}) matched a DIFFERENT directory (e.g.
     '[1]' matches the single character '1'), silently re-admitting
-    every retried batch. _ingest_log_has now lists the log dir and
-    prefix-matches names driver-side, so only the LEAF is ever
+    every retried batch. _ingest_log_has now glob-ESCAPES the root
+    before interpolation (one RPC, JVM-side match — the driver-side
+    listStatus alternative measured 20-30x dearer at the log's entry
+    bound, docs/scale_audit_r18.md §1), so only the LEAF is ever
     pattern-sensitive (and keys are fixed-length hex). Unit-level: a
     full index can't live under such a root anyway (Spark read paths
     glob too), but the marker protocol itself must stay correct."""
