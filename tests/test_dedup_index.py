@@ -1638,6 +1638,73 @@ def test_ingest_log_dup_check_glob_metachar_root(spark, tmp_path):
     ) is False
 
 
+def test_glob_escape_properties(spark, tmp_path):
+    """Property-pin _glob_escape beyond the three hand-picked roots
+    above: (1) pure codec — every Hadoop glob metachar in the output
+    is backslash-escaped and stripping the escapes recovers the input
+    (no character is lost or duplicated); (2) end-to-end — for an
+    ARBITRARY metachar-bearing directory name, the escaped root makes
+    the dup check find exactly the keys that exist under that literal
+    root. Inner @given functions keep hypothesis off the
+    function-scoped fixtures (the marker-codec test's pattern)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from idhub_spark.operators.dedup_index import (
+        _GLOB_SPECIALS,
+        _batch_key,
+        _glob_escape,
+        _ingest_log_has,
+        _marker_name,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(path=st.text(min_size=0, max_size=80))
+    def codec(path):
+        esc = _glob_escape(path)
+        # every metachar occurrence is immediately preceded by the
+        # escape; walking the escaped form recovers the original
+        out, i = [], 0
+        while i < len(esc):
+            if esc[i] == "\\" and i + 1 < len(esc) and esc[i + 1] in _GLOB_SPECIALS:
+                out.append(esc[i + 1])
+                i += 2
+            else:
+                assert esc[i] not in _GLOB_SPECIALS
+                out.append(esc[i])
+                i += 1
+        assert "".join(out) == path
+
+    codec()
+
+    # fs-level: arbitrary legal dir names (no '/', no ':' — Hadoop
+    # Path scheme quirk, no NUL, not '.'/'..'); metachars weighted in
+    # so most examples actually exercise the escape.
+    name = st.text(
+        alphabet=st.sampled_from(list("ab7._- ") + list("\\*?[]{}")),
+        min_size=1,
+        max_size=24,
+    ).filter(lambda s: s not in (".", "..") and s.strip() != "")
+
+    @settings(max_examples=25, deadline=None)
+    @given(weird=name, batch_id=st.text(min_size=1, max_size=16))
+    def dup_check_literal_root(weird, batch_id):
+        root = str(tmp_path / "h" / weird)
+        key = _batch_key(batch_id)
+        log = f"{root}/_ingest_log"
+        os.makedirs(log, exist_ok=True)
+        marker = f"{log}/{_marker_name(key, 1755000000000)}"
+        open(marker, "w").close()
+        try:
+            assert _ingest_log_has(spark, root, key) is True, weird
+            absent = _batch_key(batch_id + "~other")
+            assert _ingest_log_has(spark, root, absent) is False, weird
+        finally:
+            os.remove(marker)
+
+    dup_check_literal_root()
+
+
 def test_ingest_log_horizon_bounds_fold_and_compact(spark, docs, tmp_path):
     """r16 (VERDICT r15) + r17 (VERDICT r16): the ingest log is
     bounded by the retry horizon, with entry AGE in the FILENAME
