@@ -631,6 +631,17 @@ def _cmd_compact(args) -> int:
             target_bytes=args.target_mb * 1024 * 1024, **hkw,
         )
     else:
+        # only the index-aware paths carry an ingest log; warn instead
+        # of silently dropping the flag so an operator who forgot the
+        # mode flag doesn't believe horizon pruning was applied (the
+        # same warned-not-ignored rule as _cmd_dedup_index's actions)
+        if args.ingest_log_horizon_s is not None:
+            print(
+                "compact: --ingest-log-horizon-s only affects --index/"
+                "--minhash-index compaction; ignored for the generic "
+                "path",
+                file=sys.stderr,
+            )
         n_src, n_out = compact_small_files(
             spark, args.src, args.dst, target_bytes=args.target_mb * 1024 * 1024
         )

@@ -189,8 +189,26 @@ _DRIVER_ORDER = [
 ]
 
 
+# Import-time guard, sibling to the duplicate/stacked/arity guards on
+# @query: the 50-name window is rewritten by hand every round, and a
+# typo'd or retired-but-not-removed name would otherwise be silently
+# filtered — shrinking the driver's exactly-50 evidence window and
+# sliding an arbitrary alphabetical query into the vacated slot with
+# no signal (the intended row then expires under the 3-round policy).
+def _check_driver_order(order: list[str], registry: dict) -> None:
+    unknown = [n for n in order if n not in registry]
+    if unknown:
+        raise ValueError(f"_DRIVER_ORDER names not in REGISTRY: {unknown}")
+    if len(order) != len(set(order)):
+        dups = sorted({n for n in order if order.count(n) > 1})
+        raise ValueError(f"_DRIVER_ORDER contains duplicate names: {dups}")
+
+
+_check_driver_order(_DRIVER_ORDER, REGISTRY)
+
+
 def _ordered() -> list[str]:
-    front = [n for n in _DRIVER_ORDER if n in REGISTRY]
+    front = list(_DRIVER_ORDER)  # guarded ⊆ REGISTRY at import
     rest = [n for n in REGISTRY if n not in set(front)]
     return front + rest
 

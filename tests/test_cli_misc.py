@@ -359,6 +359,27 @@ def test_cli_compact_partitioned_with_verification(spark, tmp_path, capsys):
     assert out["n_source_files"] == 10 and out["n_output_files"] == 2
 
 
+def test_cli_compact_generic_warns_unused_horizon(spark, tmp_path, capsys):
+    """Only the --index/--minhash-index compaction paths carry an
+    ingest log, so --ingest-log-horizon-s on the generic path must be
+    warned-and-ignored, not silently dropped (the _cmd_dedup_index
+    rule; an operator who forgot the mode flag must not believe
+    horizon pruning was applied)."""
+    src = str(tmp_path / "gsrc")
+    dst = str(tmp_path / "gdst")
+    spark.range(100).select(F.col("id").alias("k")).repartition(4).write.parquet(
+        src
+    )
+    rc = cli.main([
+        "compact", "--src", src, "--dst", dst, "--target-mb", "64",
+        "--ingest-log-horizon-s", "60",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert "--ingest-log-horizon-s only affects --index/" in cap.err
+    assert json.loads(cap.out.strip().splitlines()[-1])["n_output_files"] == 1
+
+
 def test_cli_compact_index_carries_fits(spark, tmp_path, capsys):
     """`idhub_spark compact --index` must compact an on-disk IVF index
     AND carry its _fits sidecar, so the compacted index answers a
@@ -571,7 +592,8 @@ def test_cli_fsck_honors_ingest_log_horizon(spark, tmp_path, capsys):
     ) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ingest_log"]["n_past_horizon"] == 0
-    # a tighter explicit horizon flips an in-horizon entry to past it
+    # a looser explicit horizon (9 d > the entry's 8-day age) flips
+    # the past-default-horizon entry back to in-horizon
     assert cli.main(
         ["dedup-index", "fsck", "--index", idx,
          "--ingest-log-horizon-s", str(9 * 24 * 3600)]
