@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from idhub_spark.plans.dedup_q import _bucket, _dot_int, _dot_pre, _prep_vectors
+# Module alias, NOT `from ... import name`: when a plan module is the
+# interpreter's entry import, queries.py's plan-package import runs
+# while dedup_q is still partially initialized, and a from-import of
+# its helpers raises ImportError (circular). The alias resolves via
+# sys.modules even mid-import; all uses below are call-time attribute
+# lookups, by which point dedup_q is fully loaded
+# (tests/test_registry.py pins the fresh-interpreter case).
+from idhub_spark.plans import dedup_q as _dq
 from idhub_spark.queries import query, tables
 
 _DOT = (
@@ -62,7 +69,7 @@ _COSINE = f"CAST({_DOT} AS DOUBLE) / (sqrt(CAST({_norm('q')} AS DOUBLE)) * sqrt(
 def ann_topk_bruteforce(spark, sf_dir):
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    prepped = _prep_vectors(e)
+    prepped = _dq._prep_vectors(e)
     q = prepped.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("sv").alias("q_sv"),
@@ -73,7 +80,7 @@ def ann_topk_bruteforce(spark, sf_dir):
         F.col("sv").alias("n_sv"),
         F.col("norm").alias("n_norm"),
     )
-    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    dot = _dq._dot_pre(F.col("q_sv"), F.col("n_sv"))
     cosine = dot.cast("double") / (
         F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
     )
@@ -126,7 +133,7 @@ def ann_topk_bucketed(spark, sf_dir):
     the scan per query is |bucket| not |corpus|."""
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    prepped = _dq._prep_vectors(e).withColumn("bucket", _dq._bucket(F.col("embedding")))
     q = prepped.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"),
         F.col("sv").alias("q_sv"),
@@ -139,7 +146,7 @@ def ann_topk_bucketed(spark, sf_dir):
         F.col("norm").alias("n_norm"),
         "bucket",
     )
-    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    dot = _dq._dot_pre(F.col("q_sv"), F.col("n_sv"))
     cosine = dot.cast("double") / (
         F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
     )
@@ -173,7 +180,7 @@ def ann_topk_bucketed(spark, sf_dir):
 )
 def embedding_norm_stats(spark, sf_dir):
     t = tables(spark, sf_dir, "embeddings")
-    sq = _dot_int(F.col("embedding"), F.col("embedding"))
+    sq = _dq._dot_int(F.col("embedding"), F.col("embedding"))
     return (
         t["embeddings"]
         .select("label", sq.alias("sq"))
@@ -224,7 +231,7 @@ def ann_recall_at_k(spark, sf_dir):
 
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    prepped = _dq._prep_vectors(e).withColumn("bucket", _dq._bucket(F.col("embedding")))
     q = prepped.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("sv").alias("q_sv"),
@@ -237,7 +244,7 @@ def ann_recall_at_k(spark, sf_dir):
         F.col("norm").alias("n_norm"),
         F.col("bucket").alias("n_bucket"),
     )
-    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    dot = _dq._dot_pre(F.col("q_sv"), F.col("n_sv"))
     cosine = (
         dot.cast("double")
         / (F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double")))
@@ -406,7 +413,7 @@ _HAMMING_LE1 = (
 def ann_topk_multiprobe(spark, sf_dir):
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    prepped = _prep_vectors(e).withColumn("bucket", _bucket(F.col("embedding")))
+    prepped = _dq._prep_vectors(e).withColumn("bucket", _dq._bucket(F.col("embedding")))
     # probe keys: the exact bucket + each one-bit flip. The bucket is a
     # 6-char '0'/'1' string; flipping bit i is a substring splice.
     flips = [F.col("bucket")] + [
@@ -434,7 +441,7 @@ def ann_topk_multiprobe(spark, sf_dir):
         F.col("norm").alias("n_norm"),
         "bucket",
     )
-    dot = _dot_pre(F.col("q_sv"), F.col("n_sv"))
+    dot = _dq._dot_pre(F.col("q_sv"), F.col("n_sv"))
     cosine = dot.cast("double") / (
         F.sqrt(F.col("q_norm").cast("double")) * F.sqrt(F.col("n_norm").cast("double"))
     )

@@ -189,12 +189,18 @@ _DRIVER_ORDER = [
 ]
 
 
-# Import-time guard, sibling to the duplicate/stacked/arity guards on
+# Window guard, sibling to the duplicate/stacked/arity guards on
 # @query: the 50-name window is rewritten by hand every round, and a
 # typo'd or retired-but-not-removed name would otherwise be silently
 # filtered — shrinking the driver's exactly-50 evidence window and
 # sliding an arbitrary alphabetical query into the vacated slot with
 # no signal (the intended row then expires under the 3-round policy).
+# Checked on every _ordered() call, NOT at module import: importing a
+# plan module directly (plans.X -> this module) re-enters while the
+# plan package is mid-import, so REGISTRY is only partially populated
+# at this module's top level — a module-level check raises spuriously
+# on perfectly valid windows (found the hard way; conftest masked it
+# by importing this module first).
 def _check_driver_order(order: list[str], registry: dict) -> None:
     unknown = [n for n in order if n not in registry]
     if unknown:
@@ -204,11 +210,9 @@ def _check_driver_order(order: list[str], registry: dict) -> None:
         raise ValueError(f"_DRIVER_ORDER contains duplicate names: {dups}")
 
 
-_check_driver_order(_DRIVER_ORDER, REGISTRY)
-
-
 def _ordered() -> list[str]:
-    front = list(_DRIVER_ORDER)  # guarded ⊆ REGISTRY at import
+    _check_driver_order(_DRIVER_ORDER, REGISTRY)
+    front = list(_DRIVER_ORDER)
     rest = [n for n in REGISTRY if n not in set(front)]
     return front + rest
 
