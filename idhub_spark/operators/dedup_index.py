@@ -144,36 +144,73 @@ def _doc_state(
     id_col: str,
     text_col: str,
 ) -> DataFrame:
-    """Per-doc MinHash state (doc_id, sig array<bigint>, n_sh) — ONE
-    aggregation over the shingle set.
+    """Per-doc MinHash state (doc_id, sig array<bigint>, n_sh) — a
+    pure per-row projection, ZERO shuffles (r19 optimization).
 
-    Short-doc fallback: word_shingles emits nothing for documents
-    under 3 words, which would silently exclude them from the index
-    AND from probes — an exact copy of a short doc would never be
-    detected. Such docs contribute their whole (trimmed) text as a
-    single shingle instead: exact copies still collide on every band
-    deterministically; near-dup sensitivity for them degenerates to
-    exact match, which is the honest best available without n-grams.
+    The r18 shape (word_shingles -> distinct -> groupBy(doc_id) with
+    n_hashes mins) paid two exchanges per invocation — a distinct over
+    the exploded shingle rows and the signature aggregation — and a
+    second scan of the input for the short-doc fallback union. But the
+    shingle SET of one document is a per-row value: build it as an
+    array column (array_distinct over the word-3-gram transform, the
+    whole trimmed text for docs under 3 words) and take each signature
+    component as array_min(transform(shset, s -> xxhash64(i, s))).
+    min over a set is duplicate- and order-insensitive, so the values
+    are bit-identical to the aggregated form; n_sh is the distinct
+    count either way. Same hash evaluations per (doc, shingle), no
+    exchange, one scan (plan pins: tests/test_dedup_index.py).
+
+    The two explode(array(...)) Generates are 1-row:1-row barriers
+    that materialize the split array and the shingle set as real
+    attributes — without them CollapseProject inlines the split into
+    every shingle lookup and the shingle build into every one of the
+    n_hashes array_mins (the word_shingles quadratic-replan trap;
+    subexpression elimination does not reach into lambda bodies).
+
+    Short-doc fallback: word-3-gram shingling emits nothing for
+    documents under 3 words, which would silently exclude them from
+    the index AND from probes — an exact copy of a short doc would
+    never be detected. Such docs contribute their whole (trimmed) text
+    as a single shingle instead: exact copies still collide on every
+    band deterministically; near-dup sensitivity for them degenerates
+    to exact match, which is the honest best available without
+    n-grams. NULL-text docs are excluded entirely (the pre-r19
+    behavior: neither shingle branch emitted a row for them).
+
+    doc_ids are assumed unique across the input (the module-level
+    ingest discipline); the old groupBy coincidentally merged
+    duplicate ids, this form emits one row per input row.
     """
-    from idhub_spark.operators.shingles import word_shingles
-
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
-    sh = word_shingles(base).unionByName(
-        base.filter(F.size(F.split("text", " ")) < 3).select(
-            "doc_id", F.trim(F.col("text")).alias("sh")
-        )
-    )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("n_sh"))
-    return sigs.select(
+    ).filter(F.col("text").isNotNull())
+    ws_row = base.select(
         "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
-        "n_sh",
+        "text",
+        F.explode(F.array(F.split("text", " "))).alias("ws"),
+    )
+    shset = F.array_distinct(
+        F.when(
+            F.size("ws") >= 3,
+            F.expr(
+                "transform(sequence(0, size(ws)-3), "
+                "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            ),
+        ).otherwise(F.array(F.trim(F.col("text"))))
+    )
+    st = ws_row.select("doc_id", F.explode(F.array(shset)).alias("shs"))
+
+    def _component(i: int):
+        # single-arg lambda on purpose: a two-arg lambda would make
+        # F.transform pass the ELEMENT INDEX as the second argument
+        return F.array_min(
+            F.transform(F.col("shs"), lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    return st.select(
+        "doc_id",
+        F.array(*[_component(i) for i in range(n_hashes)]).alias("sig"),
+        F.size("shs").cast("bigint").alias("n_sh"),
     )
 
 
@@ -201,6 +238,28 @@ def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFra
     return out
 
 
+# r19: the build parameters are ALSO encoded in a marker FILENAME
+# (_params/_META.<n_hashes>.<bands>.<pb>.<db>) so the per-entry-point
+# parameter load is one globStatus RPC (~3 ms) instead of a full Spark
+# job over the 1-row parquet (~150-300 ms measured — every maintenance
+# entry point pays it, 7x per cadence-query run). The parquet row
+# stays authoritative and is still written (it is the rebuild's commit
+# marker and the pre-r19 readers' format); the marker is written
+# beside it AFTER the parquet lands, so a crash between the two just
+# means the next load takes the parquet fallback. Same
+# metadata-in-the-filename discipline as the ingest log's
+# <key>.<accept_ms> markers (storage-independent, no stream reads).
+_PARAMS_META = "_META"
+
+
+def _write_params_meta(spark, fs, root: str, vals: tuple[int, int, int, int]) -> None:
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    name = ".".join(str(int(v)) for v in vals)
+    _, jm = _hadoop_fs(spark, f"{root}/_params/{_PARAMS_META}.{name}")
+    fs.create(jm, True).close()
+
+
 def _load_params(spark, root: str) -> tuple[int, int, int, int]:
     from idhub_spark.operators.merge_into import _hadoop_fs
 
@@ -210,6 +269,17 @@ def _load_params(spark, root: str) -> tuple[int, int, int, int]:
             f"minhash index at {root!r} has no _params — not an index, "
             "or a rebuild crashed mid-write (rerun minhash_index_write)"
         )
+    # fast path: parameters from the marker filename (glob-escaped
+    # root — caller path, the _ingest_log_has discipline)
+    _, jglob = _hadoop_fs(
+        spark, f"{_glob_escape(root.rstrip('/'))}/_params/{_PARAMS_META}.*"
+    )
+    matches = fs.globStatus(jglob)
+    if matches is not None and len(matches) == 1:
+        parts = matches[0].getPath().getName().split(".")[1:]
+        if len(parts) == 4 and all(p.lstrip("-").isdigit() for p in parts):
+            n_hashes, bands, pb, db = (int(p) for p in parts)
+            return n_hashes, bands, pb, db
     row = spark.read.parquet(f"{root}/_params").collect()[0]
     # pre-r12 indexes carry no bucket columns: flat layout, no pruning
     pb = int(getattr(row, "pb_buckets", 0) or 0)
@@ -250,6 +320,27 @@ def _write_table(df: DataFrame, path: str, part_col: str | None) -> None:
         ).parquet(path)
     else:
         df.write.mode("overwrite").parquet(path)
+
+
+def _par_jobs(*thunks) -> None:
+    """Run INDEPENDENT Spark actions concurrently from driver threads
+    (r19 — the optimization guide's job-overlap pattern): the index's
+    docs and bands tables derive from the same checkpointed state and
+    land under different paths, so writing them sequentially leaves
+    the cluster idle through each job's scheduling tail. Job
+    descriptions/groups are thread-local and Py4J allocates one
+    gateway connection per thread, so a plain pool is safe; every
+    thunk is awaited and the first exception re-raises BEFORE the
+    caller proceeds to its commit marker — crash-safety ordering is
+    unchanged (both tables staged, then marked). NOT used where
+    write ORDER is load-bearing (minhash_index_delete's bands-first
+    rewrite)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
 
 
 def _move_tree(spark, fs, src: str, dst: str) -> None:
@@ -717,8 +808,14 @@ def minhash_index_write(
         pb_buckets=pb_buckets,
         db_buckets=db_buckets,
     )
-    _write_table(docs_df, f"{root}/docs", "db" if db_buckets else None)
-    _write_table(bands_df, f"{root}/bands", "pb" if pb_buckets else None)
+    _par_jobs(
+        lambda: _write_table(
+            docs_df, f"{root}/docs", "db" if db_buckets else None
+        ),
+        lambda: _write_table(
+            bands_df, f"{root}/bands", "pb" if pb_buckets else None
+        ),
+    )
     state.unpersist()
     from idhub_spark.session import literal_frame
 
@@ -730,6 +827,11 @@ def minhash_index_write(
         [(n_hashes, bands, pb_buckets, db_buckets)],
         "n_hashes int, bands int, pb_buckets int, db_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_params")
+    # after the parquet (the commit marker) — a crash between the two
+    # leaves a valid index whose loads take the parquet fallback
+    _write_params_meta(
+        spark, fs, root, (n_hashes, bands, pb_buckets, db_buckets)
+    )
 
 
 def minhash_index_append(
@@ -829,15 +931,23 @@ def minhash_index_append(
         # (state is checkpointed, so coalesce(1) is a single JVM task
         # over materialized blocks — not the Python-sequential trap
         # literal_frame exists for)
-        docs_df.coalesce(1).write.mode("overwrite").parquet(
-            f"{staging}/{_DELTA}/docs"
-        )
-        bands_df.coalesce(1).write.mode("overwrite").parquet(
-            f"{staging}/{_DELTA}/bands"
+        _par_jobs(
+            lambda: docs_df.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{staging}/{_DELTA}/docs"),
+            lambda: bands_df.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{staging}/{_DELTA}/bands"),
         )
     else:
-        _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
-        _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
+        _par_jobs(
+            lambda: _write_table(
+                docs_df, f"{staging}/docs", "db" if db_buckets else None
+            ),
+            lambda: _write_table(
+                bands_df, f"{staging}/bands", "pb" if pb_buckets else None
+            ),
+        )
     state.unpersist()
     fs, jmark = _hadoop_fs(spark, f"{staging}/{_COMMITTED}")
     if batch_id is not None:
@@ -935,8 +1045,14 @@ def minhash_index_fold_delta(
     )
     bands_df = spark.read.parquet(f"{root}/{_DELTA}/bands")
     n_rows = docs_df.count()
-    _write_table(docs_df, f"{staging}/docs", "db" if db_buckets else None)
-    _write_table(bands_df, f"{staging}/bands", "pb" if pb_buckets else None)
+    _par_jobs(
+        lambda: _write_table(
+            docs_df, f"{staging}/docs", "db" if db_buckets else None
+        ),
+        lambda: _write_table(
+            bands_df, f"{staging}/bands", "pb" if pb_buckets else None
+        ),
+    )
     docs_df.unpersist()
 
     def _count_staged(jp):
@@ -1598,7 +1714,7 @@ def minhash_index_compact(
     dst = dst_path.rstrip("/")
     _settle_delta_rewrite(spark, src)
     _resume_or_discard_staging(spark, src)
-    _, _, pb_buckets, db_buckets = _load_params(spark, src)
+    n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, src)
     fs, _ = _hadoop_fs(spark, src)
     # one-sided delta = crashed-delete debris (bands dropped with docs
     # still present, reachable only on the all-buffered-docs-doomed
@@ -1671,6 +1787,11 @@ def minhash_index_compact(
         n_out += o
     params = spark.read.parquet(f"{src}/_params")
     params.coalesce(1).write.mode("overwrite").parquet(f"{dst}/_params")
+    # fast-path marker for the copy too (parquet first, marker second —
+    # the write-side ordering contract)
+    _write_params_meta(
+        spark, fs, dst, (n_hashes, bands, pb_buckets, db_buckets)
+    )
     # carry the ingest log (r15): the compacted copy holds the same
     # accepted batches, so their idempotency keys must keep rejecting
     # retries — each entry is an empty marker file, recreated at dst.
