@@ -162,7 +162,7 @@ def kmeans_fit(
             F.col("_x").alias("_s"),
         )
     )
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         assigned = _assign(v, centroids)
         centroids = (
             assigned.select("cluster", F.posexplode("_x").alias("dim", "xi"))
@@ -177,9 +177,20 @@ def kmeans_fit(
                 ).alias("_s"),
             )
         )
-        # truncate the growing lineage (same pattern as the CC loop);
+        # truncate the growing lineage periodically (same pattern as
+        # the CC loop) — r19: every 4th iteration instead of every
+        # iteration. Each eager checkpoint is a full Spark job; the
+        # un-checkpointed iterations fuse into the next checkpoint's
+        # single job (the assignment is a broadcast over the persisted
+        # sample, so the fused lineage re-reads nothing), and 4 levels
+        # of broadcast+aggregate keep the plan well under the
+        # replanning-cost knee. The loop-exit checkpoint below is
+        # unconditional, so callers still receive a materialized frame.
+        if (_it + 1) % 4 == 0 and _it + 1 < max_iter:
+            centroids = centroids.localCheckpoint(eager=True)
+    if max_iter > 0:
         # eager=True also means v's last consumer has executed by the
-        # time the loop exits, so the unpersist below is safe
+        # time we unpersist below
         centroids = centroids.localCheckpoint(eager=True)
     v.unpersist()
     # float mean for callers that want coordinates; _assign never
@@ -1564,16 +1575,26 @@ def ivf_index_save_fits(
     The underscore prefix keeps the subtree invisible to Spark's file
     index (data scans of the index never touch it) and to the
     compaction walker. Fits are tiny (k rows / 1 row / m*k rows) —
-    coalesce(1) so each is a single file."""
-    for name, df in (
-        ("centroids", centroids),
-        ("bounds", bounds),
-        ("codebook", codebook),
-    ):
-        if df is not None:
-            df.coalesce(1).write.mode("overwrite").parquet(
-                f"{path.rstrip('/')}/_fits/{name}"
-            )
+    coalesce(1) so each is a single file. The writes land under
+    independent paths with no ordering contract between them, so they
+    run concurrently from driver threads (r19 — the dedup index's
+    _par_jobs overlap; each fit write is a fixed ~0.2-0.4 s job at any
+    scale, and sequential saves paid that thrice)."""
+    from idhub_spark.operators.dedup_index import _par_jobs
+
+    thunks = [
+        lambda name=name, df=df: df.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/_fits/{name}")
+        for name, df in (
+            ("centroids", centroids),
+            ("bounds", bounds),
+            ("codebook", codebook),
+        )
+        if df is not None
+    ]
+    if thunks:
+        _par_jobs(*thunks)
 
 
 def ivf_index_load_fits(spark, path: str) -> dict[str, DataFrame]:
@@ -2048,6 +2069,10 @@ def ivf_index_split_cluster(
             F.col("cluster"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
         )
+    # NOT overlapped (unlike the cold-merge's staged writes): the
+    # member write overwrites the staging ROOT itself — clearing the
+    # directory a concurrent _new_centroids write would land in — so
+    # the sequential order is load-bearing here
     out.write.mode("overwrite").partitionBy("cluster").parquet(staging)
     new_centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{staging}/_new_centroids"
@@ -2397,16 +2422,20 @@ def ivf_index_merge_cold_clusters(
         .localCheckpoint(eager=True)
     )
     rows_moved = int(out.count())
-    (
-        out.repartition(F.col("cluster"))
+    # both staged writes precede the marker and land under disjoint
+    # paths — overlap them (r19, the dedup index's _par_jobs pattern)
+    from idhub_spark.operators.dedup_index import _par_jobs
+
+    _par_jobs(
+        lambda: out.repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(f"{staging}/data")
+        .parquet(f"{staging}/data"),
+        lambda: survivors.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{staging}/_new_centroids"),
     )
     out.unpersist()
-    survivors.coalesce(1).write.mode("overwrite").parquet(
-        f"{staging}/_new_centroids"
-    )
     # marker LAST: its presence + a missing cold dir is the resume key
     literal_frame(
         spark, [(int(c),) for c in cold], "cluster int"
