@@ -349,7 +349,14 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         inter_est = inter_n / theta
     jaccard = (inter_n / (a_n + b_n - inter_n)) if (a_n + b_n - inter_n) else 0.0
     spark = a.sparkSession
-    return spark.createDataFrame(
+    from idhub_spark.session import literal_frame
+
+    # JVM literal, not createDataFrame (r19): the pickled-RDD path
+    # parallelizes even this 1-row frame over defaultParallelism
+    # Python slices — the literal_frame discipline every other
+    # control-plane frame in the engine already follows
+    return literal_frame(
+        spark,
         [(float(union_est), float(inter_est), float(jaccard))],
         "union_est double, intersection_est double, jaccard_est double",
     )
