@@ -2237,7 +2237,14 @@ def ivf_index_delete(
     _settle_pending_maintenance(spark, root)
     _settle_append_staging(spark, root)
     if isinstance(ids, DataFrame):
-        ids_df = ids.select(F.col(id_col).alias(id_col)).distinct()
+        # materialized once (r19): the hits semi-join and the survivor
+        # anti-join would each re-run the caller's id lineage + the
+        # distinct exchange. Bounded by the takedown list.
+        ids_df = (
+            ids.select(F.col(id_col).alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
         if not ids:
             raise ValueError("ivf_index_delete: empty id list")

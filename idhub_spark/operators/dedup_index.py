@@ -1416,7 +1416,16 @@ def minhash_index_delete(
     _settle_delta_rewrite(spark, root)
     _resume_or_discard_staging(spark, root)
     if isinstance(ids, DataFrame):
-        ids_df = ids.select(F.col(id_col).alias("doc_id")).distinct()
+        # materialize the retraction set ONCE (r19): it feeds the db
+        # prune collect, the doomed semi-join, the delta semi count,
+        # and all four anti-join rewrites — seven consumers that each
+        # re-ran the caller's id lineage (scan + distinct exchange)
+        # otherwise. Bounded by the takedown list by construction.
+        ids_df = (
+            ids.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
         if not ids:
             raise ValueError("minhash_index_delete: empty id list")
@@ -1601,28 +1610,32 @@ def minhash_index_delete(
         ]
     # bands-first across BOTH layers (crash between the table rewrites
     # resumes by re-deriving from the still-present docs rows), and
-    # each layer skipped when it provably holds no doomed rows
-    if rows_live:
-        bands_tbl = _pruned("bands", "pb", pb_buckets, pbs)
-        _rewrite(
-            "bands",
-            "pb",
-            pb_buckets,
-            pbs,
-            bands_tbl.join(ids_df, "doc_id", "anti"),
-        )
-    if rows_delta:
-        _rewrite_delta("bands")
-    if rows_live:
-        _rewrite(
-            "docs",
-            "db",
-            db_buckets,
-            dbs,
-            docs_tbl.join(ids_df, "doc_id", "anti"),
-        )
-    if rows_delta:
-        _rewrite_delta("docs")
+    # each layer skipped when it provably holds no doomed rows. WITHIN
+    # a layer the live-partition rewrite and the delta rewrite are
+    # independent surfaces (disjoint paths, each with its own resume
+    # protocol), so they overlap on driver threads (r19 _par_jobs) —
+    # the bands-before-docs ordering is preserved by the barrier
+    # between the two layer passes.
+    def _layer(table, part_col, buckets, parts, pruned_tbl):
+        jobs = []
+        if rows_live:
+            jobs.append(
+                lambda: _rewrite(
+                    table,
+                    part_col,
+                    buckets,
+                    parts,
+                    pruned_tbl.join(ids_df, "doc_id", "anti"),
+                )
+            )
+        if rows_delta:
+            jobs.append(lambda: _rewrite_delta(table))
+        if jobs:
+            _par_jobs(*jobs)
+
+    _layer("bands", "pb", pb_buckets, pbs,
+           _pruned("bands", "pb", pb_buckets, pbs) if rows_live else None)
+    _layer("docs", "db", db_buckets, dbs, docs_tbl)
     # drop the buffer dir whenever BOTH subtables are gone — checked
     # unconditionally (ADVICE r14), not only on the rows_delta path: a
     # prior run that emptied both tables but crashed before this drop

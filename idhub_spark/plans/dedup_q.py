@@ -416,9 +416,26 @@ def simhash_hamming_pairs(spark, sf_dir):
         )
         for j in range(32)
     )
-    sigs = sums.select("doc_id", mk_sig("b").alias("sig1"), mk_sig("c").alias("sig2"))
-    # probe keys: (sig1, sig2) plus each single-bit xor flip of either
-    # half — all integer arithmetic, no string surgery
+    # checkpoint the per-doc signatures (r19): both probe sides derive
+    # from this one frame, and without materialization the build side
+    # of the candidate join re-ran the whole md5+vote aggregation a
+    # second time (duplicated subtree in the before-plan, no exchange
+    # reuse across a BroadcastExchange).
+    sigs = sums.select(
+        "doc_id", mk_sig("b").alias("sig1"), mk_sig("c").alias("sig2")
+    ).localCheckpoint(eager=True)
+    # ASYMMETRIC probing (r19 — the Manku et al. table layout): flips
+    # on ONE side only. For a pair at hamming distance 1, flipping the
+    # differing bit in the smaller-id doc's signature yields the other
+    # doc's EXACT signature (and distance 0 matches on the no-flip
+    # probe), so probes(a) ⋈ exact(b) with doc_a < doc_b covers every
+    # distance <= 1 pair — and ONLY those (flip_j(a) == b forces
+    # d(a,b) <= 1), each exactly once. vs the old both-sides-flipped
+    # self-join: the join's build side is |docs| rows instead of
+    # 65*|docs|, no distance-2 false candidates, and the dedup
+    # .distinct() exchange is provably unnecessary (a d=0 pair used to
+    # collide on all 65 probes). The hamming verify stays as the
+    # output column (and a belt-and-braces filter).
     probes_arr = [F.struct(F.col("sig1").alias("p1"), F.col("sig2").alias("p2"))]
     for j in range(32):
         probes_arr.append(
@@ -436,26 +453,28 @@ def simhash_hamming_pairs(spark, sf_dir):
     probes = sigs.select(
         "doc_id", "sig1", "sig2", F.explode(F.array(*probes_arr)).alias("p")
     ).select("doc_id", "sig1", "sig2", "p.p1", "p.p2")
-    a, b = probes.alias("a"), probes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.p1") == F.col("b.p1"))
-            & (F.col("a.p2") == F.col("b.p2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig1").alias("a1"),
-            F.col("a.sig2").alias("a2"),
-            F.col("b.sig1").alias("b1"),
-            F.col("b.sig2").alias("b2"),
-        )
-        .distinct()
+    exact = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig1").alias("b1"),
+        F.col("sig2").alias("b2"),
     )
-    # verify: probe collisions can pair signatures at distance 2
-    # (a's flip at bit i == b's flip at bit j), so re-check
+    # NO broadcast hint: the exact side is one row per document — it
+    # scales with the corpus (the r11 boundedness rule), so Catalyst's
+    # threshold decides (broadcast at harness bytes, SMJ at 100 TB —
+    # where the shuffle now carries 1 row/doc instead of 65)
+    cand = probes.join(
+        exact,
+        (F.col("p1") == F.col("b1"))
+        & (F.col("p2") == F.col("b2"))
+        & (F.col("doc_id") < F.col("doc_b")),
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        F.col("sig1").alias("a1"),
+        F.col("sig2").alias("a2"),
+        "b1",
+        "b2",
+    )
     hamming = (
         F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
         + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
