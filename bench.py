@@ -18,8 +18,8 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "returned_item_report",
-    # large_orders retired from the registry r18 (tests/test_retired.py)
-    # — the `n in REGISTRY` filter below drops it automatically.
+    # large_orders was retired r18 (tests/test_retired.py) and removed
+    # from this list.
 ]
 
 

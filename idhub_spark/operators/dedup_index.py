@@ -471,8 +471,10 @@ def _marker_name(key: str, accept_ms: int) -> str:
     return f"{key}.{accept_ms}"
 
 
-# Hadoop glob metacharacters (org.apache.hadoop.fs.GlobPattern):
-# backslash first so escapes aren't double-escaped.
+# Hadoop glob metacharacters (org.apache.hadoop.fs.GlobPattern).
+# Backslash is itself a metachar and must be IN the set so literal
+# backslashes get escaped too; _glob_escape maps each character
+# independently, so ordering within this string is irrelevant.
 _GLOB_SPECIALS = "\\*?[]{}"
 
 
