@@ -180,6 +180,14 @@ def _doc_state(
     doc_ids are assumed unique across the input (the module-level
     ingest discipline); the old groupBy coincidentally merged
     duplicate ids, this form emits one row per input row.
+
+    Memory envelope: one document's shingle SET now lives in a single
+    row value (the exploded form streamed it) — per-task memory is
+    bounded by the largest document's shingle bytes (~3x its text).
+    Ingest-size discipline already caps documents well under row
+    limits (the doc_chunking operator is the pressure valve for
+    outliers); a corpus of multi-GB single documents should chunk
+    before indexing.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
