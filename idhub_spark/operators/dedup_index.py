@@ -207,17 +207,24 @@ def _doc_state(
         ).otherwise(F.array(F.trim(F.col("text"))))
     )
     st = ws_row.select("doc_id", F.explode(F.array(shset)).alias("shs"))
-
-    def _component(i: int):
-        # single-arg lambda on purpose: a two-arg lambda would make
-        # F.transform pass the ELEMENT INDEX as the second argument
-        return F.array_min(
-            F.transform(F.col("shs"), lambda s: F.xxhash64(F.lit(i), s))
+    # ONE F.expr for the whole signature array: building the n_hashes
+    # array_min(transform(...)) columns through the Python DSL costs
+    # hundreds of Py4J round-trips per call (~0.5 s of pure driver
+    # time, x7 calls per cadence-query run — measured); the SQL string
+    # is a single JVM-side parse. xxhash64(<int literal>, s) types the
+    # seed exactly like F.lit(i), so values are bit-identical
+    # (A/B-pinned in tests).
+    sig = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(shs, s -> xxhash64({i}, s)))"
+            for i in range(n_hashes)
         )
-
+        + ")"
+    )
     return st.select(
         "doc_id",
-        F.array(*[_component(i) for i in range(n_hashes)]).alias("sig"),
+        F.expr(sig).alias("sig"),
         F.size("shs").cast("bigint").alias("n_sh"),
     )
 
@@ -230,20 +237,25 @@ def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFra
     rows = n_hashes // bands
     if rows * bands != n_hashes:
         raise ValueError("n_hashes must be divisible by bands")
-    parts = [
-        state.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
-            ).alias("bkey"),
+    # one explode(array(struct...)) instead of a `bands`-way union
+    # (r19): the union re-scanned the (checkpointed) state once per
+    # band and scheduled a taskset per branch; the Generate emits the
+    # same rows in one pass. Built as ONE SQL string — the Python DSL
+    # pays a Py4J round-trip per expression node (the _doc_state
+    # measurement). `<int> as band` types the literal exactly like
+    # F.lit(bi).
+    structs = ", ".join(
+        "struct({bi} as band, xxhash64({comps}) as bkey)".format(
+            bi=bi,
+            comps=", ".join(
+                f"element_at(sig, {bi * rows + r + 1})" for r in range(rows)
+            ),
         )
         for bi in range(bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return state.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("_b")
+    ).select("doc_id", "_b.band", "_b.bkey")
 
 
 # r19: the build parameters are ALSO encoded in a marker FILENAME
