@@ -115,77 +115,72 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 18 front (window = first 50, composed EXACTLY as VERDICT
-    # r17 asks #1+#2 pin):
-    # The three r17 deferrals (large_orders, idle_customers,
-    # order_priority_check — r14 evidence, the oldest live) are NOT
-    # deferred again: they are RETIRED outright (VERDICT r17 ask #2,
-    # the judge's named candidates — low-information TPC-H-parity
-    # plans whose mechanisms are pinned by live rows; displacement
-    # rationale + oracle-exact CI pin in tests/test_retired.py and
-    # plans/tpch.py). Registry 149 -> 146, so the window fits with
-    # ZERO deferrals and the rotation math goes sustainable
-    # (146 keys / 3-round policy ≈ 48.7 <= 50 per round).
-    # (1) the four r16-evidenced rows riding r17-CHANGED index files
-    # (dedup_index.py/ann.py: marker-filename codec, narrowed
-    # rerun-flag clear, adopt-unrouted fix, fsck surfaces — and the
-    # r18 ADVICE fixes touch the same files again: listStatus dup
-    # check, fsck horizon wiring). All four MATCHed r17's full
-    # sf0.01+sf0.1 sims; their r16 evidence expires r19.
-    "split_hot_clusters_state",
-    "minhash_index_probe_state",
-    "ann_topk_ivf",
-    "ann_topk_multiprobe",
-    # (2) the full 46-key r15-latest cohort (CORRECTNESS_r15 keys
-    # never re-evidenced in r16/r17, standing <=3-rounds rotation
-    # policy). 4 + 46 = 50 exactly. After this pass no live evidence
-    # is older than r16.
-    "blocked_fuzzy_linkage",
-    "boolean_parse",
-    "bpe_pair_counts",
-    "change_classification",
-    "dedup_cluster_canonical",
-    "downsample_majority_class",
-    "duplicate_id_detection",
-    "duplicate_subject_finder",
-    "embedding_near_dup",
-    "embedding_norm_stats",
-    "exact_dedup",
-    "extract_year",
-    "field_mapping",
-    "fragment_assembly",
-    "frame_sampling",
-    "gsid_mint_shape",
-    "id_validation",
-    "identity_components",
-    "incremental_merge_state",
-    "jdbc_partitioned_scan",
-    "keyed_lookup_semi",
-    "leakage_safe_split",
-    "multi_type_subjects",
-    "multimodal_decode",
-    "name_normalization",
-    "ngram_jaccard_pairs",
-    "orphan_detection",
-    "pending_resolutions_scan",
-    "quality_percentile_filter",
-    "redcap_dictionary_scan",
-    "registration_year_normalize",
-    "resolution_stats",
-    "rest_paginated_scan",
-    "salted_hot_key_join",
-    "sequence_packing",
-    "simhash_buckets",
-    "sliding_window_rollup",
-    "stratified_sample",
-    "streaming_dedup",
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
-    "subjects_by_source",
-    "tfidf_keywords",
-    "train_test_split",
-    "unpivot_candidates",
-    "weighted_mixture_sample",
+    # round 19 window (= first 50), composed EXACTLY as VERDICT r18
+    # ask #1 pins. r19 is the first OPTIMIZATION round: this window
+    # change is the one rotation action taken (no new queries, no
+    # retirements; registry stays 146).
+    # (1) the four r17-evidenced index composites riding r18-changed
+    # dedup_index.py — the r18 dup-check rewrite is on their append
+    # path, AND the r19 optimization diff hits the same paths again
+    # (shuffle-free _doc_state, _params marker fast path, overlapped
+    # staged writes, materialized retraction sets, expr-built
+    # signature plans). All four MATCHed the r19 full sf0.01 + sf0.1
+    # sims on the optimized tree.
+    "minhash_index_lifecycle_state",
+    "minhash_index_cadence_state",
+    "minhash_index_stopbucket_state",
+    "ivf_maintenance_state",
+    # (2) the 46-key r16-latest cohort (r16's 50 minus the 4 rows
+    # re-evidenced in r18), enumerated by the r18 round notes and
+    # verified against CORRECTNESS_r16 + the live registry.
+    # 4 + 46 = 50 exactly; after this pass no live evidence is older
+    # than r17.
+    "alias_resolution",
+    "asof_last_click",
+    "audit_trail",
+    "avg_yearly_small_qty",
+    "binary_features",
+    "bpe_merge_apply",
+    "change_stats",
+    "conflict_apply_state",
+    "conflict_detection",
+    "conflict_exclusion",
+    "conflict_summary",
+    "csv_roundtrip_staging",
+    "customer_order_distribution",
+    "data_type_counts",
+    "doc_chunking",
+    "doc_fingerprint",
+    "domain_mixture_weights",
+    "event_value_percentiles",
+    "family_linkage",
+    "first_wins_dedup",
+    "flexible_timestamp_parse",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_center_match",
+    "gopher_quality_rules",
+    "gsid_filter",
+    "heavy_hitter_users",
+    "identity_link_back",
+    "identity_resolution",
+    "image_resize_check",
+    "labkey_sync_state",
+    "lang_id_heuristic",
+    "per_center_summary",
+    "per_subject_review",
+    "pii_redaction",
+    "priority_status_rollup",
+    "quality_score",
+    "repetition_filter",
+    "replica_divergence",
+    "returnflag_status_cube",
+    "stateful_sessionize",
+    "subject_enrichment",
+    "token_count",
+    "top_revenue_supplier",
+    "type_coercion",
+    "vocabulary_topk",
 ]
 
 
