@@ -2,7 +2,8 @@
 
 Usage:
     python tools/dump_plans.py <suffix> query_a query_b ...
-writes plans/r19/<query>_<suffix>.txt for each query (suffix is
+writes plans/$IDHUB_PLANS_ROUND/<query>_<suffix>.txt (default r20)
+for each query (suffix is
 'before' or 'after'). The composite state queries execute their
 operator side effects while BUILDING the returned frame; the dumped
 plan is the final verdict frame's plan, which is what the returned
@@ -24,7 +25,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r19",
+        os.environ.get("IDHUB_PLANS_ROUND", "r20"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -18,6 +18,32 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _nopart_windows(plan: str) -> int:
+    """Count Window operators with an EMPTY partition spec by parsing
+    each `(n) Window` detail section's Arguments line into top-level
+    [...] groups (2 groups = [funcs], [order] — no partition; 3 =
+    partitioned). Replaces the old tree-line regex, which missed
+    ':- '-prefixed nodes entirely (ADVICE r19)."""
+    n = 0
+    for sec in re.split(r"\n\n+", plan):
+        if not re.match(r"^\(\d+\) Window\b", sec):
+            continue
+        m = re.search(r"(?m)^Arguments: (.*)$", sec)
+        if not m:
+            continue
+        depth, groups = 0, 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/plan_audit.tsv"
@@ -39,8 +65,13 @@ def main() -> None:
         finally:
             spark.catalog.clearCache()
         counts = {
-            "exch": len(re.findall(r"\bExchange\b", plan))
-            - len(re.findall(r"ReusedExchange|BroadcastExchange", plan)),
+            # ADVICE r19: \bExchange\b can never match inside
+            # ReusedExchange/BroadcastExchange (the preceding char is a
+            # word char, so there is no boundary) — the old subtraction
+            # systematically UNDERCOUNTED plain shuffle exchanges and
+            # could go negative. A negative lookbehind counts exactly
+            # the plain `Exchange ...` nodes.
+            "exch": len(re.findall(r"(?<![A-Za-z])Exchange\b", plan)),
             "bexch": len(re.findall(r"BroadcastExchange", plan)),
             "reuse": len(re.findall(r"ReusedExchange", plan)),
             "smj": len(re.findall(r"SortMergeJoin", plan)),
@@ -51,10 +82,12 @@ def main() -> None:
             "arrow": len(
                 re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
             ),
-            "gsort": len(re.findall(r"^\s*\+?- Sort ", plan, re.M)),
-            "nopart_win": len(
-                re.findall(r"Window \[[^\]]*\](?!, \[)", plan)
-            ),
+            # formatted-mode operator ids ("Sort (7)") instead of tree
+            # prefixes: the old ^\s*\+?- form missed ':- '-branch nodes
+            # (ADVICE r19). The space before '(' excludes
+            # SortAggregate/SortMergeJoin.
+            "gsort": len(re.findall(r"(?<![A-Za-z])Sort \(\d+\)", plan)),
+            "nopart_win": _nopart_windows(plan),
         }
         rows.append(
             (

@@ -19,15 +19,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_JOBS = {"tracker": None}
+
+
+def _job_count() -> int:
+    """Total Spark jobs submitted so far (AppStatusStore row count) —
+    the action-count signal the r20 optimization targets: every
+    collect/count/checkpoint/write is >= 1 job, and the composite
+    state queries are job-count-bound at ~0.25 s/job (r19 profiler)."""
+    store = _JOBS["tracker"]
+    return store.jobsList(None).size() if store is not None else 0
+
+
 def _wrap(mod, name, log):
     fn = getattr(mod, name)
 
     def shim(*a, **kw):
         t0 = time.perf_counter()
+        j0 = _job_count()
         try:
             return fn(*a, **kw)
         finally:
-            log.append((name, time.perf_counter() - t0))
+            log.append((name, time.perf_counter() - t0, _job_count() - j0))
 
     shim.__name__ = fn.__name__
     setattr(mod, name, shim)
@@ -78,26 +91,33 @@ def main() -> None:
         _wrap(ann, name, log)
 
     spark = get_spark("idhub_profile")
+    _JOBS["tracker"] = spark.sparkContext._jsc.sc().statusStore()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     for qname in names:
         log.clear()
         spark.sparkContext.setJobDescription(f"profile:{qname}")
         t0 = time.perf_counter()
+        j0 = _job_count()
         df = REGISTRY[qname].fn(spark, sf_dir)
         n = df.count()
         total = time.perf_counter() - t0
+        total_jobs = _job_count() - j0
         spark.catalog.clearCache()
-        print(f"== {qname}: {total:.3f}s total ({n} rows)")
+        print(f"== {qname}: {total:.3f}s total, {total_jobs} Spark jobs ({n} rows)")
         acc = total
-        for op, dt in log:
+        for op, dt, jobs in log:
             # nested calls double-count (e.g. _doc_state inside append);
             # indent the inner ones visually by name only
-            print(f"   {dt:7.3f}s  {op}")
+            print(f"   {dt:7.3f}s {jobs:3d}j  {op}")
         covered = sum(
-            dt for op, dt in log if not op.startswith("_")
+            dt for op, dt, _j in log if not op.startswith("_")
         )
-        print(f"   {acc - covered:7.3f}s  (outside top-level ops)")
+        cov_jobs = sum(_j for op, dt, _j in log if not op.startswith("_"))
+        print(
+            f"   {acc - covered:7.3f}s {total_jobs - cov_jobs:3d}j  "
+            "(outside top-level ops)"
+        )
 
 
 if __name__ == "__main__":
