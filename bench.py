@@ -130,6 +130,12 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "stat": "min_of_2",
+        # the OBSERVED parallelism (VERDICT r19 ask #2): the driver's
+        # scaling check cannot otherwise distinguish 'env honored but
+        # fixed-overhead-bound at this SF' from 'env ignored' —
+        # defaultParallelism is what local[$SPARK_GRAFT_CPUS] actually
+        # gave this run.
+        "cpus": spark.sparkContext.defaultParallelism,
         "n_queries": len(timings),
         "errors": errors[:10],
         "n_errors": len(errors),

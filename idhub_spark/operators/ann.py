@@ -2079,15 +2079,15 @@ def ivf_index_split_cluster(
     )
     # the marker is the LAST staging write and precedes the delete: its
     # presence certifies a complete staging; its content keys a later
-    # rerun's discard-vs-resume decision to THIS cluster. JVM literal
-    # frame: a createDataFrame+coalesce(1) write costs ~5 s per split
-    # iteration (sequentialized Python partitions — literal_frame
-    # docstring)
-    from idhub_spark.session import literal_frame
+    # rerun's discard-vs-resume decision to THIS cluster. Driver-side
+    # parquet bytes (r20): no Spark job at all — the literal_frame
+    # write was still a ~0.2-0.3 s job per split iteration; readers
+    # (spark.read.parquet in _settle_split_staging) are unchanged.
+    from idhub_spark.operators.dedup_index import _write_small_parquet
 
-    literal_frame(spark, [(int(cluster),)], "cluster int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{staging}/_source_cluster")
+    _write_small_parquet(
+        spark, f"{staging}/_source_cluster", [(int(cluster),)], "cluster int"
+    )
     # phase 2 — APPLY: delete old, rename staged dirs in, refresh fits
     _, jold = jvm_path(f"{root}/cluster={cluster}")
     fs.delete(jold, True)
@@ -2239,11 +2239,14 @@ def ivf_index_delete(
     if isinstance(ids, DataFrame):
         # materialized once (r19): the hits semi-join and the survivor
         # anti-join would each re-run the caller's id lineage + the
-        # distinct exchange. Bounded by the takedown list.
+        # distinct exchange. Bounded by the takedown list. LAZY persist
+        # (r20): the per-cluster collect below is its first action and
+        # caches it in the same job — the standalone checkpoint job is
+        # gone.
         ids_df = (
             ids.select(F.col(id_col).alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
     else:
         if not ids:
@@ -2356,8 +2359,6 @@ def ivf_index_merge_cold_clusters(
     r12): a crashed split's members live only in its staging, so the
     stats scan below would otherwise judge coldness over an index
     missing committed rows."""
-    from idhub_spark.session import literal_frame
-
     root = path.rstrip("/")
     staging = f"{root}/_merge_staging"
 
@@ -2409,25 +2410,22 @@ def ivf_index_merge_cold_clusters(
             f"min_rows={min_rows} — re-fit the index instead of merging"
         )
 
-    survivors = centroids.filter(~F.col("cluster").isin(cold)).localCheckpoint(
-        eager=True
-    )
+    # LAZY persist on both (r20): rows_moved's count is the first
+    # action — it materializes `out` AND (through the broadcast build
+    # inside the assignment) `survivors` into the cache in that one
+    # job, where the two eager checkpoints were two standalone jobs.
+    # The cache still guarantees the count and the written rows are
+    # the same computation, and survivors stays pinned before
+    # _fits/centroids is overwritten in the apply phase (the
+    # self-overwrite trap: its lineage may read that parquet).
+    survivors = centroids.filter(~F.col("cluster").isin(cold)).persist()
     members = spark.read.parquet(root).filter(F.col("cluster").isin(cold))
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = _assign(
         members.select(F.col(id_col).alias("_id"), vec_d.alias("_v")),
         survivors,
     ).select(F.col("_id").alias(id_col), "cluster")
-    # checkpoint, then count + write from the materialized rows: an
-    # Observation on the write would never fire when the staged write
-    # lands ZERO rows (every cold cluster an already-emptied orphan)
-    # and its retrieval throws; the checkpoint also guarantees the
-    # count and the written rows are the same computation
-    out = (
-        members.drop("cluster")
-        .join(assigned, id_col)
-        .localCheckpoint(eager=True)
-    )
+    out = members.drop("cluster").join(assigned, id_col).persist()
     rows_moved = int(out.count())
     # both staged writes precede the marker and land under disjoint
     # paths — overlap them (r19, the dedup index's _par_jobs pattern)
@@ -2443,10 +2441,17 @@ def ivf_index_merge_cold_clusters(
         .parquet(f"{staging}/_new_centroids"),
     )
     out.unpersist()
-    # marker LAST: its presence + a missing cold dir is the resume key
-    literal_frame(
-        spark, [(int(c),) for c in cold], "cluster int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
+    # marker LAST: its presence + a missing cold dir is the resume key.
+    # Driver-side parquet bytes (r20): no Spark job; the reader
+    # (_settle_merge_staging's spark.read.parquet) is unchanged.
+    from idhub_spark.operators.dedup_index import _write_small_parquet
+
+    _write_small_parquet(
+        spark,
+        f"{staging}/_cold_clusters",
+        [(int(c),) for c in cold],
+        "cluster int",
+    )
     _apply_merge_staging(spark, root, survivors, cold)
     return survivors, {"merged_clusters": cold, "rows_moved": rows_moved}
 
@@ -2487,7 +2492,6 @@ def ivf_index_adopt_unrouted(
     index is clean — the common case costs the entry settles plus one
     listStatus)."""
     from idhub_spark.operators.merge_into import _hadoop_fs
-    from idhub_spark.session import literal_frame
 
     root = path.rstrip("/")
     staging = f"{root}/_merge_staging"
@@ -2528,6 +2532,8 @@ def ivf_index_adopt_unrouted(
     # (_assign windows by _id, so duplicates would otherwise collapse);
     # _assign preserves input columns, so the original row rides along.
     keep = [c for c in members.columns if c != "cluster"]
+    # lazy persist + count = one materialization job (r20; the eager
+    # checkpoint was a standalone job before the count)
     out = (
         _assign(
             members.drop("cluster")
@@ -2536,7 +2542,7 @@ def ivf_index_adopt_unrouted(
             centroids,
         )
         .select(*keep, "cluster")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     adopted = int(out.count())
     (
@@ -2546,13 +2552,21 @@ def ivf_index_adopt_unrouted(
         .parquet(f"{staging}/data")
     )
     out.unpersist()
+    # cents is pinned (k rows) before _fits/centroids is overwritten in
+    # the apply phase — its lineage may read that parquet
     cents = centroids.localCheckpoint(eager=True)
     cents.coalesce(1).write.mode("overwrite").parquet(
         f"{staging}/_new_centroids"
     )
-    literal_frame(
-        spark, [(int(c),) for c in zombies], "cluster int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_cold_clusters")
+    # driver-side parquet bytes (r20): no Spark job; reader unchanged
+    from idhub_spark.operators.dedup_index import _write_small_parquet
+
+    _write_small_parquet(
+        spark,
+        f"{staging}/_cold_clusters",
+        [(int(c),) for c in zombies],
+        "cluster int",
+    )
     _apply_merge_staging(spark, root, cents, zombies)
     return {"adopted_rows": adopted, "dropped_clusters": zombies}
 

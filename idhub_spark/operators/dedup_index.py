@@ -158,7 +158,8 @@ def _doc_state(
     min over a set is duplicate- and order-insensitive, so the values
     are bit-identical to the aggregated form; n_sh is the distinct
     count either way. Same hash evaluations per (doc, shingle), no
-    exchange, one scan (plan pins: tests/test_dedup_index.py).
+    exchange, one scan (plan + A/B value pins:
+    tests/test_dedup_index.py::test_doc_state_plan_shape_and_ab_values).
 
     The two explode(array(...)) Generates are 1-row:1-row barriers
     that materialize the split array and the shingle set as real
@@ -213,7 +214,8 @@ def _doc_state(
     # time, x7 calls per cadence-query run — measured); the SQL string
     # is a single JVM-side parse. xxhash64(<int literal>, s) types the
     # seed exactly like F.lit(i), so values are bit-identical
-    # (A/B-pinned in tests).
+    # (A/B-pinned in tests/test_dedup_index.py::
+    # test_doc_state_plan_shape_and_ab_values).
     sig = (
         "array("
         + ", ".join(
@@ -272,12 +274,92 @@ def _bands_from_state(state: DataFrame, *, n_hashes: int, bands: int) -> DataFra
 _PARAMS_META = "_META"
 
 
-def _write_params_meta(spark, fs, root: str, vals: tuple[int, int, int, int]) -> None:
+def _write_params_meta(spark, root: str, vals: tuple[int, int, int, int]) -> None:
     from idhub_spark.operators.merge_into import _hadoop_fs
 
     name = ".".join(str(int(v)) for v in vals)
-    _, jm = _hadoop_fs(spark, f"{root}/_params/{_PARAMS_META}.{name}")
+    # use the fs RESOLVED FOR THIS PATH, never a caller's (ADVICE r19:
+    # compact passed its src-resolved fs while creating the marker
+    # under dst — a cross-filesystem compact threw 'Wrong FS' after
+    # dst data and _params were already written)
+    fs, jm = _hadoop_fs(spark, f"{root}/_params/{_PARAMS_META}.{name}")
     fs.create(jm, True).close()
+
+
+def _write_small_parquet(
+    spark, dir_path: str, rows: list[tuple], schema: str
+) -> None:
+    """Land a TINY all-integer control-plane parquet directory WITHOUT
+    a Spark job (r20 — VERDICT r19 candidate #3): even the
+    literal_frame + coalesce(1) write is a full job (~0.2-0.3 s), paid
+    by every index write/compact (_params) and every staged split/merge
+    marker. The bytes are built driver-side with pyarrow — int32 for
+    'int', int64 for 'bigint', schema-exact to what the Spark write
+    produced — and streamed through the Hadoop FileSystem API, so the
+    path stays storage-independent (object stores included) and every
+    reader is unchanged: spark.read.parquet over the directory. The
+    directory is cleared first (mode='overwrite' semantics). Falls back
+    to the literal_frame Spark write on any pyarrow/stream failure —
+    never silently (the caller would otherwise re-pay the job forever
+    without a signal)."""
+    from idhub_spark.operators.merge_into import _hadoop_fs
+
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_types = {"int": pa.int32(), "bigint": pa.int64(), "long": pa.int64()}
+        table = pa.table(
+            {
+                name.strip(): pa.array(
+                    [int(row[i]) for row in rows], pa_types[typ]
+                )
+                for i, (name, typ) in enumerate(fields)
+            }
+        )
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink)
+        data = sink.getvalue().to_pybytes()
+        fs, jdir = _hadoop_fs(spark, dir_path)
+        if fs.exists(jdir):
+            fs.delete(jdir, True)
+        _, jf = _hadoop_fs(
+            spark, f"{dir_path.rstrip('/')}/part-00000-driver.snappy.parquet"
+        )
+        out = fs.create(jf, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"driver-side parquet write of {dir_path!r} failed "
+            f"({type(e).__name__}: {e}); falling back to the Spark "
+            "parquet write",
+            stacklevel=2,
+        )
+        from idhub_spark.session import literal_frame
+
+        literal_frame(spark, rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dir_path)
+
+
+def _write_params_parquet(
+    spark, root: str, vals: tuple[int, int, int, int]
+) -> None:
+    """The authoritative 1-row _params parquet, driver-side (no Spark
+    job; format, the delete-first/rewrite-last commit protocol and
+    every pre-r19 reader unchanged — see _write_small_parquet)."""
+    _write_small_parquet(
+        spark,
+        f"{root}/_params",
+        [tuple(int(v) for v in vals)],
+        "n_hashes int, bands int, pb_buckets int, db_buckets int",
+    )
 
 
 def _load_params(spark, root: str) -> tuple[int, int, int, int]:
@@ -820,9 +902,15 @@ def minhash_index_write(
             fs.delete(jst, True)
     if fs.exists(jparams):
         fs.delete(jparams, True)
+    # LAZY persist instead of an eager checkpoint job (r20): the two
+    # overlapped table writes below are the state's first actions — the
+    # first write job computes each partition into the cache, the
+    # second blocks on the per-partition cache lock and reads it, so
+    # the state is still computed exactly once and the standalone
+    # materialization job disappears (guide §1.2 — one fewer pass).
     state = _doc_state(
         docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
+    ).persist()
     docs_df, bands_df = _tables(
         state,
         n_hashes=n_hashes,
@@ -839,20 +927,15 @@ def minhash_index_write(
         ),
     )
     state.unpersist()
-    from idhub_spark.session import literal_frame
-
-    # JVM literal, not createDataFrame: a parallelize-backed 1-row
-    # frame under coalesce(1) runs its Python partitions sequentially
-    # (~5 s measured for this exact write; literal_frame docstring)
-    literal_frame(
-        spark,
-        [(n_hashes, bands, pb_buckets, db_buckets)],
-        "n_hashes int, bands int, pb_buckets int, db_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_params")
+    # driver-side parquet bytes — no Spark job (r20; format and the
+    # delete-first/rewrite-last commit protocol unchanged)
+    _write_params_parquet(
+        spark, root, (n_hashes, bands, pb_buckets, db_buckets)
+    )
     # after the parquet (the commit marker) — a crash between the two
     # leaves a valid index whose loads take the parquet fallback
     _write_params_meta(
-        spark, fs, root, (n_hashes, bands, pb_buckets, db_buckets)
+        spark, root, (n_hashes, bands, pb_buckets, db_buckets)
     )
 
 
@@ -925,12 +1008,13 @@ def minhash_index_append(
         return "duplicate"
 
     staging = f"{root}/{_STAGING}"
+    # lazy persist + count = ONE materialization job (r20; was an eager
+    # checkpoint job AND a count job). The count doubles as the routing
+    # input and the empty-batch guard (an all-null/empty batch returns
+    # 'empty' without staging anything).
     state = _doc_state(
         docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
-    # one cheap job over the checkpointed blocks; also guards the
-    # delta path against zero-row writes (parquet emits no part-file
-    # for an empty task — the staged dir would be unreadable)
+    ).persist()
     n_docs = state.count()
     if n_docs == 0:
         state.unpersist()
@@ -950,9 +1034,9 @@ def minhash_index_append(
     )
     if route == "delta":
         # partition ids stay as plain data columns; one file per table
-        # (state is checkpointed, so coalesce(1) is a single JVM task
-        # over materialized blocks — not the Python-sequential trap
-        # literal_frame exists for)
+        # (state is cached by the count above, so coalesce(1) is a
+        # single JVM task over materialized blocks — not the
+        # Python-sequential trap literal_frame exists for)
         _par_jobs(
             lambda: docs_df.coalesce(1)
             .write.mode("overwrite")
@@ -1062,9 +1146,9 @@ def minhash_index_fold_delta(
         )
         return {"folded_rows": 0, "files_written": 0}
     staging = f"{root}/{_STAGING}"
-    docs_df = spark.read.parquet(f"{root}/{_DELTA}/docs").localCheckpoint(
-        eager=True
-    )
+    # lazy persist + count = one materialization job (r20); the cached
+    # image also pins the pre-fold file snapshot the staged write reads
+    docs_df = spark.read.parquet(f"{root}/{_DELTA}/docs").persist()
     bands_df = spark.read.parquet(f"{root}/{_DELTA}/bands")
     n_rows = docs_df.count()
     _par_jobs(
@@ -1119,7 +1203,7 @@ def minhash_index_probe(
     nothing, so the caller is not trusted with them).
 
     Cost shape: the batch computes its own shingle state ONCE (the
-    state is checkpointed; every downstream job reuses it); history
+    state is cached; every downstream job reuses it); history
     contributes only (a) the band partitions whose pb matches a batch
     band key — lossless pruning, since the candidate join requires
     bkey equality — and (b) the doc partitions whose db matches a
@@ -1134,7 +1218,7 @@ def minhash_index_probe(
     layouts.
 
     Bulk-backfill caveat: on a db-bucketed index the candidate set is
-    localCheckpointed (executor memory/disk, ∝ matched candidates) to
+    cached (executor memory/disk, ∝ matched candidates) to
     derive the doc-partition prune set without recomputing the join —
     right for the ingest-batch cadence this index serves; a backfill
     the size of history touches every bucket anyway, so run those
@@ -1168,9 +1252,15 @@ def minhash_index_probe(
     n_hashes, bands, pb_buckets, db_buckets = _load_params(spark, root)
     _settle_delta_rewrite(spark, root, best_effort=True)
     _resume_or_discard_staging(spark, root, best_effort=True)
+    # LAZY persist (r20): the pb prune-set collect below is the state's
+    # first action and materializes it into the cache in the SAME job —
+    # the standalone eager-checkpoint job is gone (on a flat index the
+    # first consumer of the returned frame materializes it instead).
+    # Every downstream consumer still computes the batch's shingle
+    # state exactly once, from the cache.
     b_state = _doc_state(
         batch, n_hashes=n_hashes, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
+    ).persist()
     b_bands = _bands_from_state(b_state, n_hashes=n_hashes, bands=bands)
 
     def _drop_hot(bands_df):
@@ -1242,9 +1332,11 @@ def minhash_index_probe(
     if db_buckets:
         # the estimate join needs only matched candidates' doc rows;
         # their db partitions are a bounded literal set (≤ db_buckets
-        # ids). The candidates are checkpointed so collecting the set
-        # doesn't re-run the candidate join for the main plan.
-        hist_cand = hist_cand.localCheckpoint(eager=True)
+        # ids). LAZY persist + collect (r20): the prune-set collect is
+        # the candidate join's first action and caches it in the same
+        # job (was an eager checkpoint job + a collect job), so the
+        # estimate join still never re-runs the candidate join.
+        hist_cand = hist_cand.persist()
         dbs = [
             r.db
             for r in hist_cand.select(
@@ -1443,10 +1535,13 @@ def minhash_index_delete(
         # and all four anti-join rewrites — seven consumers that each
         # re-ran the caller's id lineage (scan + distinct exchange)
         # otherwise. Bounded by the takedown list by construction.
+        # LAZY persist (r20): the db prune collect (or, flat, the
+        # doomed-stats job) is its first action and caches it in the
+        # same job — the standalone checkpoint job is gone.
         ids_df = (
             ids.select(F.col(id_col).alias("doc_id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
     else:
         if not ids:
@@ -1545,15 +1640,29 @@ def minhash_index_delete(
         missing delta as 'no buffered appends', so the empty case
         needs no schema-preserving placeholder (and a staged 0-row
         write is no emptiness signal anyway: Spark writes a schema-
-        bearing empty part-file). The count is one cheap job — the
-        delta is tiny by construction.
+        bearing empty part-file for this flat coalesce(1) shape —
+        verified empirically on Spark 4.1).
 
         An ABSENT table is 'already emptied' (ADVICE r14): when every
-        buffered doc is doomed the bands leg drops its dir (surv==0),
-        so a crash before the docs leg makes the rerun re-enter here
-        with bands gone — reading it would throw PATH_NOT_FOUND, not
-        re-derive an empty survivor set (spark.read.parquet of an
-        absent path raises).
+        buffered doc is doomed the bands leg drops its dir (the
+        no-survivors branch), so a crash before the docs leg makes the
+        rerun re-enter here with bands gone — reading it would throw
+        PATH_NOT_FOUND, not re-derive an empty survivor set
+        (spark.read.parquet of an absent path raises).
+
+        Emptiness is read off the STAGED write itself (r20): an
+        Observation on the staged write returns the survivor count in
+        the SAME job (measured to fire even at zero rows for this
+        flat coalesce(1) shape — unlike the dynamic-partitioned writes
+        in _rewrite, where zero rows prune the metrics node, hence the
+        directory-listing guard there), so the old pre-count job is
+        gone. The metric is read via the non-blocking getOrEmpty with
+        a tiny read-back count as the fallback — a plan shape that
+        pruned the metrics could never hang the delete. Every crash
+        point still resolves: a crash after the staged write re-runs
+        the takedown per the at-least-once contract; a crash between
+        the live drop and the staging cleanup leaves only stale
+        staging the next delete overwrites.
 
         Survivors promote by RENAME SWAP, never a second overwrite
         over the path the anti-join just read (ADVICE r14): stage the
@@ -1568,11 +1677,29 @@ def minhash_index_delete(
         fs, jlive = _hadoop_fs(spark, live)
         if not fs.exists(jlive):
             return
+        from pyspark.sql import Observation
+
         surv = spark.read.parquet(live).join(ids_df, "doc_id", "anti")
-        if surv.count() == 0:
+        obs = Observation()
+        (
+            surv.observe(obs, F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(st)
+        )
+        # getOrEmpty is the NON-BLOCKING presence probe (obs.get would
+        # wait forever if a plan shape ever pruned the metrics node);
+        # once present, obs.get returns immediately
+        n_surv = (
+            int(obs.get["n"])
+            if not obs._jo.getOrEmpty().isEmpty()
+            else spark.read.parquet(st).count()
+        )
+        if n_surv == 0:
             fs.delete(jlive, True)
+            _, jst_dir = _hadoop_fs(spark, st)
+            fs.delete(jst_dir, True)
             return
-        surv.coalesce(1).write.mode("overwrite").parquet(st)
         aside = f"{root}/{_DELTA}/._old_{table}"
         _, jaside = _hadoop_fs(spark, aside)
         _, jst = _hadoop_fs(spark, st)
@@ -1604,32 +1731,55 @@ def minhash_index_delete(
     # live and delta doomed counted separately: the live count drives
     # the pb prune set (delta docs' bands live in the delta, never in
     # the Hive layout — appends write both tables to one place), the
-    # sum is the logical retraction count
-    doomed = docs_tbl.join(ids_df, "doc_id", "semi").localCheckpoint(
-        eager=True
-    )
-    rows_live = doomed.count()
-    delta_docs = _delta_df("docs")
-    rows_delta = 0
-    if delta_docs is not None:
+    # sum is the logical retraction count.
+    doomed = docs_tbl.join(ids_df, "doc_id", "semi").persist()
+    res: dict = {}
+
+    def _doomed_stats():
+        # ONE job (r20): materializes `doomed` into the cache AND
+        # returns the live doomed count plus the pb prune set — was an
+        # eager checkpoint + a count + a distinct collect (three jobs).
+        # Each doomed doc row emits exactly `bands` band rows (explode
+        # of a bands-element array literal over a non-null sig), so the
+        # doomed row count is nb / bands EXACTLY — duplicate doc_ids
+        # included, same value the old doomed.count() returned.
+        if pb_buckets:
+            row = (
+                _bands_from_state(
+                    doomed.select("doc_id", "sig", "n_sh"),
+                    n_hashes=n_hashes,
+                    bands=bands,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.collect_set(
+                        F.pmod(F.col("bkey"), F.lit(pb_buckets))
+                    ).alias("pbs"),
+                )
+                .first()
+            )
+            res["rows_live"] = int(row.nb) // bands
+            res["pbs"] = sorted(int(p) for p in row.pbs)
+        else:
+            res["rows_live"] = doomed.count()
+            res["pbs"] = None
+
+    def _delta_doomed():
+        delta_docs = _delta_df("docs")
+        if delta_docs is None:
+            res["rows_delta"] = 0
+            return
         dd = delta_docs
         if db_buckets and dbs is not None:
             dd = dd.filter(F.col("db").isin(dbs))
-        rows_delta = dd.join(ids_df, "doc_id", "semi").count()
+        res["rows_delta"] = int(dd.join(ids_df, "doc_id", "semi").count())
 
-    pbs = None
-    if pb_buckets:
-        pbs = [
-            r.pb
-            for r in _bands_from_state(
-                doomed.select("doc_id", "sig", "n_sh"),
-                n_hashes=n_hashes,
-                bands=bands,
-            )
-            .select(F.pmod(F.col("bkey"), F.lit(pb_buckets)).alias("pb"))
-            .distinct()
-            .collect()
-        ]
+    # the two doomed scans touch disjoint surfaces (pruned live docs vs
+    # the tiny delta) — overlap them on driver threads (guide §2.6)
+    _par_jobs(_doomed_stats, _delta_doomed)
+    rows_live = res["rows_live"]
+    rows_delta = res["rows_delta"]
+    pbs = res["pbs"]
     # bands-first across BOTH layers (crash between the table rewrites
     # resumes by re-deriving from the still-present docs rows), and
     # each layer skipped when it provably holds no doomed rows. WITHIN
@@ -1820,12 +1970,16 @@ def minhash_index_compact(
             )
         n_src += s
         n_out += o
-    params = spark.read.parquet(f"{src}/_params")
-    params.coalesce(1).write.mode("overwrite").parquet(f"{dst}/_params")
-    # fast-path marker for the copy too (parquet first, marker second —
-    # the write-side ordering contract)
+    # params for the copy: driver-side parquet bytes, no Spark job
+    # (r20 — the values were already loaded above; a pre-r12 source's
+    # 2-column row canonicalizes to the 4-column form with zeros, the
+    # same values _load_params returned for it). Parquet first, marker
+    # second — the write-side ordering contract.
+    _write_params_parquet(
+        spark, dst, (n_hashes, bands, pb_buckets, db_buckets)
+    )
     _write_params_meta(
-        spark, fs, dst, (n_hashes, bands, pb_buckets, db_buckets)
+        spark, dst, (n_hashes, bands, pb_buckets, db_buckets)
     )
     # carry the ingest log (r15): the compacted copy holds the same
     # accepted batches, so their idempotency keys must keep rejecting
@@ -1943,8 +2097,11 @@ def minhash_index_fsck(
     Returns {"healthy", "findings": [str...], "pending_append_staging",
     "pending_delta_rewrite": {table: state}, "delete_rerun_needed",
     "stale_delete_staging", "delta": {present, files}, "ingest_log",
-    "params"}. healthy == no findings; informational rows (prunable
-    ingest entries, buffered delta files) never flag by themselves.
+    "duplicate_doc_ids", "params"}. healthy == no findings;
+    informational rows (prunable ingest entries, buffered delta files)
+    never flag by themselves. duplicate_doc_ids (r20) counts ids
+    holding more than one docs row across live ∪ delta — one bounded
+    aggregate, the only Spark job fsck runs.
 
     States mirror _resume_or_discard_staging and _settle_delta_rewrite
     exactly (see their docstrings for the protocol arguments):
@@ -2041,6 +2198,31 @@ def minhash_index_fsck(
     with _fsck_guard(findings, "ingest log"):
         log_report = _ingest_log_report(spark, root, ingest_log_horizon_s)
 
+    # duplicate doc_ids (VERDICT/ADVICE r19): the r19 per-row _doc_state
+    # emits one index row per input row where the old groupBy
+    # coincidentally merged duplicate ids — the module-level ingest
+    # discipline keeps ids unique, but nothing enforced it, so a dirty
+    # ingest now silently yields duplicate docs rows. fsck is the cheap
+    # guard: one aggregate over the LOGICAL docs table (live ∪ delta),
+    # no hot-path cost. Non-zero flags the index unhealthy (the fix is
+    # a retract-and-reingest of the offending ids, or a rebuild).
+    dup_doc_ids = None
+    with _fsck_guard(findings, "docs table (duplicate-id check)"):
+        dup_doc_ids = int(
+            _read_state_table(spark, root, "docs")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .count()
+        )
+        if dup_doc_ids:
+            findings.append(
+                f"{dup_doc_ids} doc_id(s) hold more than one docs row — "
+                "the ingest discipline was violated (probes will report "
+                "duplicate pairs for them); retract and reingest the "
+                "offending ids, or rebuild"
+            )
+
     return {
         "healthy": not findings,
         "findings": findings,
@@ -2050,6 +2232,7 @@ def minhash_index_fsck(
         "stale_delete_staging": stale_del,
         "delta": delta_info,
         "ingest_log": log_report,
+        "duplicate_doc_ids": dup_doc_ids,
         "params": {
             "n_hashes": n_hashes,
             "bands": bands,

@@ -363,20 +363,30 @@ def partition_pruned_upsert(
             "schemas. Pass evolve='rewrite' to widen the whole table (full "
             "rewrite), or align the incoming schema."
         )
+    # bucket_col is a partition column, so its value set IS the
+    # directory-name set: ONE driver-side listStatus replaces the
+    # listing-bound Spark job the old select(bucket_col).distinct()
+    # ran per upsert (r20, guide §1.2 — same values, zero jobs; an
+    # object store answers this with a single LIST). Listed BEFORE the
+    # overwrite, trivially.
+    fs_root, jroot = _hadoop_fs(spark, table_root)
+    _pfx = f"{bucket_col}="
+    on_disk = set()
+    for _st in fs_root.listStatus(jroot):
+        _nm = _st.getPath().getName()
+        if _st.isDirectory() and _nm.startswith(_pfx):
+            _v = _nm[len(_pfx):]
+            # bucket values are ints throughout this engine (pmod
+            # expressions); keep the raw name as a fallback so an
+            # exotic layout still round-trips against bucket_of output
+            on_disk.add(int(_v) if _v.lstrip("-").isdigit() else _v)
+    n_total = len(on_disk)
     if widen:
         # widen every bucket in this pass: pruning is disabled for the
         # one evolving batch (touched := all buckets), so the table
         # comes out schema-uniform
-        touched = [
-            r[0] for r in current.select(bucket_col).distinct().collect()
-        ] + [b for b in touched if b is not None]
+        touched = sorted(on_disk) + [b for b in touched if b is not None]
         touched = list(dict.fromkeys(touched))
-    # bucket_col is a partition column: this distinct reads no data
-    # columns (values come from directory names), it is listing-bound.
-    # Computed BEFORE the overwrite — current's file index snapshot
-    # predates the rewrite, so any action on it must run first.
-    on_disk = {r[0] for r in current.select(bucket_col).distinct().collect()}
-    n_total = len(on_disk)
     dk = None
     if delete_keys is not None:
         dk = delete_keys.select(*natural_key).distinct()
@@ -433,8 +443,14 @@ def partition_pruned_upsert(
     }[mode]
     # classified carries incoming's bucket_col, but recompute from the
     # key through the SAME bucket function so a custom bucket_of stays
-    # authoritative end to end
-    cls = mr.classified
+    # authoritative end to end.
+    # persist the classification (r20): the rewrite-set collect below
+    # executes the full-outer classification join once, and the staged
+    # write's merged image (three union branches over the same
+    # classified frame) re-executed the join's stage tails per branch
+    # (exchange reuse shares exchanges, not tails). The cache is
+    # bounded by batch + touched-bucket rows; released before phase 2.
+    cls = mr.classified.persist()
     if widen:
         # evolving batch: every bucket rewrites so the new columns /
         # types exist uniformly, changes or not
@@ -491,6 +507,10 @@ def partition_pruned_upsert(
         )
         rows_rewritten = obs.get["rows"]
         present: set = set(obs.get["bkts"])
+        # staged write done — release the classification cache BEFORE
+        # the phase-2 overwrite (its lineage reads the files phase 2
+        # replaces; nothing consumes it past this point)
+        cls.unpersist()
         if rows_rewritten:
             (
                 spark.read.parquet(staging)
@@ -516,6 +536,8 @@ def partition_pruned_upsert(
         # hadoop fs delete (not shutil): table_root may be s3a://
         jpath = jsc._jvm.org.apache.hadoop.fs.Path(staging)
         jpath.getFileSystem(jsc._jsc.hadoopConfiguration()).delete(jpath, True)
+    else:
+        cls.unpersist()
     return PrunedUpsertStats(
         n_buckets_total=n_total,
         n_buckets_touched=len(touched),

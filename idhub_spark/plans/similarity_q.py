@@ -619,7 +619,13 @@ def split_hot_clusters_state(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     vectors = blob.unionByName(rest)
-    dim = e.select(F.size("embedding")).first()[0]
+    # ONE job for both fixture scalars (r20 — was a first() plus a
+    # separate count below): the corpus dim is fixed, so min(size) ==
+    # the old first-row size
+    _fx = vectors.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("dim")
+    ).first()
+    n_before, dim = int(_fx.n), int(_fx.dim)
     from idhub_spark.session import literal_frame
 
     reps = literal_frame(
@@ -634,7 +640,6 @@ def split_hot_clusters_state(spark, sf_dir):
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     ivf_sq8_index_write(vectors, centroids, sq8_fit(vectors), path)
-    n_before = vectors.count()
 
     # max_iter=2 on the sub-fit: the blob is two clean half-blobs, so
     # Lloyd's converges immediately and extra iterations only add jobs
@@ -835,11 +840,13 @@ def ivf_maintenance_state(spark, sf_dir):
         if r.cluster >= 0
     }
     smallest = min(stats0, key=lambda c: (stats0[c], c))
+    # pin the set BEFORE the rewrite; lazy persist + count = one
+    # materialization job (r20 — was an eager checkpoint + a count)
     victims = (
         spark.read.parquet(path)
         .filter(F.col("cluster") == smallest)
         .select("vec_id")
-        .localCheckpoint(eager=True)  # pin the set BEFORE the rewrite
+        .persist()
     )
     n_victims = victims.count()
     res = ivf_index_delete(spark, path, victims)

@@ -94,7 +94,19 @@ def _records_frame(spark: SparkSession, records: list[dict], schema: StructType 
             }
         )
         return spark.createDataFrame(tbl, schema=struct)
-    except Exception:
+    except Exception as e:
+        # ADVICE r19: never fall back SILENTLY — the pickled-RDD path
+        # is the exact 2-7 s/query degradation this function removes,
+        # and a quiet Arrow regression (type drift, pyarrow absent)
+        # would resurface as an unexplained bench slowdown.
+        import warnings
+
+        warnings.warn(
+            "_records_frame: Arrow path failed "
+            f"({type(e).__name__}: {e}); falling back to the "
+            "pickled-RDD createDataFrame (slower on every action)",
+            stacklevel=2,
+        )
         return spark.createDataFrame(records, schema=struct)
 
 

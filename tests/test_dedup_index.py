@@ -1935,3 +1935,177 @@ def test_marker_parse_roundtrip_properties():
         assert all(c in "0123456789abcdef" for c in k)
 
     key_alphabet()
+
+
+def test_doc_state_plan_shape_and_ab_values(spark, docs):
+    """The r19 _doc_state pins the ADVICE r19 review asked for:
+
+    (a) PLAN SHAPE — the per-row projection form has ZERO Exchange and
+        ZERO HashAggregate (the r18 form paid a distinct exchange + a
+        signature aggregation per invocation), and exactly one scan.
+    (b) A/B VALUES — sig components and n_sh are BIT-IDENTICAL to the
+        r18 aggregation form (explode -> distinct -> groupBy with
+        per-component min(xxhash64(lit(i), sh))) on an adversarial
+        micro-corpus: duplicate shingles, duplicate words, 1-word and
+        2-word docs (short-doc fallback), leading/trailing spaces, and
+        a NULL text (excluded on both paths). min over a set is
+        duplicate- and order-insensitive, and xxhash64(<int literal>,
+        s) types the seed exactly like F.lit(i) — this is the pin.
+    """
+    from idhub_spark.operators.dedup_index import _doc_state
+    from idhub_spark.operators.shingles import word_shingles
+
+    n_hashes = 4
+    state = _doc_state(docs, n_hashes=n_hashes, id_col="doc_id", text_col="text")
+    plan = state._sc._jvm.PythonSQLUtils.explainString(
+        state._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert not re.search(r"(?<![A-Za-z])Exchange\b", plan), plan
+    assert "HashAggregate" not in plan, plan
+    # one scan: count formatted-detail operator ids, not raw substring
+    # hits (each scan appears in both the tree and the detail section)
+    assert len(re.findall(r"(?m)^\(\d+\) Scan parquet", plan)) == 1, plan
+
+    adv = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),          # duplicate shingles
+            (2, "w w w w"),                     # duplicate words
+            (3, "one"),                         # 1 word -> whole text
+            (4, "two words"),                   # 2 words -> whole text
+            (5, "  padded   text here  "),      # split() empties
+            (6, None),                          # excluded on both paths
+            (7, ""),                            # empty string
+        ],
+        "doc_id bigint, text string",
+    )
+    new = {
+        r.doc_id: (tuple(r.sig), r.n_sh)
+        for r in _doc_state(
+            adv, n_hashes=n_hashes, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    # r18 aggregation form, reconstructed: distinct 3-gram shingles for
+    # >=3-word docs, whole trimmed text for shorter non-null docs
+    base = adv.filter(F.col("text").isNotNull())
+    ws = base.select("doc_id", "text", F.split("text", " ").alias("ws"))
+    long_sh = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws)-3), "
+                    "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("sh"),
+        )
+    )
+    short_sh = ws.filter(F.size("ws") < 3).select(
+        "doc_id", F.trim(F.col("text")).alias("sh")
+    )
+    sh = long_sh.unionByName(short_sh).distinct()
+    old = {
+        r.doc_id: (tuple(r.sig), r.n_sh)
+        for r in sh.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.xxhash64(F.lit(i), F.col("sh")))
+                    for i in range(n_hashes)
+                ]
+            ).alias("sig"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .collect()
+    }
+    assert new == old
+    assert set(new) == {1, 2, 3, 4, 5, 7}  # null text excluded
+
+
+def test_load_params_marker_fallback_and_driver_side_parquet(
+    spark, docs, tmp_path
+):
+    """_load_params crash-ordering pins (ADVICE r19): the _META marker
+    is a fast path, the parquet row stays authoritative — a missing
+    marker (crash between parquet and marker) and an ambiguous marker
+    set (two _META files) both fall back to the parquet read with the
+    same values. Also pins the r20 driver-side _params write: the
+    parquet is a readable 1-row file with the exact int32 schema the
+    Spark write produced."""
+    import glob as _glob
+
+    from idhub_spark.operators.dedup_index import _load_params
+
+    path = str(tmp_path / "mh_params")
+    minhash_index_write(
+        docs.limit(40), path, n_hashes=8, bands=2, pb_buckets=4, db_buckets=4
+    )
+    want = (8, 2, 4, 4)
+    assert _load_params(spark, path) == want
+
+    # the authoritative parquet: 1 row, int32 columns (format pin for
+    # the r20 driver-side pyarrow write — byte-compatible with the old
+    # Spark write)
+    p = spark.read.parquet(f"{path}/_params")
+    assert [f.dataType.simpleString() for f in p.schema.fields] == ["int"] * 4
+    assert p.collect()[0].asDict() == {
+        "n_hashes": 8, "bands": 2, "pb_buckets": 4, "db_buckets": 4,
+    }
+
+    (marker,) = _glob.glob(f"{path}/_params/_META.*")
+    os.remove(marker)
+    assert _load_params(spark, path) == want  # parquet fallback
+
+    # ambiguous marker set (exactly-1-match guard) -> parquet fallback
+    open(f"{path}/_params/_META.9.9.9.9", "w").close()
+    open(f"{path}/_params/_META.7.7.7.7", "w").close()
+    assert _load_params(spark, path) == want
+
+
+def test_par_jobs_propagates_first_exception(spark):
+    """_par_jobs awaits every thunk and re-raises before the caller
+    proceeds to its commit marker (the crash-ordering contract the r19
+    overlap relies on)."""
+    from idhub_spark.operators.dedup_index import _par_jobs
+
+    ran = []
+
+    def ok():
+        ran.append("ok")
+
+    def boom():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _par_jobs(ok, boom)
+    assert ran == ["ok"]
+
+
+def test_fsck_reports_duplicate_doc_ids(spark, docs, tmp_path):
+    """VERDICT r19 what's-wrong #4: the per-row _doc_state emits one
+    index row per input row, so a dirty ingest (same doc_id twice)
+    yields duplicate docs rows where the old groupBy merged them.
+    fsck surfaces the count; a clean index reports 0/healthy."""
+    from idhub_spark.operators.dedup_index import minhash_index_fsck
+
+    path = str(tmp_path / "mh_dup")
+    hist = docs.limit(30)
+    minhash_index_write(hist, path, n_hashes=8, bands=2,
+                        pb_buckets=4, db_buckets=4)
+    rep = minhash_index_fsck(spark, path)
+    assert rep["duplicate_doc_ids"] == 0
+    assert rep["healthy"]
+
+    # dirty ingest: re-append 5 ids the index already holds
+    minhash_index_append(hist.limit(5), path, mode="direct")
+    rep2 = minhash_index_fsck(spark, path)
+    assert rep2["duplicate_doc_ids"] == 5
+    assert not rep2["healthy"]
+    assert any("doc_id" in f for f in rep2["findings"])
+
+    # the planted dup is visible through the DELTA layer too
+    minhash_index_append(hist.limit(2), path, mode="delta")
+    rep3 = minhash_index_fsck(spark, path)
+    assert rep3["duplicate_doc_ids"] == 5  # same 5 ids, now 3 rows for 2

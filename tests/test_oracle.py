@@ -10,6 +10,11 @@ import pytest
 from idhub_spark.queries import REGISTRY
 from tests.conftest import SF_DIR, assert_oracle_match
 
+# the 146-query oracle replica: slow-marked (driver-window default
+# skips it; the driver's own sf0.01/sf0.1 sims cover the same gate,
+# and the round gate runs the full set with -m "")
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, duck):

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
+
+# hypothesis property suites: slow-marked (driver-window default skips
+# them; the round gate runs the full set with -m "")
+pytestmark = pytest.mark.slow
 
 COLS = ["record_key", "local_subject_id", "identifier_type"]
 REG_COLS = ["local_subject_id", "global_subject_id", "created_at"]
