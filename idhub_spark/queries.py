@@ -115,72 +115,92 @@ from idhub_spark.plans import (  # noqa: E402,F401
 # changed this round. Previously-green unchanged queries keep their
 # r1 evidence and sort last. Names/signatures stay stable.
 _DRIVER_ORDER = [
-    # round 19 window (= first 50), composed EXACTLY as VERDICT r18
-    # ask #1 pins. r19 is the first OPTIMIZATION round: this window
-    # change is the one rotation action taken (no new queries, no
-    # retirements; registry stays 146).
-    # (1) the four r17-evidenced index composites riding r18-changed
-    # dedup_index.py — the r18 dup-check rewrite is on their append
-    # path, AND the r19 optimization diff hits the same paths again
-    # (shuffle-free _doc_state, _params marker fast path, overlapped
-    # staged writes, materialized retraction sets, expr-built
-    # signature plans). All four MATCHed the r19 full sf0.01 + sf0.1
-    # sims on the optimized tree.
+    # round 20 window (= first 50). r20 is optimization round 2 of 2:
+    # no new queries, NO retirements (the optimization-round brief
+    # makes a disappeared query a REGRESSION regardless of speed, so
+    # the r18 retire-don't-defer precedent cannot apply here — the two
+    # overflow rows are DEFERRED instead, see (3)).
+    # (1) the six composite state rows whose operator internals the
+    # r20 diff changes (action-count cuts in dedup_index.py probe/
+    # append/fold/delete + driver-side _params, ann.py delete/merge/
+    # split/adopt + driver-side markers, and the two composite query
+    # bodies in similarity_q.py). All six MATCHed the r20 full sf0.01
+    # sim(s) on the optimized tree.
     "minhash_index_lifecycle_state",
     "minhash_index_cadence_state",
     "minhash_index_stopbucket_state",
+    "minhash_index_probe_state",
     "ivf_maintenance_state",
-    # (2) the 46-key r16-latest cohort (r16's 50 minus the 4 rows
-    # re-evidenced in r18), enumerated by the r18 round notes and
-    # verified against CORRECTNESS_r16 + the live registry.
-    # 4 + 46 = 50 exactly; after this pass no live evidence is older
-    # than r17.
-    "alias_resolution",
-    "asof_last_click",
-    "audit_trail",
-    "avg_yearly_small_qty",
-    "binary_features",
-    "bpe_merge_apply",
-    "change_stats",
-    "conflict_apply_state",
-    "conflict_detection",
-    "conflict_exclusion",
-    "conflict_summary",
-    "csv_roundtrip_staging",
-    "customer_order_distribution",
-    "data_type_counts",
-    "doc_chunking",
-    "doc_fingerprint",
-    "domain_mixture_weights",
-    "event_value_percentiles",
-    "family_linkage",
-    "first_wins_dedup",
-    "flexible_timestamp_parse",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "fuzzy_center_match",
-    "gopher_quality_rules",
-    "gsid_filter",
-    "heavy_hitter_users",
-    "identity_link_back",
-    "identity_resolution",
-    "image_resize_check",
-    "labkey_sync_state",
-    "lang_id_heuristic",
-    "per_center_summary",
-    "per_subject_review",
-    "pii_redaction",
-    "priority_status_rollup",
-    "quality_score",
-    "repetition_filter",
-    "replica_divergence",
-    "returnflag_status_cube",
-    "stateful_sessionize",
-    "subject_enrichment",
-    "token_count",
-    "top_revenue_supplier",
-    "type_coercion",
-    "vocabulary_topk",
+    "split_hot_clusters_state",
+    # (2) 44 of the 46-key r17-latest cohort (due at r20 under the
+    # <=3-round evidence policy), enumerated from CORRECTNESS_r17
+    # minus retired rows. This includes every other row the r20 diff
+    # touches (partition_pruned_upsert/_stats and
+    # incremental_pruned_merge_state ride the merge_into.py change;
+    # ann_recall_at_k / ann_topk_bruteforce / ivf_sq8_topk /
+    # pq_drift_check cover the similarity_q.py/ann.py file-discipline
+    # concern for the searcher rows).
+    "ann_recall_at_k",
+    "ann_topk_bruteforce",
+    "benchmark_contamination",
+    "cohort_retention",
+    "compaction_roundtrip",
+    "discounted_brand_revenue",
+    "global_distinct_flag",
+    "grouped_zscore",
+    "hourly_rollup",
+    "incremental_pruned_merge_state",
+    "interval_followup_purchases",
+    "ivf_sq8_topk",
+    "json_props_rollup",
+    "json_roundtrip_report",
+    "kmv_accuracy_check",
+    "load_batch_state",
+    "load_stats",
+    "local_ids_merge",
+    "local_supplier_volume",
+    "lsh_param_sweep",
+    "lsh_recall_eval",
+    "merge_upsert_stats",
+    "merged_state",
+    "min_cost_supplier_rank",
+    "minhash_lsh_dedup",
+    "nation_market_share",
+    "oldest_pick",
+    "orc_roundtrip_staging",
+    "order_priority_pivot",
+    "partition_pruned_upsert",
+    "partition_pruned_upsert_stats",
+    "pq_drift_check",
+    "pricing_summary",
+    "recent_changes_topk",
+    "resolution_log",
+    "returned_item_report",
+    "running_value_total",
+    "scd2_history",
+    "sessionize",
+    "shipping_priority",
+    "simhash_hamming_pairs",
+    "sketch_profile_check",
+    "streaming_interval_join",
+    "table_profile",
+    # (3) DEFERRED from the r17 cohort to fit the six changed
+    # composites, per VERDICT r19's own candidate list (named there as
+    # retirement candidates; retirement is off the table this round —
+    # see (1)): acctbal_bucket_stats (mechanism pinned by
+    # pricing_summary's filter+agg, IN this window) and
+    # promo_revenue_share (pinned by discounted_brand_revenue's
+    # conditional-sum broadcast-join ratio, IN this window). Both are
+    # registered, unchanged since r17's hash-green evidence, and still
+    # run in the 146-query bench.
+    # NOT windowed, with reasons recorded in OPTIMIZATION_r20.md §window:
+    # the r19-changed/r18-evidenced rows VERDICT r19 ask #8 names
+    # (ann_topk_ivf, ann_topk_multiprobe, redcap_dictionary_scan,
+    # rest_paginated_scan, exact_dedup, embedding_norm_stats) — their
+    # r18 evidence is inside the <=3-round policy (due r21), their r20
+    # plans are A/B-dump-proven invariant (plans/r20/*_noop_*.txt), and
+    # every slot they could take belongs to a row that is either
+    # r20-CHANGED or policy-DUE now.
 ]
 
 

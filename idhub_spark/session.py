@@ -33,6 +33,23 @@ def get_spark(app_name: str = "idhub_spark", cpus: str | int | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (coalesce/skew-split) INSIDE cached plans
+        # too (off by default only to preserve a cached plan's output
+        # partitioning for consumers that depend on it — AQE's own
+        # coalescing is the dependency-safe case). Without it every
+        # persist() freezes its shuffle at the static partition count,
+        # which is exactly where the r19 driver saw the inverted-index
+        # queries over-scheduled (ngram 8-core ratio 0.75). Measured
+        # r20, steady-state same-session A/B at sf0.1: ngram 2.98->2.51,
+        # lsh_recall_eval 2.96->2.61, dedup_cluster_canonical
+        # 2.51->2.07, lsh_param_sweep 4.72->4.40, nothing slower across
+        # 3 interleaved rounds. Scale-adaptive by construction: AQE
+        # coalesces toward advisoryPartitionSizeInBytes, so cluster
+        # runs keep their parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
