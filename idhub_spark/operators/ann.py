@@ -634,13 +634,25 @@ def pq_fit(
     if dims % m:
         raise ValueError(f"pq_fit: dims={dims} not divisible by m={m}")
     dsub = dims // m
-    parts = []
-    for sub in range(m):
+
+    def _fit_sub(sub: int) -> DataFrame:
         sliced = vectors.select(
             F.col(id_col), F.slice(F.col(vec_col), sub * dsub + 1, dsub).alias("_sv")
         )
         cb = kmeans_fit(sliced, k=k, max_iter=max_iter, id_col=id_col, vec_col="_sv")
-        parts.append(cb.select(F.lit(sub).alias("sub"), "cluster", "centroid", "_n", "_s"))
+        return cb.select(F.lit(sub).alias("sub"), "cluster", "centroid", "_n", "_s")
+
+    # the m sub-fits are INDEPENDENT (each trains on its own slice and
+    # returns an eagerly checkpointed frame) — overlap them on driver
+    # threads (r20, guide §2.6): each fit's wall is a chain of small
+    # scheduling-bound jobs, so sequential fits left the cluster idle
+    # through every tail. Results are deterministic regardless of
+    # scheduling (exact integer arithmetic), and the pool returns them
+    # in subspace order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as ex:
+        parts = list(ex.map(_fit_sub, range(m)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1205,6 +1217,10 @@ def ivf_sq8_index_write(
     <path>/_fits/ so the index is self-contained — readers recover
     them with ivf_index_load_fits instead of tracking fit state
     externally."""
+    # NOT overlapped with the fits save (r20, measured-and-rejected
+    # class): mode='overwrite' TRUNCATES the whole target dir, so a
+    # concurrently-landed <path>/_fits would be wiped by the data
+    # write — the sequential data-then-fits order is load-bearing.
     _ivf_index_materialize(
         vectors,
         centroids,
