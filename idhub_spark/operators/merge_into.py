@@ -491,26 +491,30 @@ def partition_pruned_upsert(
         # bucket directory -> one file, instead of every shuffle task
         # spraying a sliver into every touched bucket (small-files
         # explosion: tasks x buckets files per batch)
-        (
-            to_write.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.collect_set(F.col(bucket_col)).alias("bkts"),
+        try:
+            (
+                to_write.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.collect_set(F.col(bucket_col)).alias("bkts"),
+                )
+                .repartition(len(rewrite), F.col(bucket_col))
+                # keep the seed's sorted-by-key property so row-group
+                # min/max pruning of keyed lookups survives rewrites
+                .sortWithinPartitions(*natural_key)
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .parquet(staging)
             )
-            .repartition(len(rewrite), F.col(bucket_col))
-            # keep the seed's sorted-by-key property so row-group
-            # min/max pruning of keyed lookups survives rewrites
-            .sortWithinPartitions(*natural_key)
-            .write.mode("overwrite")
-            .partitionBy(bucket_col)
-            .parquet(staging)
-        )
-        rows_rewritten = obs.get["rows"]
-        present: set = set(obs.get["bkts"])
-        # staged write done — release the classification cache BEFORE
-        # the phase-2 overwrite (its lineage reads the files phase 2
-        # replaces; nothing consumes it past this point)
-        cls.unpersist()
+            rows_rewritten = obs.get["rows"]
+            present: set = set(obs.get["bkts"])
+        finally:
+            # release the classification cache whether or not the
+            # staged write survived (a long-running ingest loop must
+            # not leak a cache per failed trigger), and always BEFORE
+            # the phase-2 overwrite (its lineage reads the files phase
+            # 2 replaces; nothing consumes it past this point)
+            cls.unpersist()
         if rows_rewritten:
             (
                 spark.read.parquet(staging)
