@@ -2431,9 +2431,15 @@ def ivf_index_merge_cold_clusters(
     # inside the assignment) `survivors` into the cache in that one
     # job, where the two eager checkpoints were two standalone jobs.
     # The cache still guarantees the count and the written rows are
-    # the same computation, and survivors stays pinned before
-    # _fits/centroids is overwritten in the apply phase (the
-    # self-overwrite trap: its lineage may read that parquet).
+    # the same computation, and the staged _new_centroids write (a
+    # direct action over survivors) pins it before _fits/centroids is
+    # overwritten in the apply phase (the self-overwrite trap: its
+    # lineage may read that parquet). Residual window vs the old eager
+    # checkpoint: cached blocks lost to EXECUTOR DEATH between the
+    # staged write and the fits refresh would recompute from the
+    # mid-overwrite parquet — which FAILS the job (FAILED_READ_FILE),
+    # and the settle then resumes from the staged _new_centroids
+    # parquet; fail-then-resume, never silent corruption.
     survivors = centroids.filter(~F.col("cluster").isin(cold)).persist()
     members = spark.read.parquet(root).filter(F.col("cluster").isin(cold))
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
